@@ -29,6 +29,8 @@ def canon(v):
         return repr(float(v)) if abs(v) < Decimal("1e15") else str(v.normalize())
     if isinstance(v, (list, tuple)):
         return tuple(canon(x) for x in v)
+    if isinstance(v, dict):  # struct columns
+        return tuple(sorted((k, canon(x)) for k, x in v.items()))
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if hasattr(v, "tolist"):  # numpy scalar / array

@@ -20,7 +20,16 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame       = t(s, dir, "part")
   def nation(s: SparkSession, dir: String): DataFrame     = t(s, dir, "nation")
   def region(s: SparkSession, dir: String): DataFrame     = t(s, dir, "region")
-  def events(s: SparkSession, dir: String): DataFrame     = t(s, dir, "events")
+  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 rejects by
+    * default. Read nanos as long and truncate to µs — the same value
+    * DuckDB produces when it reads the file (verified in FIXTURES.md).
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    t(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, dir: String): DataFrame  = t(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
 }

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables._
 
 /** Relational query surface (SURVEY.md §2.1–§2.6).
@@ -9,31 +10,479 @@ import graft.Tables._
   * Every builder is a pure DataFrame composition: Catalyst handles
   * predicate pushdown, column pruning, join selection and partial
   * aggregation. Oracle-checked queries follow the §7.4 playbook:
-  * total-order ORDER BY, DECIMAL casts before float-summing
-  * aggregates, explicit aliases matching the DuckDB SQL.
+  * total-order ORDER BY, DECIMAL casts on inputs (never on double
+  * products — per-row rounding differs across engines), explicit
+  * aliases matching the DuckDB SQL.
   */
 object Relational {
 
   /** Money firewall: exact decimal so sum order can't change results. */
   private val D = "decimal(18,2)"
+  private def d2(c: Column): Column = c.cast(D)
 
-  // ===== §2.4 q_agg_hash — TPC-H-Q1-style pricing summary =====
+  // ===== §2.1 scans =====
+
+  def qScanParquet(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir).orderBy("l_orderkey", "l_linenumber")
+
+  def qScanPrune(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ===== §2.2 filter / project =====
+
+  def qFilterPred(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1997-01-01").cast("timestamp") &&
+              (col("o_orderpriority").like("1%") || col("o_orderpriority").like("2%")) &&
+              col("o_orderstatus").isin("F", "O") &&
+              (col("o_totalprice") > 50000 || col("o_orderstatus") <=> "F"))
+      .orderBy("o_orderkey")
+
+  def qProjectExpr(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount")))).as("net_price"),
+        (d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount"))) * (lit(1) + d2(col("l_tax")))).as("charged"),
+        when(col("l_quantity") >= 30, "BULK")
+          .when(col("l_quantity") >= 10, "MEDIUM")
+          .otherwise("SMALL").as("qty_band"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ===== §2.3 joins =====
+
+  def qJoinBhj(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .join(broadcast(part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("p_brand", "s_name")
+      .agg(
+        sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("p_brand", "s_name")
+
+  def qJoinSmj(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir).hint("merge")
+      .join(lineitem(s, dir).hint("merge"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount")))).as("revenue"))
+      .orderBy("o_orderpriority")
+
+  def qJoinOuter(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey", "c_name")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(d2(col("o_totalprice"))), lit(0).cast(D)).as("total_spent"))
+      .orderBy("c_custkey")
+
+  def qJoinSemi(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .join(orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  def qJoinAnti(s: SparkSession, dir: String): DataFrame =
+    part(s, dir)
+      .join(lineitem(s, dir), col("p_partkey") === col("l_partkey"), "left_anti")
+      .select("p_partkey", "p_name", "p_brand")
+      .orderBy("p_partkey")
+
+  def qJoinThetaRange(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val a = e.select(col("event_id").as("a_id"), col("user_id").as("a_user"), col("ts").as("a_ts"))
+    val b = e.select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+    a.join(b, col("a_user") === col("b_user") &&
+              col("b_ts") > col("a_ts") &&
+              col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
+      .select(col("a_id"), col("b_id"),
+              (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** As-of join via the union+last-non-null trick: one shuffle on
+    * user_id, no join blowup — the 100 TB-scalable as-of shape. */
+  def qJoinAsof(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+              when(col("event_type") === "view", lit(0)).otherwise(lit(1)).as("prio"),
+              when(col("event_type") === "view", col("event_id")).as("view_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("prio"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_view_id", last(col("view_id"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+              col("last_view_id").as("prior_view_id"))
+      .orderBy("purchase_id")
+  }
+
+  def qJoinCrossTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, z) => acc + z)
+    val scored = broadcast(probes).join(emb, col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(dot(col("pv"), col("v")) /
+          (sqrt(dot(col("pv"), col("pv"))) * sqrt(dot(col("v"), col("v")))), 6).as("cosine"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .orderBy("probe_id", "rnk")
+  }
+
+  // ===== §2.4 aggregations =====
+
   def qAggHash(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast(D)).as("sum_qty"),
-        sum(col("l_extendedprice").cast(D)).as("sum_base_price"),
-        sum(col("l_extendedprice").cast(D) * (lit(1) - col("l_discount").cast(D))).as("sum_disc_price"),
-        sum(col("l_extendedprice").cast(D) * (lit(1) - col("l_discount").cast(D)) * (lit(1) + col("l_tax").cast(D))).as("sum_charge"),
-        round(sum(col("l_quantity").cast(D)).cast("double") / count(lit(1)), 6).as("avg_qty"),
-        round(sum(col("l_extendedprice").cast(D)).cast("double") / count(lit(1)), 6).as("avg_price"),
+        sum(d2(col("l_quantity"))).as("sum_qty"),
+        sum(d2(col("l_extendedprice"))).as("sum_base_price"),
+        sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount")))).as("sum_disc_price"),
+        sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount"))) * (lit(1) + d2(col("l_tax")))).as("sum_charge"),
+        round(sum(d2(col("l_quantity"))).cast("double") / count(lit(1)), 6).as("avg_qty"),
+        round(sum(d2(col("l_extendedprice"))).cast("double") / count(lit(1)), 6).as("avg_price"),
         count(lit(1)).as("count_order")
       )
       .orderBy("l_returnflag", "l_linestatus")
 
+  def qAggDistinct(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .groupBy("c_mktsegment")
+      .agg(
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_customers"),
+        countDistinct(col("c_nationkey"), col("c_mktsegment")).as("n_nation_seg"))
+      .orderBy("c_mktsegment")
+
+  /** HLL approximate distinct — no oracle (impl-specific estimates). */
+  def qAggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("event_type")
+
+  def qAggRollup(s: SparkSession, dir: String): DataFrame = {
+    // rollup-after-join trips DetectAmbiguousSelfJoin's false positive
+    // (Expand duplicates dataset-tagged grouping attrs); the check has
+    // no per-plan opt-out, so disable it for this session.
+    s.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
+    val j = customer(s, dir)
+      .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"), col("c_acctbal"))
+    val g = j.rollup("r_name", "n_name")
+      .agg(sum(d2(col("c_acctbal"))).as("sum_bal"), count(lit(1)).as("n_cust"))
+    g.select(coalesce(g("r_name"), lit("ALL")).as("region_name"),
+             coalesce(g("n_name"), lit("ALL")).as("nation_name"),
+             g("sum_bal"), g("n_cust"))
+      .orderBy("region_name", "nation_name")
+  }
+
+  def qAggCube(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sum(d2(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+              col("sum_qty"), col("n_rows"))
+      .orderBy("returnflag", "linestatus")
+
+  /** Deterministic stddev: exact decimal sum/sumsq, one double sqrt at
+    * the end — no accumulation-order float drift (LIME stats pass). */
+  def qAggStats(s: SparkSession, dir: String): DataFrame = {
+    def stats(c: String, p: String): Seq[Column] = {
+      val x = d2(col(c))
+      val sumc = sum(x).cast("double")
+      val sumsq = sum(x * x).cast("double")
+      val n = count(lit(1)).cast("double")
+      Seq(
+        round(sumc / n, 6).as(s"${p}_avg"),
+        round(sqrt((sumsq - sumc * sumc / n) / (n - lit(1.0))), 6).as(s"${p}_std"),
+        min(col(c)).as(s"${p}_min"),
+        max(col(c)).as(s"${p}_max"))
+    }
+    val cols = stats("l_quantity", "qty") ++ stats("l_extendedprice", "price") ++
+      stats("l_discount", "disc") ++ stats("l_tax", "tax")
+    lineitem(s, dir).agg(cols.head, cols.tail: _*)
+  }
+
+  def qAggQuantile(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("q1"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("q2"),
+        round(expr("percentile(l_quantity, 0.75)"), 6).as("q3"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  def qAggModeFreq(s: SparkSession, dir: String): DataFrame = {
+    val freq = lineitem(s, dir).groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("cnt"))
+    freq.withColumn("pct", round(col("cnt") / sum(col("cnt")).over(Window.partitionBy()), 6))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // ===== §2.5 window functions =====
+
+  def qWinRank(s: SparkSession, dir: String): DataFrame = {
+    val byPrice = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc)
+    val total = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        rank().over(byPrice).as("rnk"),
+        dense_rank().over(byPrice).as("drnk"),
+        row_number().over(total).as("rn"))
+      .filter(col("rnk") <= 50)
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  def qWinTopkGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc, col("p_partkey"))
+    part(s, dir)
+      .select(col("p_brand"), col("p_partkey"), col("p_name"), col("p_retailprice"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy("p_brand", "rnk")
+  }
+
+  def qWinMovavg(s: SparkSession, dir: String): DataFrame = {
+    val daily = lineitem(s, dir)
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount")))).as("revenue"))
+    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    daily
+      .select(col("day"), col("revenue"),
+        round(sum(col("revenue")).over(w).cast("double") / count(lit(1)).over(w), 6).as("movavg7"))
+      .orderBy("day")
+  }
+
+  def qWinLagLead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("gap_prev_us"),
+        (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts"))).as("gap_next_us"))
+      .orderBy("user_id", "event_id")
+  }
+
+  def qWinCumsum(s: SparkSession, dir: String): DataFrame = {
+    val daily = lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_shipdate").cast("date").as("day"))
+      .agg(sum(d2(col("l_quantity"))).as("day_qty"))
+    val w = Window.partitionBy("l_returnflag").orderBy("day")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .select(col("l_returnflag"), col("day"), col("day_qty"),
+        sum(col("day_qty")).over(w).as("cum_qty"))
+      .orderBy("l_returnflag", "day")
+  }
+
+  def qWinNtilePctrank(s: SparkSession, dir: String): DataFrame = {
+    val total = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    val byBal = Window.orderBy(col("c_acctbal"))
+    customer(s, dir)
+      .select(col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(total).as("quartile"),
+        round(percent_rank().over(byBal), 6).as("pct_rank"))
+      .orderBy("c_custkey")
+  }
+
+  // ===== §2.6 sort / set ops / scalar functions =====
+
+  def qSortLimit(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+
+  def qUnionAll(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val a = o.filter(year(col("o_orderdate")) === 1995)
+      .select(col("o_orderkey"), lit("y1995").as("tag"), col("o_totalprice"))
+    val b = o.filter(year(col("o_orderdate")) === 2000)
+      .select(col("o_orderkey"), lit("y2000").as("tag"), col("o_totalprice"))
+    a.unionByName(b).orderBy("o_orderkey")
+  }
+
+  def qIntersect(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+      .intersect(o.filter(year(col("o_orderdate")) === 1996).select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  def qExcept(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+      .except(o.filter(year(col("o_orderdate")) === 1996).select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  def qExprString(s: SparkSession, dir: String): DataFrame =
+    part(s, dir)
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        lower(col("p_brand")).as("brand_lower"),
+        substring(col("p_name"), 1, 5).as("name_pfx"),
+        trim(col("p_name")).as("name_trim"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        split(col("p_name"), " ").getItem(0).as("first_word"),
+        regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+        length(col("p_name")).as("name_len"))
+      .orderBy("p_partkey")
+
+  def qExprDate(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        trunc(col("o_orderdate"), "month").as("month_start"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_2002"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+        last_day(col("o_orderdate")).as("month_end"))
+      .orderBy("o_orderkey")
+
+  def qExprMath(s: SparkSession, dir: String): DataFrame =
+    part(s, dir)
+      .select(col("p_partkey"),
+        round(col("p_retailprice"), 1).as("price_r1"),
+        floor(col("p_retailprice")).as("price_floor"),
+        ceil(col("p_retailprice")).as("price_ceil"),
+        round(abs(col("p_retailprice") - 1000), 2).as("abs_delta"),
+        pow(col("p_size"), 2).as("size_sq"),
+        round(sqrt(col("p_retailprice")), 6).as("price_sqrt"),
+        round(log(col("p_retailprice")), 6).as("price_ln"),
+        round(exp(col("p_size") / lit(25.0)), 6).as("size_exp"),
+        signum(col("p_retailprice") - 1000).cast("int").as("price_sign"))
+      .orderBy("p_partkey")
+
+  def qExprJson(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .filter(col("k") > 50)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy("event_type")
+
+  def qExprArray(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("first_val"),
+        slice(col("embedding"), 1, 3).as("head3"),
+        array_max(col("embedding")).as("max_val"),
+        round(aggregate(col("embedding").cast("array<double>"), lit(0.0), (acc, x) => acc + x), 6).as("sum_val"))
+      .orderBy("vec_id")
+
+  def qExprMap(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("event_type"), col("cnt")))).as("type_counts"))
+      .orderBy("user_id")
+
+  def qExprCondNull(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        coalesce(nullif(col("l_returnflag"), lit("N")), lit("NONE")).as("flag_or_none"),
+        coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)).as("disc_or_neg"),
+        isnan(lit("NaN").cast("double") * col("l_tax")).as("nan_probe"),
+        nvl(nullif(col("l_linestatus"), lit("F")), lit("DONE")).as("status_nvl"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ===== oracle SQL (DuckDB) =====
+
   val oracle: Map[String, String] = Map(
+    "q_scan_parquet" ->
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q_scan_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_pred" ->
+      """SELECT * FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%')
+        |  AND o_orderstatus IN ('F','O')
+        |  AND (o_totalprice > 50000 OR o_orderstatus IS NOT DISTINCT FROM 'F')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_project_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS net_price,
+        |  CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2))) AS charged,
+        |  CASE WHEN l_quantity >= 30 THEN 'BULK' WHEN l_quantity >= 10 THEN 'MEDIUM' ELSE 'SMALL' END AS qty_band
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_join_bhj" ->
+      """SELECT p_brand, s_name,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY p_brand, s_name ORDER BY p_brand, s_name""".stripMargin,
+    "q_join_smj" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_outer" ->
+      """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+        |  COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+    "q_join_theta_range" ->
+      """SELECT a.event_id AS a_id, b.event_id AS b_id,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_join_asof" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS prio,
+        |    CASE WHEN event_type = 'view' THEN event_id END AS view_id
+        |  FROM events WHERE event_type IN ('view','purchase')
+        |), lv AS (
+        |  SELECT *, LAST_VALUE(view_id IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, prio, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_id
+        |  FROM tagged
+        |)
+        |SELECT event_id AS purchase_id, user_id, last_view_id AS prior_view_id
+        |FROM lv WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
+    "q_join_cross_topk" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT p.vec_id AS probe_id, e.vec_id,
+        |    ROUND(list_cosine_similarity(p.v, e.v), 6) AS cosine
+        |  FROM emb p JOIN emb e ON p.vec_id < 10 AND e.vec_id <> p.vec_id
+        |), ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rnk
+        |  FROM scored
+        |)
+        |SELECT probe_id, vec_id, cosine, rnk FROM ranked WHERE rnk <= 3
+        |ORDER BY probe_id, rnk""".stripMargin,
     "q_agg_hash" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
@@ -46,11 +495,212 @@ object Relational {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n_customers,
+        |  COUNT(DISTINCT (c_nationkey, c_mktsegment)) AS n_nation_seg
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region_name, COALESCE(n_name, 'ALL') AS nation_name,
+        |  SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal, COUNT(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region_name, nation_name""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_agg_stats" -> {
+      def st(c: String, p: String): String =
+        s"""  ROUND(CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS ${p}_avg,
+           |  ROUND(SQRT((CAST(SUM(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2))) AS DOUBLE)
+           |    - CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+           |    / (COUNT(*) - 1.0)), 6) AS ${p}_std,
+           |  MIN($c) AS ${p}_min, MAX($c) AS ${p}_max""".stripMargin
+      s"""SELECT
+         |${st("l_quantity", "qty")},
+         |${st("l_extendedprice", "price")},
+         |${st("l_discount", "disc")},
+         |${st("l_tax", "tax")}
+         |FROM lineitem""".stripMargin
+    },
+    "q_agg_quantile" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.25), 6) AS q1,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS q2,
+        |  ROUND(quantile_cont(l_quantity, 0.75), 6) AS q3,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_mode_freq" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |  ROUND(COUNT(*) / SUM(COUNT(*)) OVER (), 6) AS pct
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_win_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |    RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk,
+        |    DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS drnk,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders
+        |) WHERE rnk <= 50 ORDER BY o_orderpriority, rn""".stripMargin,
+    "q_win_topk_group" ->
+      """SELECT * FROM (
+        |  SELECT p_brand, p_partkey, p_name, p_retailprice,
+        |    ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rnk
+        |  FROM part
+        |) WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
+    "q_win_movavg" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT day, revenue,
+        |  ROUND(CAST(SUM(revenue) OVER w AS DOUBLE) / COUNT(*) OVER w, 6) AS movavg7
+        |FROM daily
+        |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
+    "q_win_lag_lead" ->
+      """SELECT user_id, event_id, ts,
+        |  epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w) AS gap_prev_us,
+        |  epoch_us(LEAD(ts, 1) OVER w) - epoch_us(ts) AS gap_next_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_win_cumsum" ->
+      """WITH daily AS (
+        |  SELECT l_returnflag, CAST(l_shipdate AS DATE) AS day,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS day_qty
+        |  FROM lineitem GROUP BY 1, 2
+        |)
+        |SELECT l_returnflag, day, day_qty,
+        |  SUM(day_qty) OVER (PARTITION BY l_returnflag ORDER BY day
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_qty
+        |FROM daily ORDER BY l_returnflag, day""".stripMargin,
+    "q_win_ntile_pctrank" ->
+      """SELECT c_custkey, c_acctbal,
+        |  NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+        |  ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal), 6) AS pct_rank
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+    "q_union_all" ->
+      """SELECT o_orderkey, 'y1995' AS tag, o_totalprice FROM orders WHERE year(o_orderdate) = 1995
+        |UNION ALL
+        |SELECT o_orderkey, 'y2000' AS tag, o_totalprice FROM orders WHERE year(o_orderdate) = 2000
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+    "q_expr_string" ->
+      """SELECT p_partkey,
+        |  UPPER(p_name) AS name_upper,
+        |  LOWER(p_brand) AS brand_lower,
+        |  SUBSTRING(p_name, 1, 5) AS name_pfx,
+        |  TRIM(p_name) AS name_trim,
+        |  CONCAT_WS('|', p_brand, p_type) AS brand_type,
+        |  string_split(p_name, ' ')[1] AS first_word,
+        |  regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+        |  LENGTH(p_name) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_expr_date" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS yr,
+        |  month(o_orderdate) AS mo,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_expr_math" ->
+      """SELECT p_partkey,
+        |  ROUND(p_retailprice, 1) AS price_r1,
+        |  CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+        |  CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+        |  ROUND(ABS(p_retailprice - 1000), 2) AS abs_delta,
+        |  POW(p_size, 2) AS size_sq,
+        |  ROUND(SQRT(p_retailprice), 6) AS price_sqrt,
+        |  ROUND(LN(p_retailprice), 6) AS price_ln,
+        |  ROUND(EXP(p_size / 25.0), 6) AS size_exp,
+        |  CAST(SIGN(p_retailprice - 1000) AS INTEGER) AS price_sign
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_expr_json" ->
+      """SELECT event_type, COUNT(*) AS n, SUM(k) AS sum_k FROM (
+        |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events
+        |) WHERE k > 50 GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_expr_array" ->
+      """SELECT vec_id,
+        |  len(embedding) AS dim,
+        |  embedding[1] AS first_val,
+        |  embedding[1:3] AS head3,
+        |  list_max(embedding) AS max_val,
+        |  ROUND(list_sum(CAST(embedding AS DOUBLE[])), 6) AS sum_val
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_expr_map" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS cnt FROM events GROUP BY user_id, event_type
+        |)
+        |SELECT user_id,
+        |  list(struct_pack(event_type := event_type, cnt := cnt) ORDER BY event_type) AS type_counts
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_expr_cond_null" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  COALESCE(NULLIF(l_returnflag, 'N'), 'NONE') AS flag_or_none,
+        |  COALESCE(NULLIF(l_discount, 0.0), -1.0) AS disc_or_neg,
+        |  ISNAN(CAST('NaN' AS DOUBLE) * l_tax) AS nan_probe,
+        |  COALESCE(NULLIF(l_linestatus, 'F'), 'DONE') AS status_nvl
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 
   /** Registry consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_agg_hash" -> (qAggHash _)
+    "q_scan_parquet" -> (qScanParquet _),
+    "q_scan_prune" -> (qScanPrune _),
+    "q_filter_pred" -> (qFilterPred _),
+    "q_project_expr" -> (qProjectExpr _),
+    "q_join_bhj" -> (qJoinBhj _),
+    "q_join_smj" -> (qJoinSmj _),
+    "q_join_outer" -> (qJoinOuter _),
+    "q_join_semi" -> (qJoinSemi _),
+    "q_join_anti" -> (qJoinAnti _),
+    "q_join_theta_range" -> (qJoinThetaRange _),
+    "q_join_asof" -> (qJoinAsof _),
+    "q_join_cross_topk" -> (qJoinCrossTopk _),
+    "q_agg_hash" -> (qAggHash _),
+    "q_agg_distinct" -> (qAggDistinct _),
+    "q_agg_approx_distinct" -> (qAggApproxDistinct _),
+    "q_agg_rollup" -> (qAggRollup _),
+    "q_agg_cube" -> (qAggCube _),
+    "q_agg_stats" -> (qAggStats _),
+    "q_agg_quantile" -> (qAggQuantile _),
+    "q_agg_mode_freq" -> (qAggModeFreq _),
+    "q_win_rank" -> (qWinRank _),
+    "q_win_topk_group" -> (qWinTopkGroup _),
+    "q_win_movavg" -> (qWinMovavg _),
+    "q_win_lag_lead" -> (qWinLagLead _),
+    "q_win_cumsum" -> (qWinCumsum _),
+    "q_win_ntile_pctrank" -> (qWinNtilePctrank _),
+    "q_sort_limit" -> (qSortLimit _),
+    "q_union_all" -> (qUnionAll _),
+    "q_intersect" -> (qIntersect _),
+    "q_except" -> (qExcept _),
+    "q_expr_string" -> (qExprString _),
+    "q_expr_date" -> (qExprDate _),
+    "q_expr_math" -> (qExprMath _),
+    "q_expr_json" -> (qExprJson _),
+    "q_expr_array" -> (qExprArray _),
+    "q_expr_map" -> (qExprMap _),
+    "q_expr_cond_null" -> (qExprCondNull _)
   )
 }
