@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Event-time queries over the `events` table (SURVEY.md §2.9).
+  *
+  * Batch-first forms (DuckDB-checkable) of the streaming operator set;
+  * `graft.streaming.EventStreams` exposes the Structured Streaming
+  * twins over the same logic. All event aggregations shuffle on
+  * (window, key) or user_id only — state stays O(users), never
+  * O(events), which is the 100 TB-safe shape.
+  */
+object EventOps {
+
+  private val D = "decimal(18,2)"
+  private def d2(c: Column): Column = c.cast(D)
+
+  /** Tumbling 1-hour windows: count + sum(value) per event_type. */
+  def qEvTumble(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour")("start").as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(d2(col("value"))).as("sum_value"))
+      .orderBy("hour_start", "event_type")
+
+  /** Sliding 1-hour window, 15-minute slide, per-user activity. */
+  def qEvSlide(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes")("start").as("win_start"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(d2(col("value"))).as("sum_value"))
+      .orderBy("win_start", "user_id")
+
+  /** Session windows, 30-min inactivity gap (lag-gap-cumsum idiom).
+    * A gap strictly greater than 30 minutes starts a new session.
+    */
+  def qEvSession(s: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byTs))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+             unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Watermark semantics, batch-simulated: the watermark is
+    * max(ts) - 10 minutes; events at or after it would still be
+    * mutable in a streaming run ("late-mutable"), older ones are final.
+    */
+  def qEvLateWatermark(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val wm = e.agg(max(col("ts")).as("max_ts"))
+      .select((unix_micros(col("max_ts")) - 10L * 60 * 1000000).as("wm_us"))
+    e.crossJoin(broadcast(wm))
+      .groupBy("event_type")
+      .agg(
+        sum(when(unix_micros(col("ts")) < col("wm_us"), 1).otherwise(0)).as("n_final"),
+        sum(when(unix_micros(col("ts")) >= col("wm_us"), 1).otherwise(0)).as("n_late_mutable"))
+      .orderBy("event_type")
+  }
+
+  /** Ordered signup→click→purchase funnel per user. Three aggregation
+    * passes over user_id — state O(users), no event-level blowup.
+    */
+  def qEvFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val s1 = e.groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("signup_ts"))
+    val s2 = e.join(s1, "user_id")
+      .groupBy("user_id")
+      .agg(
+        min(col("signup_ts")).as("signup_ts"),
+        min(when(col("event_type") === "click" && col("ts") > col("signup_ts"), col("ts"))).as("click_ts"))
+    val s3 = e.join(s2, "user_id")
+      .groupBy("user_id")
+      .agg(
+        min(col("signup_ts")).as("signup_ts"),
+        min(col("click_ts")).as("click_ts"),
+        min(when(col("event_type") === "purchase" && col("ts") > col("click_ts"), col("ts"))).as("purchase_ts"))
+    s3.select(col("user_id"), col("signup_ts"), col("click_ts"), col("purchase_ts"),
+        (col("signup_ts").isNotNull && col("click_ts").isNotNull && col("purchase_ts").isNotNull).as("completed"))
+      .orderBy("user_id")
+  }
+
+  /** Dedup keep-first on (user_id, event_type) — the deterministic
+    * batch form of streaming dropDuplicatesWithinWatermark.
+    */
+  def qEvDedupStream(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "ts")
+      .orderBy("user_id", "event_type")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_ev_tumble" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q_ev_slide" ->
+      """WITH expanded AS (
+        |  SELECT make_timestamp((epoch_us(ts) // 900000000 - k) * 900000000) AS win_start,
+        |    user_id, value, ts
+        |  FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
+        |  WHERE epoch_us(ts) < (epoch_us(ts) // 900000000 - k) * 900000000 + 3600000000
+        |    AND epoch_us(ts) >= (epoch_us(ts) // 900000000 - k) * 900000000
+        |)
+        |SELECT win_start, user_id, COUNT(*) AS n_events,
+        |  SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM expanded GROUP BY 1, 2 ORDER BY win_start, user_id""".stripMargin,
+    "q_ev_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessioned AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+        |FROM sessioned GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q_ev_late_watermark" ->
+      """WITH wm AS (SELECT MAX(epoch_us(ts)) - 600000000 AS wm_us FROM events)
+        |SELECT event_type,
+        |  SUM(CASE WHEN epoch_us(ts) < wm_us THEN 1 ELSE 0 END) AS n_final,
+        |  SUM(CASE WHEN epoch_us(ts) >= wm_us THEN 1 ELSE 0 END) AS n_late_mutable
+        |FROM events, wm GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_ev_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts
+        |  FROM events GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, MIN(s1.signup_ts) AS signup_ts,
+        |    MIN(CASE WHEN e.event_type = 'click' AND e.ts > s1.signup_ts THEN e.ts END) AS click_ts
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, MIN(s2.signup_ts) AS signup_ts, MIN(s2.click_ts) AS click_ts,
+        |    MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.click_ts THEN e.ts END) AS purchase_ts
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id GROUP BY e.user_id
+        |)
+        |SELECT user_id, signup_ts, click_ts, purchase_ts,
+        |  (signup_ts IS NOT NULL AND click_ts IS NOT NULL AND purchase_ts IS NOT NULL) AS completed
+        |FROM s3 ORDER BY user_id""".stripMargin,
+    "q_ev_dedup_stream" ->
+      """SELECT user_id, event_type, event_id, ts FROM (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ev_tumble" -> (qEvTumble _),
+    "q_ev_slide" -> (qEvSlide _),
+    "q_ev_session" -> (qEvSession _),
+    "q_ev_late_watermark" -> (qEvLateWatermark _),
+    "q_ev_funnel" -> (qEvFunnel _),
+    "q_ev_dedup_stream" -> (qEvDedupStream _)
+  )
+}

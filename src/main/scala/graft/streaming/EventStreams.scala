@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming twins of graft.operators.EventOps (§2.9).
+  *
+  * Each takes a *streaming* DataFrame with the events schema
+  * (event_id long, ts timestamp, user_id long, event_type string,
+  * value double, props string) and returns a streaming result whose
+  * batch semantics match the EventOps builder of the same name.
+  * Watermarks bound state: window aggs keep O(open windows) state,
+  * funnel keeps O(active users), dedup keeps O(keys within watermark).
+  */
+object EventStreams {
+
+  /** File-based streaming source over the same parquet table — the
+    * production entry would be Kafka; the transform chain is identical.
+    */
+  def readEvents(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = graft.Tables.events(s, dir).schema
+    // streaming source needs an explicit schema (pre-ts-conversion)
+    // FileStreamSource wants a directory; glob the single harness file
+    val raw = s.readStream
+      .schema(s.read.parquet(s"$dir/events.parquet").schema)
+      .option("basePath", dir)
+      .parquet(s"$dir/events*.parquet")
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  def tumble(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+              col("n_events"), col("sum_value"))
+
+  def slide(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("user_id"),
+              col("n_events"), col("sum_value"))
+
+  /** Native session windows (30-min gap) — the streaming equivalent of
+    * EventOps.qEvSession's lag-gap-cumsum batch idiom.
+    */
+  def session(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("user_id"), col("n_events"))
+
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ===== stateful funnel (flatMapGroupsWithState) =====
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
+  case class FunnelState(signupUs: Option[Long], clickUs: Option[Long], purchaseUs: Option[Long])
+  case class FunnelOut(user_id: Long, signup_us: Long, click_us: Long, purchase_us: Long)
+
+  /** Emits one row per user the moment the ordered
+    * signup→click→purchase funnel completes. State is O(active users)
+    * and dropped on event-time timeout past the watermark.
+    */
+  def funnel(events: DataFrame): Dataset[FunnelOut] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, evs, state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(FunnelState(None, None, None))
+            val done0 = st.purchaseUs.isDefined
+            // process in event-time order for correct funnel ordering
+            evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val us = e.ts.getTime * 1000
+              e.event_type match {
+                case "signup" if st.signupUs.isEmpty => st = st.copy(signupUs = Some(us))
+                case "click" if st.signupUs.isDefined && st.clickUs.isEmpty &&
+                  us > st.signupUs.get => st = st.copy(clickUs = Some(us))
+                case "purchase" if st.clickUs.isDefined && st.purchaseUs.isEmpty &&
+                  us > st.clickUs.get => st = st.copy(purchaseUs = Some(us))
+                case _ =>
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 24L * 3600 * 1000)
+            if (!done0 && st.purchaseUs.isDefined)
+              Iterator(FunnelOut(uid, st.signupUs.get, st.clickUs.get, st.purchaseUs.get))
+            else Iterator.empty
+          }
+      }
+  }
+}

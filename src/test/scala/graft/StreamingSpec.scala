@@ -1,0 +1,90 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming twins (§2.9) driven through MemoryStream. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def evDf(evs: Seq[Ev]) = {
+    val s = spark
+    import s.implicits._
+    val stream = MemoryStream[Ev](s)
+    stream.addData(evs)
+    (stream, stream.toDF()
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}")))
+  }
+
+  test("tumble twin matches batch window counts (complete mode)") {
+    val s = spark
+    import s.implicits._
+    val evs = Seq(
+      Ev(1, ts(5), 1, "click"), Ev(2, ts(20), 1, "click"),
+      Ev(3, ts(65), 2, "view"), Ev(4, ts(70), 1, "click"))
+    val (_, df) = evDf(evs)
+    val q = EventStreams.tumble(df).writeStream
+      .format("memory").queryName("tumble_out").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = s.sql("SELECT hour_start, event_type, n_events FROM tumble_out ORDER BY hour_start, event_type")
+        .as[(Timestamp, String, Long)].collect().toSeq
+      assert(rows == Seq(
+        (ts(0), "click", 2L),
+        (ts(60), "click", 1L),
+        (ts(60), "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("dedup twin drops duplicate event_id within watermark") {
+    val s = spark
+    import s.implicits._
+    val evs = Seq(Ev(1, ts(1), 1, "click"), Ev(1, ts(2), 1, "click"), Ev(2, ts(3), 1, "view"))
+    val (_, df) = evDf(evs)
+    val q = EventStreams.dedup(df).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val n = s.sql("SELECT count(DISTINCT event_id) c, count(*) n FROM dedup_out").collect()(0)
+      assert(n.getLong(0) == 2 && n.getLong(1) == 2)
+    } finally q.stop()
+  }
+
+  test("funnel twin emits only ordered signup→click→purchase completions") {
+    val s = spark
+    import s.implicits._
+    val evs = Seq(
+      // user 1 completes in order
+      Ev(1, ts(1), 1, "signup"), Ev(2, ts(2), 1, "click"), Ev(3, ts(3), 1, "purchase"),
+      // user 2 purchases before clicking — never completes
+      Ev(4, ts(1), 2, "signup"), Ev(5, ts(2), 2, "purchase"), Ev(6, ts(3), 2, "click"))
+    val (_, df) = evDf(evs)
+    val q = EventStreams.funnel(df).writeStream
+      .format("memory").queryName("funnel_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val users = s.sql("SELECT user_id FROM funnel_out").as[Long].collect().toSeq
+      assert(users == Seq(1L))
+    } finally q.stop()
+  }
+
+  test("session twin groups by 30-minute gaps") {
+    val s = spark
+    import s.implicits._
+    // two bursts 40 minutes apart → 2 sessions
+    val evs = Seq(Ev(1, ts(0), 1, "click"), Ev(2, ts(10), 1, "click"), Ev(3, ts(50), 1, "click"))
+    val (_, df) = evDf(evs)
+    val q = EventStreams.session(df).writeStream
+      .format("memory").queryName("session_out").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val n = s.sql("SELECT count(*) FROM session_out").as[Long].collect()(0)
+      assert(n == 2)
+    } finally q.stop()
+  }
+}
