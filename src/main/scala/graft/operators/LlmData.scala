@@ -1,0 +1,448 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.8): dedup
+  * (exact / jaccard / MinHash-LSH / SimHash / embedding-cosine),
+  * similarity search (brute-force + LSH ANN), embedding column ops,
+  * and text analysis (tokens, tf-idf, quality, n-gram language-ID,
+  * fingerprints).
+  *
+  * Scale shape: every near-dup operator is LSH-bounded (banded
+  * candidates + exact verify on candidates only) except the exact
+  * jaccard oracle baseline, which exists to grade the approximate
+  * paths. Float firewall: per-element decimal casts before any
+  * cross-row sum (SURVEY.md §7.4).
+  */
+object LlmData {
+
+  private def docsNorm(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).withColumn("norm_text", lower(trim(col("text"))))
+
+  /** Distinct word-bigram shingle set per document. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    docsNorm(s, dir)
+      .withColumn("w", split(col("norm_text"), " "))
+      .withColumn("shingles", array_distinct(expr(
+        "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))")))
+      .select("doc_id", "shingles")
+
+  // ===== dedup =====
+
+  /** Exact dedup: keep the lowest doc_id per normalized text. */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("norm_text").orderBy("doc_id")
+    docsNorm(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** Exact near-dup pairs: word-bigram shingles, Jaccard >= 0.3 via
+    * shared-shingle join + inclusion-exclusion. The exact baseline the
+    * MinHash path is graded against.
+    */
+  def qDedupJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir).select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
+    val ex = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
+    val a = ex.select(col("doc_id").as("a_id"), col("sz").as("a_sz"), col("sh"))
+    val b = ex.select(col("doc_id").as("b_id"), col("sz").as("b_sz"), col("sh"))
+    a.join(b, a("sh") === b("sh") && col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("inter"), first(col("a_sz")).as("a_sz"), first(col("b_sz")).as("b_sz"))
+      .withColumn("jac", round(col("inter") / (col("a_sz") + col("b_sz") - col("inter")), 6))
+      .filter(col("jac") >= 0.3)
+      .select("a_id", "b_id", "jac")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** MinHash + LSH banding (32 perms, 8 bands x 4 rows) producing
+    * candidate pairs, then exact-Jaccard verification on candidates
+    * only — the 100 TB near-dup shape (no all-pairs join anywhere).
+    */
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    val sig = sh.withColumn("sig", array(
+      (0 until 32).map(i => array_min(expr(
+        s"transform(shingles, x -> xxhash64('mh$i:' || x))"))): _*))
+    val banded = sig.select(col("doc_id"), col("shingles"),
+      posexplode(expr("transform(sequence(0, 7), b -> xxhash64(b, slice(sig, b * 4 + 1, 4)))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val a = banded.select(col("doc_id").as("a_id"), col("shingles").as("a_sh"), col("band"), col("band_key"))
+    val b = banded.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"), col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sh", "b_sh").dropDuplicates("a_id", "b_id")
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("jac", round(col("inter") /
+        (size(col("a_sh")) + size(col("b_sh")) - col("inter")), 6))
+      .filter(col("jac") >= 0.3)
+      .select("a_id", "b_id", "jac")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** 64-bit SimHash over word occurrences; near-dup candidates found by
+    * matching one of four 16-bit chunks (banding), verified by Hamming
+    * distance <= 16.
+    */
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val words = docsNorm(s, dir)
+      .select(col("doc_id"), explode(split(col("norm_text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .withColumn("h", xxhash64(col("word")))
+    val bitVotes = words
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 63), j -> CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END)")))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(sum(col("col")).as("vote"))
+    val sims = bitVotes
+      .groupBy("doc_id")
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(cast(1 as bigint), pos)")).otherwise(0L)).as("simhash"))
+    val chunks = sims.select(col("doc_id"), col("simhash"),
+      posexplode(expr("transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535)")))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    val a = chunks.select(col("doc_id").as("a_id"), col("simhash").as("a_sim"), col("chunk"), col("chunk_val"))
+    val b = chunks.select(col("doc_id").as("b_id"), col("simhash").as("b_sim"), col("chunk"), col("chunk_val"))
+    a.join(b, Seq("chunk", "chunk_val")).filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", expr("bit_count(a_sim ^ b_sim)"))
+      .filter(col("hamming") <= 16)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Embedding-cosine near-dup pairs (>= 0.4), brute-force exact —
+    * at scale the q_sim_lsh_ann path bounds the candidate set first.
+    */
+  def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = emb.select(col("vec_id").as("a_id"), col("v").as("av"))
+    val b = emb.select(col("vec_id").as("b_id"), col("v").as("bv"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cosine", round(cosineCol(col("av"), col("bv")), 6))
+      .filter(col("cosine") >= 0.4)
+      .select("a_id", "b_id", "cosine")
+      .orderBy("a_id", "b_id")
+  }
+
+  // ===== similarity search =====
+
+  private def dotCol(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, z) => acc + z)
+
+  private def cosineCol(x: Column, y: Column): Column =
+    dotCol(x, y) / (sqrt(dotCol(x, x)) * sqrt(dotCol(y, y)))
+
+  /** Brute-force top-10 cosine neighbors for a broadcast probe set. */
+  def qSimTopkCosine(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id"))
+    broadcast(probes).join(emb, col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosineCol(col("pv"), col("v")), 6).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** Approximate NN via MLlib random-hyperplane bucketed LSH (seeded).
+    * No oracle: bucket boundaries are impl-specific; the spec grades
+    * recall against qSimTopkCosine instead.
+    */
+  def qSimLshAnn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.linalg.Vectors
+    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
+    val emb = embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("features", toVec(col("v")))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setBucketLength(0.4).setNumHashTables(6).setSeed(42)
+      .setInputCol("features").setOutputCol("hashes")
+    val model = lsh.fit(emb)
+    val probes = emb.filter(col("vec_id") < 5)
+    model.approxSimilarityJoin(probes, emb, 1.2, "dist")
+      .filter(col("datasetA.vec_id") =!= col("datasetB.vec_id"))
+      .select(col("datasetA.vec_id").as("probe_id"),
+              col("datasetB.vec_id").as("vec_id"),
+              round(col("dist"), 6).as("dist"))
+      .orderBy("probe_id", "vec_id")
+  }
+
+  /** Embedding column ops: per-label counts, mean vector norm (via
+    * decimal-rounded per-vector norms) and centroid norm computed from
+    * exact per-dimension decimal sums: ||Σx||/n — no cross-row double
+    * accumulation anywhere.
+    */
+  def qEmbNormOps(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir).select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val norms = emb.withColumn("nrm", round(sqrt(dotCol(col("v"), col("v"))), 6))
+    val byLabel = norms.groupBy("label").agg(
+      count(lit(1)).as("n_vecs"),
+      round(sum(col("nrm").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6).as("avg_norm"))
+    val perDim = emb.select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col").cast("decimal(18,9)")).as("sx"), count(lit(1)).as("cnt"))
+    val centroid = perDim.groupBy("label").agg(
+      round(sqrt(sum(col("sx") * col("sx")).cast("double")) / max(col("cnt")), 6).as("centroid_norm"))
+    byLabel.join(centroid, "label").orderBy("label")
+  }
+
+  // ===== text analysis =====
+
+  private val stopwords = Seq("the", "a")
+
+  /** Token stats per language after stopword removal. */
+  def qTextTokens(s: SparkSession, dir: String): DataFrame =
+    docsNorm(s, dir)
+      .select(col("lang"), explode(split(col("norm_text"), " ")).as("word"))
+      .filter(col("word") =!= "" && !col("word").isin(stopwords: _*))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("word")).as("n_distinct"),
+        round(sum(length(col("word")).cast("decimal(18,2)")).cast("double") / count(lit(1)), 6).as("avg_len"))
+      .orderBy("lang")
+
+  /** Exact tf-idf, top-5 terms per source:
+    * idf = ln((N+1)/(df+1)) + 1 (smoothed), score = tf * idf.
+    */
+  def qTextTfidf(s: SparkSession, dir: String): DataFrame = {
+    val words = docsNorm(s, dir)
+      .select(col("doc_id"), col("source"), explode(split(col("norm_text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val n = documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val df_ = words.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+    val tf = words.groupBy("source", "word").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("source").orderBy(col("score").desc, col("word"))
+    tf.join(df_, "word").crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("source", "word", "tf", "df", "score", "rnk")
+      .orderBy("source", "rnk")
+  }
+
+  /** Quality filters: length bounds, lang whitelist, lexical diversity. */
+  def qTextQuality(s: SparkSession, dir: String): DataFrame =
+    docsNorm(s, dir)
+      .withColumn("w", split(col("norm_text"), " "))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(col("w")).as("n_words"),
+        round(size(array_distinct(col("w"))) / size(col("w")).cast("double"), 6).as("distinct_ratio"),
+        (col("n_chars").between(100, 450) &&
+         col("lang").isin("en", "es", "de", "fr") &&
+         size(col("w")) >= 20).as("passed"))
+      .orderBy("doc_id")
+
+  /** Char-bigram n-gram language-ID, self-trained on the corpus:
+    * score(doc, lang) = Σ_bigram ln((cnt(lang,bg)+1)/(tot(lang)+4096)),
+    * each term decimal-cast before summing for cross-engine
+    * determinism. Output is the per-lang confusion matrix.
+    */
+  def qTextLangid(s: SparkSession, dir: String): DataFrame = {
+    val bigrams = docsNorm(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(1, length(norm_text) - 1), i -> substring(norm_text, i, 2))")).as("bg"))
+    val model = bigrams.groupBy(col("lang").as("m_lang"), col("bg")).agg(count(lit(1)).as("cnt"))
+    val totals = model.groupBy("m_lang").agg(sum(col("cnt")).as("tot"))
+    val langs = totals.select("m_lang", "tot")
+    val scored = bigrams.join(broadcast(langs))
+      .join(broadcast(model), Seq("m_lang", "bg"), "left")
+      .withColumn("term", log((coalesce(col("cnt"), lit(0L)) + 1.0) / (col("tot") + 4096.0)).cast("decimal(18,9)"))
+      .groupBy("doc_id", "lang", "m_lang")
+      .agg(sum(col("term")).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("m_lang"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .groupBy(col("lang"), col("m_lang").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** Deterministic document fingerprints: whole-text xxhash64 plus the
+    * min shingle hash (winnowing anchor). No oracle (DuckDB hash() is
+    * a different function); determinism is spec-checked.
+    */
+  def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
+    shingled(s, dir)
+      .join(docsNorm(s, dir).select("doc_id", "norm_text"), "doc_id")
+      .select(col("doc_id"),
+        xxhash64(col("norm_text")).as("fp"),
+        array_min(expr("transform(shingles, x -> xxhash64(x))")).as("min_shingle_hash"))
+      .orderBy("doc_id")
+
+  // ===== multimodal column plumbing =====
+
+  /** Multimodal columns: payloads as opaque binary + typed metadata,
+    * "decoded" in batches via mapPartitions. The decode itself is a
+    * clearly-marked deterministic STUB (no image/audio libs in this
+    * environment); the Spark-side plumbing — binary column, metadata
+    * struct, per-partition batch iteration, fixed-width feature output
+    * — is real and spec-tested.
+    */
+  def qMmFeatures(s: SparkSession, dir: String): DataFrame = {
+    val src = docsNorm(s, dir)
+      .select(col("doc_id"), col("norm_text").cast("binary").as("payload"),
+        struct(col("lang"), col("source"), col("n_chars")).as(("meta")))
+    val session = s
+    import session.implicits._
+    src.select(col("doc_id"), col("payload"), col("meta.n_chars").as("n_chars"))
+      .as[(Long, Array[Byte], Long)]
+      .mapPartitions { it =>
+        it.map { case (id, payload, nChars) =>
+          // STUB decoder: stands in for image/audio decode. Emits a
+          // deterministic fixed-width "feature vector" from the bytes.
+          val fakeWidth = (payload.length % 64) + 1
+          val fakeHeight = (nChars % 64) + 1
+          val feats = Array.tabulate(4) { i =>
+            payload.slice(i * 8, i * 8 + 8).foldLeft(0L)((a, b) => a * 31 + (b & 0xff)).toDouble
+          }
+          (id, fakeWidth.toLong, fakeHeight, feats)
+        }
+      }
+      .toDF("doc_id", "width", "height", "features")
+      .orderBy("doc_id")
+  }
+
+  // ===== oracle SQL =====
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_dedup_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1])) AS shingles
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents)
+        |), ex AS (
+        |  SELECT doc_id, unnest(shingles) AS sh, len(shingles) AS sz FROM sh
+        |)
+        |SELECT a_id, b_id, jac FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    ROUND(COUNT(*) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)), 6) AS jac
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |) WHERE jac >= 0.3 ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_embed" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT a_id, b_id, cosine FROM (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |) WHERE cosine >= 0.4 ORDER BY a_id, b_id""".stripMargin,
+    "q_sim_topk_cosine" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |scored AS (
+        |  SELECT p.vec_id AS probe_id, e.vec_id,
+        |    ROUND(list_cosine_similarity(p.e, e.e), 6) AS cosine
+        |  FROM v p JOIN v e ON p.vec_id < 5 AND e.vec_id <> p.vec_id
+        |), ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rnk
+        |  FROM scored
+        |)
+        |SELECT probe_id, vec_id, cosine, rnk FROM ranked WHERE rnk <= 10
+        |ORDER BY probe_id, rnk""".stripMargin,
+    "q_emb_norm_ops" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |norms AS (
+        |  SELECT vec_id, label,
+        |    ROUND(sqrt(list_sum(list_transform(e, x -> x * x))), 6) AS nrm
+        |  FROM v
+        |), byl AS (
+        |  SELECT label, COUNT(*) AS n_vecs,
+        |    ROUND(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_norm
+        |  FROM norms GROUP BY label
+        |), perdim AS (
+        |  SELECT label, i, SUM(CAST(e[i] AS DECIMAL(18,9))) AS sx, COUNT(*) AS cnt
+        |  FROM v, unnest(generate_series(1, 64)) AS t(i)
+        |  GROUP BY label, i
+        |), cen AS (
+        |  SELECT label, ROUND(sqrt(CAST(SUM(sx * sx) AS DOUBLE)) / MAX(cnt), 6) AS centroid_norm
+        |  FROM perdim GROUP BY label
+        |)
+        |SELECT byl.label AS label, n_vecs, avg_norm, centroid_norm
+        |FROM byl JOIN cen ON byl.label = cen.label ORDER BY byl.label""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT word) AS n_distinct,
+        |  ROUND(CAST(SUM(CAST(LENGTH(word) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_len
+        |FROM (
+        |  SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents
+        |) WHERE word <> '' AND word NOT IN ('the', 'a')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_text_tfidf" ->
+      """WITH words AS (
+        |  SELECT doc_id, source, unnest(string_split(lower(trim(text)), ' ')) AS word
+        |  FROM documents
+        |), w2 AS (SELECT * FROM words WHERE word <> ''),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w2 GROUP BY word),
+        |tf AS (SELECT source, word, COUNT(*) AS tf FROM w2 GROUP BY source, word),
+        |scored AS (
+        |  SELECT tf.source, tf.word, tf.tf, dfreq.df,
+        |    ROUND(tf.tf * (LN((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS score
+        |  FROM tf JOIN dfreq ON tf.word = dfreq.word CROSS JOIN n
+        |), ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, word) AS rnk
+        |  FROM scored
+        |)
+        |SELECT source, word, tf, df, score, rnk FROM ranked WHERE rnk <= 5
+        |ORDER BY source, rnk""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id, lang, n_chars,
+        |  len(w) AS n_words,
+        |  ROUND(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6) AS distinct_ratio,
+        |  (n_chars BETWEEN 100 AND 450 AND lang IN ('en','es','de','fr') AND len(w) >= 20) AS passed
+        |FROM (SELECT doc_id, lang, n_chars, string_split(lower(trim(text)), ' ') AS w FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_langid" ->
+      """WITH bigrams AS (
+        |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, length(t) - 1),
+        |    i -> substring(t, i, 2))) AS bg
+        |  FROM (SELECT doc_id, lang, lower(trim(text)) AS t FROM documents)
+        |), model AS (
+        |  SELECT lang AS m_lang, bg, COUNT(*) AS cnt FROM bigrams GROUP BY lang, bg
+        |), totals AS (
+        |  SELECT m_lang, SUM(cnt) AS tot FROM model GROUP BY m_lang
+        |), scored AS (
+        |  SELECT b.doc_id, b.lang, t.m_lang,
+        |    SUM(CAST(LN((COALESCE(m.cnt, 0) + 1.0) / (t.tot + 4096.0)) AS DECIMAL(18,9))) AS score
+        |  FROM bigrams b
+        |  CROSS JOIN totals t
+        |  LEFT JOIN model m ON m.m_lang = t.m_lang AND m.bg = b.bg
+        |  GROUP BY b.doc_id, b.lang, t.m_lang
+        |), best AS (
+        |  SELECT doc_id, lang, m_lang,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, m_lang) AS rnk
+        |  FROM scored
+        |)
+        |SELECT lang, m_lang AS predicted, COUNT(*) AS n FROM best WHERE rnk = 1
+        |GROUP BY lang, m_lang ORDER BY lang, predicted""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_jaccard" -> (qDedupJaccard _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_embed" -> (qDedupEmbed _),
+    "q_sim_topk_cosine" -> (qSimTopkCosine _),
+    "q_sim_lsh_ann" -> (qSimLshAnn _),
+    "q_emb_norm_ops" -> (qEmbNormOps _),
+    "q_text_tokens" -> (qTextTokens _),
+    "q_text_tfidf" -> (qTextTfidf _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_text_langid" -> (qTextLangid _),
+    "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_mm_features" -> (qMmFeatures _)
+  )
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.LlmData
+
+/** Grades the non-oracle LLM-data operators (§2.8) against their exact
+  * counterparts and checks partition-layout determinism.
+  */
+class LlmDataSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("minhash-LSH near-dup pairs: precision 1.0, recall >= 0.9 vs exact jaccard") {
+    val exact = LlmData.qDedupJaccard(spark, dir).select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = LlmData.qDedupMinhash(spark, dir).select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(approx.subsetOf(exact), s"false positives: ${approx.diff(exact)}")
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall below 0.9 (found ${approx.size}/${exact.size})")
+  }
+
+  test("simhash: near-identical docs collide, pairs deterministic under repartitioning") {
+    val p1 = LlmData.qDedupSimhash(spark, dir).collect().toSeq
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    val p2 = try LlmData.qDedupSimhash(spark, dir).collect().toSeq
+    finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    assert(p1 == p2, "simhash pairs changed under different partitioning")
+    // planted near-dups (jaccard >= 0.3) should mostly collide in simhash space
+    val exact = LlmData.qDedupJaccard(spark, dir)
+      .filter("jac >= 0.8").select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = p1.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = exact.count(sim.contains)
+    assert(exact.isEmpty || hit.toDouble / exact.size >= 0.8,
+      s"simhash found $hit of ${exact.size} strong near-dups")
+  }
+
+  test("LSH ANN: recall >= 0.5 of brute-force top-10 neighbors") {
+    val exact = LlmData.qSimTopkCosine(spark, dir)
+      .select("probe_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = LlmData.qSimLshAnn(spark, dir)
+      .select("probe_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"ANN recall $recall vs brute force")
+  }
+
+  test("fingerprints stable across partition layouts and runs") {
+    val a = LlmData.qTextFingerprint(spark, dir).collect().toSeq
+    val b = LlmData.qTextFingerprint(spark, dir).collect().toSeq
+    assert(a == b)
+    assert(a.map(_.getLong(0)).distinct.size == a.size, "one fingerprint row per doc")
+  }
+
+  test("multimodal feature plumbing: one fixed-width feature row per doc") {
+    val rows = LlmData.qMmFeatures(spark, dir).collect()
+    assert(rows.length == 500)
+    assert(rows.forall(_.getSeq[Double](3).length == 4))
+    // deterministic: same doc, same features
+    val again = LlmData.qMmFeatures(spark, dir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+}
