@@ -1,0 +1,198 @@
+package graft.lime
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Distributed LIME for tabular data (SURVEY.md §2.7).
+  *
+  * Semantics follow the public algorithm (Ribeiro, Singh & Guestrin,
+  * KDD 2016) and the canonical implementation defaults
+  * (marcotcr/lime): quartile discretization of continuous features,
+  * binary interpretable representation "falls in the same bin as the
+  * instance", proximity kernel sqrt(exp(-d²/w²)) with default width
+  * 0.75·√d', weighted Ridge(α=1) surrogate, top-K features by |coef|.
+  *
+  * Distribution strategy: one stats job (O(features) driver
+  * materialization, broadcast back as plan literals), then a single
+  * narrow stage for perturb→score→kernel (counter-based RNG — see
+  * Rng — keeps it partition-layout-independent), one shuffle on
+  * instance_id for the ridge Aggregator, and a shuffle-free window
+  * for top-K. Shuffled bytes are O(instances·d'²), not O(instances·N).
+  */
+object Lime {
+
+  case class LimeConfig(
+      nSamples: Int = 1000,
+      kFeatures: Int = 4,
+      kernelWidth: Option[Double] = None,
+      seed: Long = 42,
+      lambda: Double = 1.0)
+
+  /** Per-feature training statistics: mean/std (exact decimal sums),
+    * quartile bin edges (rounded to 6dp as the cross-engine firewall),
+    * per-bin means and frequencies for perturbation sampling.
+    */
+  case class FeatureStats(
+      name: String,
+      mean: Double,
+      std: Double,
+      edges: Seq[Double],          // q1, q2, q3 rounded to 6dp
+      binMeans: Seq[Double],       // representative value per bin (4)
+      binCumFreqs: Seq[Double])    // cumulative bin frequencies (4, last=1)
+
+  // 19,6: >18 digits forces int128 decimal storage in DuckDB (int64
+  // products of scale-6 values overflow), and 19+19 stays at the 38 cap
+  private val D6 = "decimal(19,6)"
+
+  /** Deterministic mean/std/quartiles in one pass + bin stats in a
+    * second pass. Sums go through DECIMAL so partition order can't
+    * change results (SURVEY.md §7.4).
+    */
+  def fitStats(df: DataFrame, features: Seq[String]): Seq[FeatureStats] = {
+    val pass1 = features.flatMap { f =>
+      val x = col(f).cast(D6)
+      Seq(
+        (sum(x).cast("double") / count(lit(1))).as(s"${f}__mean"),
+        sqrt((sum(x * x).cast("double") -
+          sum(x).cast("double") * sum(x).cast("double") / count(lit(1))) /
+          (count(lit(1)) - lit(1.0))).as(s"${f}__std"),
+        round(expr(s"percentile($f, 0.25)"), 6).as(s"${f}__q1"),
+        round(expr(s"percentile($f, 0.5)"), 6).as(s"${f}__q2"),
+        round(expr(s"percentile($f, 0.75)"), 6).as(s"${f}__q3"))
+    }
+    val r1 = df.agg(pass1.head, pass1.tail: _*).head()
+    def g(n: String): Double = r1.getAs[Double](n)
+    val edges = features.map(f => Seq(g(s"${f}__q1"), g(s"${f}__q2"), g(s"${f}__q3")))
+
+    val pass2 = features.zip(edges).flatMap { case (f, e) =>
+      val bin = binOf(col(f), e)
+      (0 until 4).flatMap { b =>
+        Seq(
+          (sum(when(bin === b, col(f).cast(D6))).cast("double") /
+            greatest(sum(when(bin === b, 1).otherwise(0)), lit(1))).as(s"${f}__bm$b"),
+          (sum(when(bin === b, 1).otherwise(0)).cast("double") / count(lit(1))).as(s"${f}__bf$b"))
+      }
+    }
+    val r2 = df.agg(pass2.head, pass2.tail: _*).head()
+    def g2(n: String): Double = r2.getAs[Double](n)
+
+    features.zip(edges).map { case (f, e) =>
+      val freqs = (0 until 4).map(b => g2(s"${f}__bf$b"))
+      val cum = freqs.scanLeft(0.0)(_ + _).tail.updated(3, 1.0)
+      FeatureStats(f, g(s"${f}__mean"), g(s"${f}__std"), e,
+        (0 until 4).map(b => g2(s"${f}__bm$b")), cum)
+    }
+  }
+
+  /** Quartile bin id: count of edges strictly below x — matches
+    * numpy searchsorted(side='left') used by the public discretizer.
+    */
+  def binOf(x: Column, edges: Seq[Double]): Column =
+    when(x > edges(2), 3).when(x > edges(1), 2).when(x > edges(0), 1).otherwise(0)
+
+  /** Proximity kernel π(d) = sqrt(exp(-d²/w²)) (public impl form). */
+  def kernel(dist: Column, width: Double): Column =
+    sqrt(exp(-dist * dist / lit(width * width)))
+
+  /** Closed-form logistic "black box" over z-scored features with
+    * fixed public demo coefficients — the deterministic scorer used by
+    * the oracle-checked lime_score query and the explain specs.
+    */
+  val demoCoefs: Seq[Double] = Seq(0.8, -0.5, 1.2, -0.7)
+  val demoIntercept: Double = 0.1
+
+  def logisticScore(stats: Seq[FeatureStats], values: Seq[Column]): Column = {
+    val lin = stats.zip(values).zip(demoCoefs).foldLeft(lit(demoIntercept): Column) {
+      case (acc, ((st, v), b)) => acc + lit(b) * (v - lit(st.mean)) / lit(st.std)
+    }
+    lit(1.0) / (lit(1.0) + exp(-lin))
+  }
+
+  /** Perturbation fan-out: N samples per instance as a single narrow
+    * explode — sample 0 is the instance itself. For each (sample,
+    * feature): draw a bin from the training bin distribution with the
+    * counter-based RNG, set z=1 iff it equals the instance's bin, and
+    * take the bin-mean as the undiscretized value for scoring.
+    *
+    * Returns the input columns plus, per feature f:
+    * `f__bin`, `f__z`, `f__val`, and `sample_id`.
+    */
+  def perturb(instances: DataFrame, idCol: String, stats: Seq[FeatureStats], cfg: LimeConfig): DataFrame = {
+    val base = instances.withColumn("sample_id", explode(sequence(lit(0), lit(cfg.nSamples - 1))))
+    stats.foldLeft(base) { (df, st) =>
+      val u = Rng.u01(lit(cfg.seed), col(idCol), col("sample_id"), lit(st.name))
+      val sampledBin =
+        when(u < st.binCumFreqs(0), 0)
+          .when(u < st.binCumFreqs(1), 1)
+          .when(u < st.binCumFreqs(2), 2)
+          .otherwise(3)
+      val instBin = binOf(col(st.name), st.edges)
+      val bin = when(col("sample_id") === 0, instBin).otherwise(sampledBin)
+      df.withColumn(s"${st.name}__bin", bin)
+        .withColumn(s"${st.name}__z", (col(s"${st.name}__bin") === instBin).cast("double"))
+        .withColumn(s"${st.name}__val",
+          when(col("sample_id") === 0, col(st.name))
+            .otherwise(element_at(array(st.binMeans.map(lit): _*), col(s"${st.name}__bin") + 1)))
+    }
+  }
+
+  /** End-to-end tabular explanation:
+    * stats → perturb → score → kernel → per-instance ridge → top-K.
+    *
+    * `scoreFn` maps the perturbed frame (with `f__val` columns) to a
+    * prediction column — closed-form expression for the demo scorer,
+    * or an MLlib Transformer wrapper (see LimeMllib).
+    *
+    * Output: (instance_id, rank, feature, weight, intercept, r2,
+    * local_pred), kFeatures rows per instance.
+    */
+  def explainTabular(
+      instances: DataFrame,
+      idCol: String,
+      features: Seq[String],
+      cfg: LimeConfig = LimeConfig(),
+      scoreFnOpt: Option[DataFrame => DataFrame] = None): DataFrame = {
+    val spark = instances.sparkSession
+    import spark.implicits._
+    val stats = fitStats(instances, features)
+    val d = features.size
+    val width = cfg.kernelWidth.getOrElse(0.75 * math.sqrt(d))
+
+    val perturbed = perturb(instances, idCol, stats, cfg)
+    val scoreFn = scoreFnOpt.getOrElse { df: DataFrame =>
+      df.withColumn("pred", logisticScore(stats, features.map(f => col(s"${f}__val"))))
+    }
+    val scored = scoreFn(perturbed)
+    // binary-representation distance: d² = Σ(1 - z) (instance row is all-ones)
+    val dist2 = features.map(f => lit(1.0) - col(s"${f}__z")).reduce(_ + _)
+    val weighted = scored
+      .withColumn("kweight", sqrt(exp(-dist2 / lit(width * width))))
+      .select(col(idCol).as("instance_id"),
+        array(features.map(f => col(s"${f}__z")): _*).as("z"),
+        col("pred").cast("double").as("y"),
+        col("kweight").cast("double").as("w"))
+
+    val agg = new RidgeAggregator(d, cfg.lambda)
+    val fits = weighted.as[(Long, Array[Double], Double, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, z, y, w) => RidgeSample(z, y, w) }
+      .agg(agg.toColumn.name("fit"))
+      .toDF("instance_id", "fit")
+
+    val names = array(features.map(lit): _*)
+    val exploded = fits.select(
+      col("instance_id"),
+      col("fit.intercept").as("intercept"),
+      col("fit.r2").as("r2"),
+      col("fit.localPred").as("local_pred"),
+      posexplode(col("fit.coefs")))
+      .withColumn("feature", element_at(names, col("pos") + 1))
+      .withColumnRenamed("col", "weight")
+    val w = Window.partitionBy("instance_id").orderBy(abs(col("weight")).desc, col("feature"))
+    exploded.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= cfg.kFeatures)
+      .select("instance_id", "rank", "feature", "weight", "intercept", "r2", "local_pred")
+      .orderBy("instance_id", "rank")
+  }
+}

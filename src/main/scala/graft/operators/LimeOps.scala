@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.lime.{Lime, LimeText, SpLime}
+import graft.lime.Lime.LimeConfig
+
+/** LIME query-contract wiring (SURVEY.md §2.7).
+  *
+  * The SQL-expressible prefix (stats fit, discretize, closed-form
+  * score, kernel on deterministic distances) is oracle-checked; the
+  * RNG/linear-algebra stages (perturb, ridge, explain, SP-LIME) are
+  * declared without oracle entries — allowed per the driver contract —
+  * and graded by LimeSpec property tests instead.
+  */
+object LimeOps {
+
+  val limeFeatures: Seq[String] = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Deterministic long instance id for lineitem rows. */
+  private def withId(df: DataFrame): DataFrame =
+    df.withColumn("instance_id", col("l_orderkey") * 10 + col("l_linenumber"))
+
+  private def instances(s: SparkSession, dir: String, maxOrderkey: Int): DataFrame =
+    withId(lineitem(s, dir).filter(col("l_orderkey") <= maxOrderkey))
+      .select((Seq("instance_id") ++ limeFeatures).map(col): _*)
+
+  // ===== oracle-checked prefix =====
+
+  def limeStatsFit(s: SparkSession, dir: String): DataFrame = {
+    val stats = Lime.fitStats(lineitem(s, dir), limeFeatures)
+    val session = s
+    import session.implicits._
+    stats.map(st => (st.name,
+        math.rint(st.mean * 1e6) / 1e6, math.rint(st.std * 1e6) / 1e6,
+        st.edges(0), st.edges(1), st.edges(2)))
+      .toDF("feature", "mean", "std", "q1", "q2", "q3")
+      .orderBy("feature")
+  }
+
+  def limeDiscretize(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+    val stats = Lime.fitStats(li, limeFeatures)
+    stats.foldLeft(withId(li)) { (df, st) =>
+      df.withColumn(s"${st.name}_bin", Lime.binOf(col(st.name), st.edges))
+    }
+      .select((Seq("instance_id") ++ limeFeatures.map(_ + "_bin")).map(col): _*)
+      .orderBy("instance_id")
+  }
+
+  def limeScore(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+    val stats = Lime.fitStats(li, limeFeatures)
+    withId(li)
+      .withColumn("pred", round(Lime.logisticScore(stats, limeFeatures.map(col)), 6))
+      .select("instance_id", "pred")
+      .orderBy("instance_id")
+  }
+
+  def limeKernel(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probes = emb.filter(col("vec_id") < 5).select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val d2 = aggregate(zip_with(col("pv"), col("v"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    broadcast(probes).join(emb, col("probe_id") =!= col("vec_id"))
+      .withColumn("dist", round(sqrt(d2), 6))
+      .withColumn("kweight", round(sqrt(exp(-d2 / lit(36.0))), 6)) // w = 0.75·√64 = 6
+      .select("probe_id", "vec_id", "dist", "kweight")
+      .orderBy("probe_id", "vec_id")
+  }
+
+  // ===== RNG / linear-algebra stages (no oracle; spec-graded) =====
+
+  def limePerturb(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+    val stats = Lime.fitStats(li, limeFeatures)
+    val inst = instances(s, dir, 2)
+    Lime.perturb(inst, "instance_id", stats, LimeConfig(nSamples = 8))
+      .select((Seq("instance_id", "sample_id") ++
+        limeFeatures.flatMap(f => Seq(s"${f}__bin", s"${f}__z", s"${f}__val"))).map(col): _*)
+      .orderBy("instance_id", "sample_id")
+  }
+
+  def limeFitRidge(s: SparkSession, dir: String): DataFrame =
+    Lime.explainTabular(instances(s, dir, 20), "instance_id", limeFeatures,
+      LimeConfig(nSamples = 256, kFeatures = 4))
+
+  def limeSelectTopk(s: SparkSession, dir: String): DataFrame =
+    Lime.explainTabular(instances(s, dir, 20), "instance_id", limeFeatures,
+      LimeConfig(nSamples = 256, kFeatures = 2))
+
+  def limeExplainTabular(s: SparkSession, dir: String): DataFrame =
+    Lime.explainTabular(instances(s, dir, 10), "instance_id", limeFeatures,
+      LimeConfig(nSamples = 512, kFeatures = 4))
+
+  def limeExplainText(s: SparkSession, dir: String): DataFrame =
+    LimeText.explainText(documents(s, dir).filter(col("doc_id") < 5), "doc_id", "text",
+      LimeConfig(nSamples = 64, kFeatures = 10, kernelWidth = Some(25.0)))
+
+  def spLimePick(s: SparkSession, dir: String): DataFrame = {
+    val expl = Lime.explainTabular(instances(s, dir, 10), "instance_id", limeFeatures,
+      LimeConfig(nSamples = 256, kFeatures = 4))
+    val picked = SpLime.pick(expl, b = 3)
+    val session = s
+    import session.implicits._
+    picked.toDF("round", "instance_id", "gain")
+      .withColumn("gain", round(col("gain"), 6))
+      .orderBy("round")
+  }
+
+  // ===== oracle SQL =====
+
+  private def statsCte = {
+    def one(f: String) =
+      s"""SELECT '$f' AS feature,
+         |  ROUND(CAST(SUM(CAST($f AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*), 6) AS mean,
+         |  ROUND(SQRT((CAST(SUM(CAST($f AS DECIMAL(19,6)) * CAST($f AS DECIMAL(19,6))) AS DOUBLE)
+         |    - CAST(SUM(CAST($f AS DECIMAL(19,6))) AS DOUBLE) * CAST(SUM(CAST($f AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*))
+         |    / (COUNT(*) - 1.0)), 6) AS std,
+         |  ROUND(quantile_cont($f, 0.25), 6) AS q1,
+         |  ROUND(quantile_cont($f, 0.5), 6) AS q2,
+         |  ROUND(quantile_cont($f, 0.75), 6) AS q3
+         |FROM lineitem""".stripMargin
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(one).mkString("\nUNION ALL\n")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "lime_stats_fit" -> s"SELECT * FROM (\n$statsCte\n) ORDER BY feature",
+    "lime_discretize" ->
+      """WITH q AS (
+        |  SELECT ROUND(quantile_cont(l_quantity, 0.25), 6) AS qq1, ROUND(quantile_cont(l_quantity, 0.5), 6) AS qq2, ROUND(quantile_cont(l_quantity, 0.75), 6) AS qq3,
+        |         ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS eq1, ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS eq2, ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS eq3,
+        |         ROUND(quantile_cont(l_discount, 0.25), 6) AS dq1, ROUND(quantile_cont(l_discount, 0.5), 6) AS dq2, ROUND(quantile_cont(l_discount, 0.75), 6) AS dq3,
+        |         ROUND(quantile_cont(l_tax, 0.25), 6) AS tq1, ROUND(quantile_cont(l_tax, 0.5), 6) AS tq2, ROUND(quantile_cont(l_tax, 0.75), 6) AS tq3
+        |  FROM lineitem
+        |)
+        |SELECT l_orderkey * 10 + l_linenumber AS instance_id,
+        |  CASE WHEN l_quantity > qq3 THEN 3 WHEN l_quantity > qq2 THEN 2 WHEN l_quantity > qq1 THEN 1 ELSE 0 END AS l_quantity_bin,
+        |  CASE WHEN l_extendedprice > eq3 THEN 3 WHEN l_extendedprice > eq2 THEN 2 WHEN l_extendedprice > eq1 THEN 1 ELSE 0 END AS l_extendedprice_bin,
+        |  CASE WHEN l_discount > dq3 THEN 3 WHEN l_discount > dq2 THEN 2 WHEN l_discount > dq1 THEN 1 ELSE 0 END AS l_discount_bin,
+        |  CASE WHEN l_tax > tq3 THEN 3 WHEN l_tax > tq2 THEN 2 WHEN l_tax > tq1 THEN 1 ELSE 0 END AS l_tax_bin
+        |FROM lineitem, q ORDER BY instance_id""".stripMargin,
+    "lime_score" ->
+      """WITH st AS (
+        |  SELECT
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*) AS mq,
+        |    SQRT((CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) - CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1.0)) AS sq,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*) AS me,
+        |    SQRT((CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) - CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1.0)) AS se,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*) AS md,
+        |    SQRT((CAST(SUM(CAST(l_discount AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) - CAST(SUM(CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) * CAST(SUM(CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1.0)) AS sd,
+        |    CAST(SUM(CAST(l_tax AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*) AS mt,
+        |    SQRT((CAST(SUM(CAST(l_tax AS DECIMAL(19,6)) * CAST(l_tax AS DECIMAL(19,6))) AS DOUBLE) - CAST(SUM(CAST(l_tax AS DECIMAL(19,6))) AS DOUBLE) * CAST(SUM(CAST(l_tax AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1.0)) AS st_
+        |  FROM lineitem
+        |)
+        |SELECT l_orderkey * 10 + l_linenumber AS instance_id,
+        |  ROUND(1.0 / (1.0 + EXP(-(0.1 + 0.8 * (l_quantity - mq) / sq + -0.5 * (l_extendedprice - me) / se + 1.2 * (l_discount - md) / sd + -0.7 * (l_tax - mt) / st_))), 6) AS pred
+        |FROM lineitem, st ORDER BY instance_id""".stripMargin,
+    "lime_kernel" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT p.vec_id AS probe_id, b.vec_id AS vec_id,
+        |  ROUND(SQRT(list_sum(list_transform(generate_series(1, 64), i -> (p.e[i] - b.e[i]) * (p.e[i] - b.e[i])))), 6) AS dist,
+        |  ROUND(SQRT(EXP(-list_sum(list_transform(generate_series(1, 64), i -> (p.e[i] - b.e[i]) * (p.e[i] - b.e[i]))) / 36.0)), 6) AS kweight
+        |FROM v p JOIN v b ON p.vec_id < 5 AND b.vec_id <> p.vec_id
+        |ORDER BY probe_id, b.vec_id""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lime_stats_fit" -> (limeStatsFit _),
+    "lime_discretize" -> (limeDiscretize _),
+    "lime_score" -> (limeScore _),
+    "lime_kernel" -> (limeKernel _),
+    "lime_perturb" -> (limePerturb _),
+    "lime_fit_ridge" -> (limeFitRidge _),
+    "lime_select_topk" -> (limeSelectTopk _),
+    "lime_explain_tabular" -> (limeExplainTabular _),
+    "lime_explain_text" -> (limeExplainText _),
+    "sp_lime_pick" -> (spLimePick _)
+  )
+}

@@ -1,0 +1,116 @@
+package graft
+
+import graft.lime._
+import graft.lime.Lime.LimeConfig
+import graft.operators.LimeOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.functions.vector_to_array
+
+class LimeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ridge aggregator recovers a known linear function") {
+    val agg = new RidgeAggregator(2, 1.0)
+    var buf = agg.zero
+    // y = 1 + 2*z1 - 3*z2 on all 4 corners, many times, weight 1
+    val corners = Seq((0.0, 0.0), (0.0, 1.0), (1.0, 0.0), (1.0, 1.0))
+    for (_ <- 1 to 500; (z1, z2) <- corners)
+      buf = agg.reduce(buf, RidgeSample(Array(z1, z2), 1.0 + 2.0 * z1 - 3.0 * z2, 1.0))
+    val fit = agg.finish(buf)
+    assert(math.abs(fit.coefs(0) - 2.0) < 0.02, s"coef1 ${fit.coefs(0)}")
+    assert(math.abs(fit.coefs(1) + 3.0) < 0.02, s"coef2 ${fit.coefs(1)}")
+    assert(math.abs(fit.intercept - 1.0) < 0.02, s"intercept ${fit.intercept}")
+    assert(fit.r2 > 0.999, s"r2 ${fit.r2}")
+    assert(math.abs(fit.localPred - (1.0 + 2.0 - 3.0)) < 0.05)
+  }
+
+  test("ridge aggregator survives collinear features (jitter fallback)") {
+    val agg = new RidgeAggregator(2, 0.0) // λ=0 exposes the singularity
+    var buf = agg.zero
+    for (i <- 1 to 100) {
+      val z = if (i % 2 == 0) 1.0 else 0.0
+      buf = agg.reduce(buf, RidgeSample(Array(z, z), z * 5.0, 1.0)) // z1 == z2
+    }
+    val fit = agg.finish(buf)
+    assert(!fit.coefs.exists(_.isNaN) && !fit.intercept.isNaN)
+  }
+
+  test("counter-based RNG: partition-layout independent, sane gaussian moments") {
+    val s = spark
+    import s.implicits._
+    def draws(parts: Int) =
+      s.range(0, 2000).repartition(parts)
+        .withColumn("g", Rng.gaussian(lit(42L), col("id"), lit(0)))
+        .select("id", "g").as[(Long, Double)].collect().toMap
+    val a = draws(2)
+    val b = draws(13)
+    assert(a == b, "gaussian draws depend on partitioning")
+    val vals = a.values.toSeq
+    val mean = vals.sum / vals.size
+    val std = math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / (vals.size - 1))
+    assert(math.abs(mean) < 0.05, s"mean $mean")
+    assert(math.abs(std - 1.0) < 0.05, s"std $std")
+    // kernel properties: π(0)=1, π ∈ (0,1]
+    val k = s.range(0, 100).select(Lime.kernel(col("id").cast("double") / 10.0, 6.0).as("k"))
+      .as[Double].collect()
+    assert(math.abs(k(0) - 1.0) < 1e-12 && k.forall(x => x > 0 && x <= 1.0))
+  }
+
+  test("explainTabular: deterministic across runs, sensible surrogate") {
+    val run1 = LimeOps.limeExplainTabular(spark, dir).collect()
+    val run2 = LimeOps.limeExplainTabular(spark, dir).collect()
+    assert(run1.length == run2.length && run1.length > 0)
+    run1.zip(run2).foreach { case (r1, r2) =>
+      assert(r1.getLong(0) == r2.getLong(0) && r1.getString(2) == r2.getString(2))
+      assert(math.abs(r1.getDouble(3) - r2.getDouble(3)) < 1e-9, "weights drifted")
+    }
+    // the surrogate should fit the smooth logistic well locally
+    val r2s = run1.map(_.getDouble(5))
+    assert(r2s.forall(v => v <= 1.0 + 1e-9), "r2 > 1")
+  }
+
+  test("explainTabular with an MLlib black box (transform scorer)") {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.VectorAssembler
+    val s = spark
+    val feats = LimeOps.limeFeatures
+    val li = Tables.lineitem(s, dir).limit(2000)
+      .withColumn("instance_id", col("l_orderkey") * 10 + col("l_linenumber"))
+      .withColumn("label", (col("l_discount") > 0.05).cast("double"))
+    val asm = new VectorAssembler().setInputCols(feats.toArray).setOutputCol("features")
+    val model = new LogisticRegression().setMaxIter(20).fit(asm.transform(li))
+    val scoreFn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = { df =>
+      val renamed = feats.foldLeft(df)((d, f) => d.withColumn(s"${f}__orig", col(f)).withColumn(f, col(s"${f}__val")))
+      val scored = model.transform(new VectorAssembler().setInputCols(feats.toArray).setOutputCol("features").transform(renamed))
+      feats.foldLeft(scored.withColumn("pred", element_at(vector_to_array(col("probability")), 2)))(
+        (d, f) => d.withColumn(f, col(s"${f}__orig")))
+        .drop("features", "rawPrediction", "probability", "prediction")
+    }
+    val expl = Lime.explainTabular(
+      li.filter(col("l_orderkey") <= 5).select((Seq("instance_id") ++ feats).map(col): _*),
+      "instance_id", feats, LimeConfig(nSamples = 256, kFeatures = 4), Some(scoreFn))
+      .collect()
+    assert(expl.nonEmpty)
+    // the model's dominant signal is l_discount; it should usually rank first
+    val topFeatures = expl.filter(_.getInt(1) == 1).map(_.getString(2))
+    assert(topFeatures.count(_ == "l_discount") * 2 > topFeatures.length,
+      s"l_discount should dominate: ${topFeatures.mkString(",")}")
+  }
+
+  test("explainText: deterministic, word weights align with hash-sign scorer") {
+    val e1 = LimeOps.limeExplainText(spark, dir).collect()
+    val e2 = LimeOps.limeExplainText(spark, dir).collect()
+    assert(e1.length == e2.length && e1.nonEmpty)
+    e1.zip(e2).foreach { case (a, b) => assert(a.getString(2) == b.getString(2)) }
+  }
+
+  test("SP-LIME picks distinct instances with non-increasing gains") {
+    val picked = LimeOps.spLimePick(spark, dir).collect()
+    assert(picked.length == 3)
+    val ids = picked.map(_.getLong(1))
+    assert(ids.distinct.length == ids.length)
+    val gains = picked.map(_.getDouble(2))
+    assert(gains.zip(gains.tail).forall { case (a, b) => a >= b - 1e-9 })
+  }
+}
