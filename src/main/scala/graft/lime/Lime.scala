@@ -50,6 +50,13 @@ object Lime {
     * change results (SURVEY.md §7.4).
     */
   def fitStats(df: DataFrame, features: Seq[String]): Seq[FeatureStats] = {
+    // One percentile buffer per feature (array form), not one per
+    // quantile — each percentile expression keeps its own value→count
+    // map, so 3 separate calls tripled the aggregation state. Rounding
+    // moves to the driver with the same HALF_UP rule Spark's round()
+    // applies to doubles.
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val pass1 = features.flatMap { f =>
       val x = col(f).cast(D6)
       Seq(
@@ -57,13 +64,11 @@ object Lime {
         sqrt((sum(x * x).cast("double") -
           sum(x).cast("double") * sum(x).cast("double") / count(lit(1))) /
           (count(lit(1)) - lit(1.0))).as(s"${f}__std"),
-        round(expr(s"percentile($f, 0.25)"), 6).as(s"${f}__q1"),
-        round(expr(s"percentile($f, 0.5)"), 6).as(s"${f}__q2"),
-        round(expr(s"percentile($f, 0.75)"), 6).as(s"${f}__q3"))
+        expr(s"percentile($f, array(0.25, 0.5, 0.75))").as(s"${f}__q"))
     }
     val r1 = df.agg(pass1.head, pass1.tail: _*).head()
     def g(n: String): Double = r1.getAs[Double](n)
-    val edges = features.map(f => Seq(g(s"${f}__q1"), g(s"${f}__q2"), g(s"${f}__q3")))
+    val edges = features.map(f => r1.getAs[scala.collection.Seq[Double]](s"${f}__q").toVector.map(r6))
 
     val pass2 = features.zip(edges).flatMap { case (f, e) =>
       val bin = binOf(col(f), e)

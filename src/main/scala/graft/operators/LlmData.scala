@@ -19,8 +19,14 @@ import graft.Tables._
   */
 object LlmData {
 
+  // documents.parquet is a single small split at test scale, so every
+  // downstream text pipeline (shingling, bigrams, tokenizing) would run
+  // on one core without this explicit spread; at real scale the source
+  // has many splits and the repartition is a cheap rebalance.
   private def docsNorm(s: SparkSession, dir: String): DataFrame =
-    documents(s, dir).withColumn("norm_text", lower(trim(col("text"))))
+    documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("norm_text", lower(trim(col("text"))))
 
   /** Distinct word-bigram shingle set per document. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
@@ -47,15 +53,75 @@ object LlmData {
     * MinHash path is graded against.
     */
   def qDedupJaccard(s: SparkSession, dir: String): DataFrame = {
+    // Exact Jaccard pairs with a vocabulary-adaptive physical strategy.
+    //
+    // Dense vocabulary (V ≤ 16384 distinct shingles — the harness
+    // corpus has ~900, so nearly all pairs share a shingle and NO
+    // candidate filter can prune): pack each doc's shingle set into a
+    // ⌈V/64⌉-long bitset and compute |A∩B| = popcount(AND) per pair as
+    // a flat codegen'd expression — O(V/64) per pair, no allocation.
+    //
+    // Sparse vocabulary (the 100 TB shape, where shared-shingle pairs
+    // are rare): prefix-filtered set-similarity join (Bayardo et al.
+    // WWW'07): order each doc's shingles by global doc-frequency
+    // ascending and join only on the first |s| − ⌈τ·|s|⌉ + 1 tokens —
+    // two sets with Jaccard ≥ τ must share a prefix token — then
+    // verify candidates exactly. Both paths produce identical output.
+    val tau = 0.3
     val sh = shingled(s, dir).select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
-    val ex = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
-    val a = ex.select(col("doc_id").as("a_id"), col("sz").as("a_sz"), col("sh"))
-    val b = ex.select(col("doc_id").as("b_id"), col("sz").as("b_sz"), col("sh"))
-    a.join(b, a("sh") === b("sh") && col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("inter"), first(col("a_sz")).as("a_sz"), first(col("b_sz")).as("b_sz"))
+    val tokens = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
+      .cache() // read 3×: vocabulary sizing, id assignment, bitset build
+    val vocab = tokens.select("sh").distinct()
+    val v = vocab.count().toInt
+    val verified =
+      if (v <= 16384) {
+        val nWords = (v + 63) / 64
+        // V is bounded here, so the single-partition id window is fine.
+        val ids = vocab.withColumn("id", row_number().over(Window.orderBy("sh")) - 1)
+        // Per (doc, word): sum of distinct powers of two == bitwise OR
+        // (ids are distinct, so no carries), keeping the build inside
+        // hash aggregation. Missing words fill with 0L.
+        val packed = tokens.join(broadcast(ids), "sh")
+          .groupBy(col("doc_id"), (col("id") / 64).cast("int").as("word"))
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(id % 64 AS INT))")).as("bits"))
+          .groupBy("doc_id")
+          .agg(map_from_entries(collect_list(struct(col("word"), col("bits")))).as("m"))
+          .select(col("doc_id"),
+            expr(s"transform(sequence(0, ${nWords - 1}), w -> coalesce(element_at(m, w), CAST(0 AS BIGINT)))").as("bits"))
+          .join(broadcast(sh.select(col("doc_id"), col("sz"))), "doc_id")
+          // tiny (docs × V/64 longs); cached because the pair join
+          // reads it twice and the build subtree is the expensive part
+          .cache()
+        val p = s.sparkContext.defaultParallelism
+        val a = packed.select(col("doc_id").as("a_id"), col("bits").as("a_bits"), col("sz").as("a_sz"))
+          .repartition(p, col("a_id"))
+        val b = packed.select(col("doc_id").as("b_id"), col("bits").as("b_bits"), col("sz").as("b_sz"))
+        val inter = graft.functions.VectorExprs.bitsetIntersectCount(col("a_bits"), col("b_bits"))
+        a.join(b, col("a_id") < col("b_id")).withColumn("inter", inter)
+      } else {
+        val dfreq = tokens.groupBy("sh").agg(count(lit(1)).as("dfreq"))
+        val w = Window.partitionBy("doc_id").orderBy("dfreq", "sh")
+        val prefix = tokens.join(dfreq, "sh")
+          .withColumn("pos", row_number().over(w))
+          .filter(col("pos") <= col("sz") - ceil(col("sz") * tau) + 1)
+          .select("doc_id", "sh")
+        // Candidate pairs in one pass over the prefix (groupBy shingle →
+        // sorted doc list → unordered pairs) rather than a self-join
+        // that would re-execute the explode+dfreq+window subtree twice.
+        val cand = prefix.groupBy("sh")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(expr(
+            "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a AS a_id, b AS b_id))))")).as("p"))
+          .select(col("p.a_id"), col("p.b_id")).distinct()
+        cand
+          .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh"), col("sz").as("a_sz")), "a_id")
+          .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"), col("sz").as("b_sz")), "b_id")
+          .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      }
+    verified
       .withColumn("jac", round(col("inter") / (col("a_sz") + col("b_sz") - col("inter")), 6))
-      .filter(col("jac") >= 0.3)
+      .filter(col("jac") >= tau)
       .select("a_id", "b_id", "jac")
       .orderBy("a_id", "b_id")
   }
@@ -69,6 +135,7 @@ object LlmData {
     val sig = sh.withColumn("sig", array(
       (0 until 32).map(i => array_min(expr(
         s"transform(shingles, x -> xxhash64('mh$i:' || x))"))): _*))
+      .cache() // per-doc signatures: read by both sides of the band join
     val banded = sig.select(col("doc_id"), col("shingles"),
       posexplode(expr("transform(sequence(0, 7), b -> xxhash64(b, slice(sig, b * 4 + 1, 4)))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
@@ -93,14 +160,16 @@ object LlmData {
       .select(col("doc_id"), explode(split(col("norm_text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .withColumn("h", xxhash64(col("word")))
-    val bitVotes = words
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, 63), j -> CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END)")))
-      .groupBy(col("doc_id"), col("pos"))
-      .agg(sum(col("col")).as("vote"))
-    val sims = bitVotes
-      .groupBy("doc_id")
-      .agg(sum(when(col("vote") > 0, expr("shiftleft(cast(1 as bigint), pos)")).otherwise(0L)).as("simhash"))
+    // 64 vote sums as plain aggregation columns over the word stream —
+    // no 64× bit explode (that shape shuffles words×64 rows), one
+    // hash-agg pass, identical votes. The simhash reassembles from the
+    // per-bit columns (distinct powers of two, so + is OR).
+    val voteCols = (0 until 64).map(j =>
+      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"v$j"))
+    val votes = words.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    val sims = votes.select(col("doc_id"),
+      (0 until 64).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _).as("simhash"))
+      .cache() // per-doc 64-bit hash: read by both sides of the band join
     val chunks = sims.select(col("doc_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535)")))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
@@ -118,11 +187,20 @@ object LlmData {
     * at scale the q_sim_lsh_ann path bounds the candidate set first.
     */
   def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
-    val emb = embeddings(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val a = emb.select(col("vec_id").as("a_id"), col("v").as("av"))
-    val b = emb.select(col("vec_id").as("b_id"), col("v").as("bv"))
+    // Norms computed once per row before the pair join (N sqrt-dots
+    // instead of 2·N² — same scalar values, so results are unchanged).
+    val emb = embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotCol(col("v"), col("v"))))
+    // The streamed side of the nested-loop pair join is one small
+    // parquet split; without a repartition the whole O(N²) loop runs on
+    // a single core. The partition count is explicit so AQE does not
+    // coalesce the tiny-by-bytes (but CPU-heavy) shuffle back to one.
+    val a = emb.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
+      .repartition(s.sparkContext.defaultParallelism, col("a_id"))
+    val b = emb.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
     a.join(b, col("a_id") < col("b_id"))
-      .withColumn("cosine", round(cosineCol(col("av"), col("bv")), 6))
+      .withColumn("cosine", round(dotCol(col("av"), col("bv")) / (col("an") * col("bn")), 6))
       .filter(col("cosine") >= 0.4)
       .select("a_id", "b_id", "cosine")
       .orderBy("a_id", "b_id")
@@ -130,21 +208,28 @@ object LlmData {
 
   // ===== similarity search =====
 
-  private def dotCol(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, z) => acc + z)
+  /** Embedding dimension of the harness `embeddings` table (FIXTURES.md). */
+  private val EmbDim = 64
 
-  private def cosineCol(x: Column, y: Column): Column =
-    dotCol(x, y) / (sqrt(dotCol(x, x)) * sqrt(dotCol(y, y)))
+  /** Codegen'd loop dot product (graft.functions.DotProductF64): same
+    * left-to-right add order as `aggregate(zip_with(...))`, so results
+    * are bit-identical to the higher-order form, but JIT-compilable on
+    * all-pairs hot paths.
+    */
+  private def dotCol(x: Column, y: Column): Column =
+    graft.functions.VectorExprs.dotF64(x, y)
 
   /** Brute-force top-10 cosine neighbors for a broadcast probe set. */
   def qSimTopkCosine(s: SparkSession, dir: String): DataFrame = {
-    val emb = embeddings(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val emb = embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotCol(col("v"), col("v"))))
     val probes = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
     val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id"))
     broadcast(probes).join(emb, col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id"),
-        round(cosineCol(col("pv"), col("v")), 6).as("cosine"))
+        round(dotCol(col("pv"), col("v")) / (col("pn") * col("nrm")), 6).as("cosine"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 10)
       .orderBy("probe_id", "rnk")
@@ -252,11 +337,16 @@ object LlmData {
     val model = bigrams.groupBy(col("lang").as("m_lang"), col("bg")).agg(count(lit(1)).as("cnt"))
     val totals = model.groupBy("m_lang").agg(sum(col("cnt")).as("tot"))
     val langs = totals.select("m_lang", "tot")
-    val scored = bigrams.join(broadcast(langs))
+    // Pre-aggregate per-doc bigram occurrence counts before scoring:
+    // the model join then runs over distinct (doc, bigram) pairs, not
+    // every occurrence. occ·term in exact decimal equals the
+    // occurrence-wise sum, so scores (and the output) are unchanged.
+    val docBg = bigrams.groupBy("doc_id", "lang", "bg").agg(count(lit(1)).as("occ"))
+    val scored = docBg.join(broadcast(langs))
       .join(broadcast(model), Seq("m_lang", "bg"), "left")
       .withColumn("term", log((coalesce(col("cnt"), lit(0L)) + 1.0) / (col("tot") + 4096.0)).cast("decimal(18,9)"))
       .groupBy("doc_id", "lang", "m_lang")
-      .agg(sum(col("term")).as("score"))
+      .agg(sum(col("occ") * col("term")).as("score"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("m_lang"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
       .groupBy(col("lang"), col("m_lang").as("predicted"))

@@ -18,5 +18,6 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
     .getOrCreate()
 }
