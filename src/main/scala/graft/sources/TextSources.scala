@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Secondary ingestion formats (SURVEY.md §2.1): CSV and JSON-lines
+  * for text corpora, with explicit schemas (schema inference costs an
+  * extra full scan at 100 TB — callers must pass one) and the matching
+  * writers. Parquet remains the primary format (`graft.Tables`).
+  */
+object TextSources {
+
+  def readCsv(s: SparkSession, path: String, schema: StructType,
+              header: Boolean = true, delimiter: String = ","): DataFrame =
+    s.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("multiLine", "true") // quoted newlines inside text columns
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** JSON-lines (one object per line — the splittable form; multiLine
+    * JSON arrays cannot be split across workers and are only for small
+    * side inputs).
+    */
+  def readJsonl(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .csv(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+}
