@@ -259,6 +259,52 @@ object LlmData {
       .orderBy("probe_id", "vec_id")
   }
 
+  /** IVF-style approximate NN — the other standard ANN scale path
+    * beside hyperplane LSH. Coarse quantizer: K deterministic sample
+    * centroids (smallest xxhash64(vec_id) — partition-independent, no
+    * iterative k-means whose centroids could drift with partition
+    * layout); every vector is assigned to its nearest centroid (narrow
+    * map over a broadcast centroid table), and a probe searches only
+    * the nProbe nearest inverted lists. At 100 TB: assignment is a
+    * scan-side map, the bucket join touches nProbe/K of the corpus,
+    * and the centroid table stays O(K) broadcast bytes.
+    */
+  def qSimIvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotCol(col("v"), col("v"))))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .cache() // read for centroid sampling, assignment, and probing
+    // Inverted-list sizing scales with the corpus: ~128 vectors per
+    // list, probing ~1/3 of lists. At 100 TB k grows into the
+    // thousands while the centroid table stays broadcast-sized.
+    val n = emb.count()
+    val k = math.max(4, (n / 128.0).ceil.toInt)
+    val nProbe = math.max(2, (k / 3.0).ceil.toInt)
+    val cent = emb.withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h", "vec_id").limit(k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    def nearestCents(df: DataFrame, idCol: String, vCol: String, nCol: String, keep: Int) = {
+      val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cent_id"))
+      df.crossJoin(broadcast(cent))
+        .withColumn("ccos", dotCol(col(vCol), col("cv")) / (col(nCol) * col("cn")))
+        .withColumn("crnk", row_number().over(w))
+        .filter(col("crnk") <= keep)
+    }
+    val assigned = nearestCents(emb, "vec_id", "v", "nrm", 1)
+      .select(col("cent_id"), col("vec_id"), col("v"), col("nrm"))
+    val probes = nearestCents(emb.filter(col("vec_id") < 5), "vec_id", "v", "nrm", nProbe)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"), col("cent_id"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id"))
+    probes.join(assigned, "cent_id")
+      .filter(col("probe_id") =!= col("vec_id"))
+      .withColumn("cosine", round(dotCol(col("pv"), col("v")) / (col("pn") * col("nrm")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select("probe_id", "vec_id", "cosine", "rnk")
+      .orderBy("probe_id", "rnk")
+  }
+
   /** Embedding column ops: per-label counts, mean vector norm (via
     * decimal-rounded per-vector norms) and centroid norm computed from
     * exact per-dimension decimal sums: ||Σx||/n — no cross-row double
@@ -527,6 +573,7 @@ object LlmData {
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_sim_topk_cosine" -> (qSimTopkCosine _),
     "q_sim_lsh_ann" -> (qSimLshAnn _),
+    "q_sim_ivf_ann" -> (qSimIvfAnn _),
     "q_emb_norm_ops" -> (qEmbNormOps _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_tfidf" -> (qTextTfidf _),

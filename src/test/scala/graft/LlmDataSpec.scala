@@ -47,6 +47,21 @@ class LlmDataSpec extends SparkSpec {
     assert(recall >= 0.5, s"ANN recall $recall vs brute force")
   }
 
+  test("IVF ANN: recall >= 0.5 of brute-force top-10, deterministic") {
+    val exact = LlmData.qSimTopkCosine(spark, dir)
+      .select("probe_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf1 = LlmData.qSimIvfAnn(spark, dir)
+      .select("probe_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ivf2 = LlmData.qSimIvfAnn(spark, dir)
+      .select("probe_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ivf1.toSeq == ivf2.toSeq, "IVF result drifted between runs")
+    val recall = exact.count(ivf1.toSet.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall vs brute force")
+  }
+
   test("fingerprints stable across partition layouts and runs") {
     val a = LlmData.qTextFingerprint(spark, dir).collect().toSeq
     val b = LlmData.qTextFingerprint(spark, dir).collect().toSeq

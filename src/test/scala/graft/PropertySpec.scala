@@ -1,0 +1,83 @@
+package graft
+
+import graft.lime.{Lime, RidgeAggregator, RidgeSample}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** ScalaCheck property suite (SURVEY.md §5.4). Driver-side properties
+  * of the LIME numerics — the distributed forms are exercised by
+  * LimeSpec/DeterminismSpec; these pin the math over random inputs.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(name: String, prop: Prop, n: Int = 100): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("kernel: π(0)=1, π ∈ (0,1], monotonically decreasing in distance") {
+    check("kernel", Prop.forAll(Gen.choose(0.0, 50.0), Gen.choose(0.1, 10.0)) { (d0, w0) =>
+      // shrinking may step outside the generator ranges; clamp back
+      val d = math.abs(d0)
+      val w = math.max(math.abs(w0), 1e-3)
+      def k(dist: Double) = math.sqrt(math.exp(-dist * dist / (w * w)))
+      // k(d) can underflow to exactly 0.0 for d >> w — that's correct
+      k(0.0) == 1.0 && k(d) >= 0.0 && k(d) <= 1.0 && k(d + 0.5) <= k(d)
+    })
+  }
+
+  test("rng mix: u01 lands in [0,1) for arbitrary seed/instance/sample") {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.LongType
+    check("u01", Prop.forAll(Gen.long, Gen.choose(0L, 1000000L), Gen.choose(0, 10000)) {
+      (seed, inst, sample) =>
+        val h = XxHash64Function.hash(inst * 100003L + sample, LongType, seed)
+        val h2 = XxHash64Function.hash(inst * 100003L + sample, LongType, seed)
+        val u = (h >>> 11).toDouble / (1L << 53).toDouble
+        h == h2 && u >= 0.0 && u < 1.0
+    })
+  }
+
+  test("ridge: recovers random noise-free linear models on binary corners") {
+    val gen = for {
+      d <- Gen.choose(2, 6)
+      coefs <- Gen.listOfN(d, Gen.choose(-5.0, 5.0))
+      icpt <- Gen.choose(-3.0, 3.0)
+    } yield (coefs, icpt)
+    check("ridge", Prop.forAll(gen) { case (coefs, icpt) =>
+      val d = coefs.size
+      val agg = new RidgeAggregator(d, 1e-6)
+      var buf = agg.zero
+      // all 2^d corners, repeated so ridge shrinkage is negligible
+      for (_ <- 1 to 50; mask <- 0 until (1 << d)) {
+        val z = Array.tabulate(d)(j => if ((mask >> j & 1) == 1) 1.0 else 0.0)
+        val y = icpt + z.zip(coefs).map { case (a, b) => a * b }.sum
+        buf = agg.reduce(buf, RidgeSample(z, y, 1.0))
+      }
+      val fit = agg.finish(buf)
+      coefs.zip(fit.coefs).forall { case (truth, got) => math.abs(truth - got) < 1e-3 } &&
+        math.abs(fit.intercept - icpt) < 1e-3
+    }, n = 30)
+  }
+
+  test("bin edges: binOf counts edges strictly below, stays in [0,3]") {
+    val cases = for {
+      edgesRaw <- Gen.listOfN(3, Gen.choose(-100.0, 100.0))
+      x <- Gen.choose(-150.0, 150.0)
+    } yield (edgesRaw.sorted, x)
+    // evaluate the Column expression in one batched Spark job
+    val sampled = Iterator.continually(cases.sample).flatten.take(60).toSeq
+    val s = SparkSpec.session
+    sampled.grouped(20).foreach { grp =>
+      val exprs = grp.zipWithIndex.map { case ((edges, x), i) =>
+        Lime.binOf(lit(x), edges).as(s"b$i")
+      }
+      val row = s.range(1).select(exprs: _*).head()
+      grp.zipWithIndex.foreach { case ((edges, x), i) =>
+        val expected = edges.count(e => x > e)
+        assert(row.getInt(i) == expected, s"x=$x edges=$edges")
+      }
+    }
+  }
+}
