@@ -22,12 +22,21 @@ import org.apache.spark.sql.expressions.Window
   */
 object Lime {
 
+  /** @param discretize quartile-discretized sampling with a binary
+    *   interpretable representation (public LIME default); false =
+    *   gaussian sampling around the instance with z-scored features
+    *   (`discretize_continuous=False, sample_around_instance=True`)
+    * @param selection "highest_weights", "forward_selection", or
+    *   "auto" (forward selection when d' <= 6, like the public impl)
+    */
   case class LimeConfig(
       nSamples: Int = 1000,
       kFeatures: Int = 4,
       kernelWidth: Option[Double] = None,
       seed: Long = 42,
-      lambda: Double = 1.0)
+      lambda: Double = 1.0,
+      discretize: Boolean = true,
+      selection: String = "highest_weights")
 
   /** Per-feature training statistics: mean/std (exact decimal sums),
     * quartile bin edges (rounded to 6dp as the cross-engine firewall),
@@ -125,21 +134,34 @@ object Lime {
     */
   def perturb(instances: DataFrame, idCol: String, stats: Seq[FeatureStats], cfg: LimeConfig): DataFrame = {
     val base = instances.withColumn("sample_id", explode(sequence(lit(0), lit(cfg.nSamples - 1))))
-    stats.foldLeft(base) { (df, st) =>
-      val u = Rng.u01(lit(cfg.seed), col(idCol), col("sample_id"), lit(st.name))
-      val sampledBin =
-        when(u < st.binCumFreqs(0), 0)
-          .when(u < st.binCumFreqs(1), 1)
-          .when(u < st.binCumFreqs(2), 2)
-          .otherwise(3)
-      val instBin = binOf(col(st.name), st.edges)
-      val bin = when(col("sample_id") === 0, instBin).otherwise(sampledBin)
-      df.withColumn(s"${st.name}__bin", bin)
-        .withColumn(s"${st.name}__z", (col(s"${st.name}__bin") === instBin).cast("double"))
-        .withColumn(s"${st.name}__val",
-          when(col("sample_id") === 0, col(st.name))
-            .otherwise(element_at(array(st.binMeans.map(lit): _*), col(s"${st.name}__bin") + 1)))
-    }
+    if (cfg.discretize)
+      stats.foldLeft(base) { (df, st) =>
+        val u = Rng.u01(lit(cfg.seed), col(idCol), col("sample_id"), lit(st.name))
+        val sampledBin =
+          when(u < st.binCumFreqs(0), 0)
+            .when(u < st.binCumFreqs(1), 1)
+            .when(u < st.binCumFreqs(2), 2)
+            .otherwise(3)
+        val instBin = binOf(col(st.name), st.edges)
+        val bin = when(col("sample_id") === 0, instBin).otherwise(sampledBin)
+        df.withColumn(s"${st.name}__bin", bin)
+          .withColumn(s"${st.name}__z", (col(s"${st.name}__bin") === instBin).cast("double"))
+          .withColumn(s"${st.name}__val",
+            when(col("sample_id") === 0, col(st.name))
+              .otherwise(element_at(array(st.binMeans.map(lit): _*), col(s"${st.name}__bin") + 1)))
+      }
+    else
+      // continuous mode: gaussian around the instance, z-scored
+      // interpretable representation; sample 0 stays the instance
+      stats.foldLeft(base) { (df, st) =>
+        val g = Rng.gaussian(lit(cfg.seed), col(idCol) * lit(1000003L) + col("sample_id"), lit(stats.indexOf(st)))
+        val v = when(col("sample_id") === 0, col(st.name))
+          .otherwise(col(st.name) + g * lit(st.std))
+        df.withColumn(s"${st.name}__val", v)
+          .withColumn(s"${st.name}__bin", binOf(col(s"${st.name}__val"), st.edges))
+          .withColumn(s"${st.name}__z",
+            (col(s"${st.name}__val") - lit(st.mean)) / lit(math.max(st.std, 1e-12)))
+      }
   }
 
   /** End-to-end tabular explanation:
@@ -169,8 +191,13 @@ object Lime {
       df.withColumn("pred", logisticScore(stats, features.map(f => col(s"${f}__val"))))
     }
     val scored = scoreFn(perturbed)
-    // binary-representation distance: d² = Σ(1 - z) (instance row is all-ones)
-    val dist2 = features.map(f => lit(1.0) - col(s"${f}__z")).reduce(_ + _)
+    // distance in the interpretable space: binary rep → d² = Σ(1 - z)
+    // (instance row is all-ones); continuous rep → scaled euclidean to
+    // the instance
+    val dist2 =
+      if (cfg.discretize) features.map(f => lit(1.0) - col(s"${f}__z")).reduce(_ + _)
+      else stats.map(st =>
+        pow((col(s"${st.name}__val") - col(st.name)) / lit(math.max(st.std, 1e-12)), 2)).reduce(_ + _)
     val weighted = scored
       .withColumn("kweight", sqrt(exp(-dist2 / lit(width * width))))
       .select(col(idCol).as("instance_id"),
@@ -178,7 +205,10 @@ object Lime {
         col("pred").cast("double").as("y"),
         col("kweight").cast("double").as("w"))
 
-    val agg = new RidgeAggregator(d, cfg.lambda)
+    val fwd = cfg.selection == "forward_selection" ||
+      (cfg.selection == "auto" && d <= 6)
+    val agg = new RidgeAggregator(d, cfg.lambda,
+      if (fwd) cfg.kFeatures else Int.MaxValue, fwd)
     val fits = weighted.as[(Long, Array[Double], Double, Double)]
       .groupByKey(_._1)
       .mapValues { case (_, z, y, w) => RidgeSample(z, y, w) }

@@ -22,7 +22,15 @@ case class RidgeSample(z: Array[Double], y: Double, w: Double)
 
 case class RidgeFit(coefs: Seq[Double], intercept: Double, r2: Double, localPred: Double)
 
-class RidgeAggregator(val d: Int, val lambda: Double)
+/** @param kSelect number of features to keep when `forward` is true
+  * @param forward forward selection (public LIME's method for small
+  *   d'): greedily add the feature whose subset ridge fit minimizes
+  *   weighted SSE. Runs entirely in `finish` on the accumulated Gram
+  *   matrix — subset normal equations are submatrices of XᵀWX, so no
+  *   extra distributed pass is needed. Unselected coefs emit as 0.
+  */
+class RidgeAggregator(val d: Int, val lambda: Double,
+                      val kSelect: Int = Int.MaxValue, val forward: Boolean = false)
     extends Aggregator[RidgeSample, Array[Double], RidgeFit] {
 
   private val m = d + 1 // intercept column at index 0
@@ -58,36 +66,71 @@ class RidgeAggregator(val d: Int, val lambda: Double)
     a
   }
 
-  override def finish(buf: Array[Double]): RidgeFit = {
-    // A = G + λI (no penalty on the intercept), solved in place
-    val a = Array.tabulate(m, m)((r, c) =>
-      buf(gOff + r * m + c) + (if (r == c && r > 0) lambda else 0.0))
-    val b = Array.tabulate(m)(r => buf(bOff + r))
-    val beta = solveCholesky(a, b)
-    val sw = buf(sOff); val swy = buf(sOff + 1); val swyy = buf(sOff + 2)
-    // SSres = Σw(y-ŷ)² expanded: swyy - 2βᵀb + βᵀGβ
+  /** Ridge fit restricted to the columns in `idxs` (index 0 =
+    * intercept, unpenalized). Returns (beta over idxs, weighted SSres
+    * = swyy − 2βᵀb + βᵀGβ on the unpenalized subset Gram).
+    */
+  private def solveSubset(buf: Array[Double], idxs: Array[Int]): (Array[Double], Double) = {
+    val n = idxs.length
+    val a = Array.tabulate(n, n)((r, c) =>
+      buf(gOff + idxs(r) * m + idxs(c)) +
+        (if (r == c && idxs(r) > 0) lambda else 0.0))
+    val b = Array.tabulate(n)(r => buf(bOff + idxs(r)))
+    val beta = solveCholesky(a, b, n)
     var btGb = 0.0
     var r = 0
-    while (r < m) {
+    while (r < n) {
       var c = 0
       var row = 0.0
-      while (c < m) { row += buf(gOff + r * m + c) * beta(c); c += 1 }
+      while (c < n) { row += buf(gOff + idxs(r) * m + idxs(c)) * beta(c); c += 1 }
       btGb += beta(r) * row
       r += 1
     }
     var btB = 0.0
     r = 0
-    while (r < m) { btB += beta(r) * buf(bOff + r); r += 1 }
-    val ssRes = swyy - 2.0 * btB + btGb
+    while (r < n) { btB += beta(r) * b(r); r += 1 }
+    (beta, buf(sOff + 2) - 2.0 * btB + btGb)
+  }
+
+  override def finish(buf: Array[Double]): RidgeFit = {
+    val selected: Array[Int] =
+      if (!forward || kSelect >= d) Array.range(0, m)
+      else {
+        var sel = Array(0)
+        var round = 0
+        while (round < math.min(kSelect, d)) {
+          var bestJ = -1
+          var bestSse = Double.MaxValue
+          var j = 1
+          while (j < m) {
+            if (!sel.contains(j)) {
+              val (_, sse) = solveSubset(buf, sel :+ j)
+              if (sse < bestSse - 1e-12) { bestSse = sse; bestJ = j }
+            }
+            j += 1
+          }
+          if (bestJ < 0) round = kSelect
+          else { sel :+= bestJ; round += 1 }
+        }
+        sel
+      }
+    val (betaSub, ssRes) = solveSubset(buf, selected)
+    val sw = buf(sOff); val swy = buf(sOff + 1); val swyy = buf(sOff + 2)
     val ssTot = swyy - swy * swy / math.max(sw, 1e-12)
     val r2 = if (ssTot <= 0) 1.0 else 1.0 - ssRes / ssTot
-    // local prediction at the instance itself: binary rep is all-ones
-    val localPred = beta.sum
-    RidgeFit(beta.drop(1).toSeq, beta(0), r2, localPred)
+    val full = new Array[Double](m)
+    var i = 0
+    while (i < selected.length) { full(selected(i)) = betaSub(i); i += 1 }
+    // local prediction at the instance itself for the BINARY rep
+    // (all-ones); in continuous mode callers should recompute
+    // intercept + beta . z_instance downstream
+    val localPred = betaSub.sum
+    RidgeFit(full.drop(1).toSeq, full(0), r2, localPred)
   }
 
   /** Cholesky solve with jitter fallback for collinear binary columns. */
-  private def solveCholesky(a0: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+  private def solveCholesky(a0: Array[Array[Double]], b: Array[Double], n: Int = m): Array[Double] = {
+    val m = n // shadows the field: all loops below are n×n
     var jitter = 0.0
     var attempt = 0
     while (attempt < 4) {

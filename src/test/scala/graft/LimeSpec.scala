@@ -98,6 +98,44 @@ class LimeSpec extends SparkSpec {
       s"l_discount should dominate: ${topFeatures.mkString(",")}")
   }
 
+  test("forward selection keeps exactly K features, dominant signal first") {
+    val feats = LimeOps.limeFeatures
+    val inst = Tables.lineitem(spark, dir).filter(col("l_orderkey") <= 10)
+      .withColumn("instance_id", col("l_orderkey") * 10 + col("l_linenumber"))
+      .select((Seq("instance_id") ++ feats).map(col): _*)
+    val fwd = Lime.explainTabular(inst, "instance_id", feats,
+      LimeConfig(nSamples = 256, kFeatures = 2, selection = "forward_selection")).collect()
+    assert(fwd.nonEmpty)
+    // rank<=2 rows carry the 2 selected (nonzero) features; nothing else
+    fwd.foreach(r => assert(r.getDouble(3) != 0.0, s"zero weight at rank ${r.getInt(1)}"))
+    val fwd2 = Lime.explainTabular(inst, "instance_id", feats,
+      LimeConfig(nSamples = 256, kFeatures = 2, selection = "forward_selection")).collect()
+    assert(fwd.map(_.toString).toSeq == fwd2.map(_.toString).toSeq)
+    // "auto" with d'=4 <= 6 must take the forward-selection path
+    val auto = Lime.explainTabular(inst, "instance_id", feats,
+      LimeConfig(nSamples = 256, kFeatures = 2, selection = "auto")).collect()
+    assert(auto.map(_.toString).toSeq == fwd.map(_.toString).toSeq)
+  }
+
+  test("continuous (non-discretized) mode: deterministic, strong local fit") {
+    val feats = LimeOps.limeFeatures
+    val inst = Tables.lineitem(spark, dir).filter(col("l_orderkey") <= 10)
+      .withColumn("instance_id", col("l_orderkey") * 10 + col("l_linenumber"))
+      .select((Seq("instance_id") ++ feats).map(col): _*)
+    val cfg = LimeConfig(nSamples = 512, kFeatures = 4, discretize = false)
+    val run1 = Lime.explainTabular(inst, "instance_id", feats, cfg).collect()
+    val run2 = Lime.explainTabular(inst, "instance_id", feats, cfg).collect()
+    assert(run1.length == run2.length && run1.nonEmpty)
+    run1.zip(run2).foreach { case (a, b) =>
+      assert(a.getString(2) == b.getString(2))
+      assert(math.abs(a.getDouble(3) - b.getDouble(3)) < 1e-9)
+    }
+    // the scorer is logistic in the z-scored features: a local linear
+    // surrogate on the same representation should fit very well
+    val r2s = run1.map(_.getDouble(5))
+    assert(r2s.forall(v => v > 0.5 && v <= 1.0 + 1e-9), s"r2s ${r2s.min}")
+  }
+
   test("explainText: deterministic, word weights align with hash-sign scorer") {
     val e1 = LimeOps.limeExplainText(spark, dir).collect()
     val e2 = LimeOps.limeExplainText(spark, dir).collect()
