@@ -50,6 +50,24 @@ object Lime {
       binMeans: Seq[Double],       // representative value per bin (4)
       binCumFreqs: Seq[Double])    // cumulative bin frequencies (4, last=1)
 
+  /** Categorical feature statistics: distinct values (sorted, so the
+    * sampling when-chain is deterministic) with cumulative training
+    * frequencies. Cardinality must be bounded (it becomes plan
+    * literals) — enforce with `maxCard`.
+    */
+  case class CatStats(name: String, values: Seq[String], cumFreqs: Seq[Double])
+
+  def fitCatStats(df: DataFrame, features: Seq[String], maxCard: Int = 64): Seq[CatStats] = {
+    features.map { f =>
+      val rows = df.groupBy(f).agg(count(lit(1)).as("n")).orderBy(f).collect()
+      require(rows.length <= maxCard,
+        s"categorical feature $f has ${rows.length} distinct values (> $maxCard)")
+      val total = rows.map(_.getLong(1)).sum.toDouble
+      val cum = rows.map(_.getLong(1) / total).scanLeft(0.0)(_ + _).tail
+      CatStats(f, rows.map(_.get(0).toString).toVector, cum.toVector.updated(rows.length - 1, 1.0))
+    }
+  }
+
   // 19,6: >18 digits forces int128 decimal storage in DuckDB (int64
   // products of scale-6 values overflow), and 19+19 stays at the 38 cap
   private val D6 = "decimal(19,6)"
@@ -132,8 +150,24 @@ object Lime {
     * Returns the input columns plus, per feature f:
     * `f__bin`, `f__z`, `f__val`, and `sample_id`.
     */
-  def perturb(instances: DataFrame, idCol: String, stats: Seq[FeatureStats], cfg: LimeConfig): DataFrame = {
-    val base = instances.withColumn("sample_id", explode(sequence(lit(0), lit(cfg.nSamples - 1))))
+  def perturb(instances: DataFrame, idCol: String, stats: Seq[FeatureStats], cfg: LimeConfig,
+              catStats: Seq[CatStats] = Nil): DataFrame = {
+    val base0 = instances.withColumn("sample_id", explode(sequence(lit(0), lit(cfg.nSamples - 1))))
+    // categorical features: resample from the training frequency table;
+    // z = 1 iff the sampled value equals the instance's (public LIME
+    // categorical semantics). The sampled value itself is the score
+    // input.
+    val base = catStats.foldLeft(base0) { (df, cs) =>
+      val u = Rng.u01(lit(cfg.seed), col(idCol), col("sample_id"), lit("cat:" + cs.name))
+      val sampled = cs.values.init.zip(cs.cumFreqs.init).reverse
+        .foldLeft(lit(cs.values.last): Column) { case (acc, (v, c)) =>
+          when(u < c, lit(v)).otherwise(acc)
+        }
+      val v = when(col("sample_id") === 0, col(cs.name).cast("string")).otherwise(sampled)
+      df.withColumn(s"${cs.name}__val", v)
+        .withColumn(s"${cs.name}__z",
+          (col(s"${cs.name}__val") === col(cs.name).cast("string")).cast("double"))
+    }
     if (cfg.discretize)
       stats.foldLeft(base) { (df, st) =>
         val u = Rng.u01(lit(cfg.seed), col(idCol), col("sample_id"), lit(st.name))
@@ -179,14 +213,17 @@ object Lime {
       idCol: String,
       features: Seq[String],
       cfg: LimeConfig = LimeConfig(),
-      scoreFnOpt: Option[DataFrame => DataFrame] = None): DataFrame = {
+      scoreFnOpt: Option[DataFrame => DataFrame] = None,
+      catFeatures: Seq[String] = Nil): DataFrame = {
     val spark = instances.sparkSession
     import spark.implicits._
     val stats = fitStats(instances, features)
-    val d = features.size
+    val catStats = if (catFeatures.nonEmpty) fitCatStats(instances, catFeatures) else Nil
+    val allFeatures = features ++ catFeatures
+    val d = allFeatures.size
     val width = cfg.kernelWidth.getOrElse(0.75 * math.sqrt(d))
 
-    val perturbed = perturb(instances, idCol, stats, cfg)
+    val perturbed = perturb(instances, idCol, stats, cfg, catStats)
     val scoreFn = scoreFnOpt.getOrElse { df: DataFrame =>
       df.withColumn("pred", logisticScore(stats, features.map(f => col(s"${f}__val"))))
     }
@@ -195,13 +232,14 @@ object Lime {
     // (instance row is all-ones); continuous rep → scaled euclidean to
     // the instance
     val dist2 =
-      if (cfg.discretize) features.map(f => lit(1.0) - col(s"${f}__z")).reduce(_ + _)
-      else stats.map(st =>
-        pow((col(s"${st.name}__val") - col(st.name)) / lit(math.max(st.std, 1e-12)), 2)).reduce(_ + _)
+      if (cfg.discretize) allFeatures.map(f => lit(1.0) - col(s"${f}__z")).reduce(_ + _)
+      else (stats.map(st =>
+        pow((col(s"${st.name}__val") - col(st.name)) / lit(math.max(st.std, 1e-12)), 2)) ++
+        catFeatures.map(f => lit(1.0) - col(s"${f}__z"))).reduce(_ + _)
     val weighted = scored
       .withColumn("kweight", sqrt(exp(-dist2 / lit(width * width))))
       .select(col(idCol).as("instance_id"),
-        array(features.map(f => col(s"${f}__z")): _*).as("z"),
+        array(allFeatures.map(f => col(s"${f}__z")): _*).as("z"),
         col("pred").cast("double").as("y"),
         col("kweight").cast("double").as("w"))
 
@@ -215,7 +253,7 @@ object Lime {
       .agg(agg.toColumn.name("fit"))
       .toDF("instance_id", "fit")
 
-    val names = array(features.map(lit): _*)
+    val names = array(allFeatures.map(lit): _*)
     val exploded = fits.select(
       col("instance_id"),
       col("fit.intercept").as("intercept"),

@@ -104,6 +104,29 @@ object LimeOps {
     Lime.explainTabular(instances(s, dir, 10), "instance_id", limeFeatures,
       LimeConfig(nSamples = 512, kFeatures = 4))
 
+  /** Mixed numeric + categorical explanation: l_returnflag /
+    * l_linestatus perturb by training-frequency resampling (public
+    * LIME categorical semantics), scored by a closed-form logistic
+    * where returnflag='R' carries the dominant signal.
+    */
+  def limeExplainCat(s: SparkSession, dir: String): DataFrame = {
+    val numFeats = Seq("l_quantity", "l_discount")
+    val catFeats = Seq("l_returnflag", "l_linestatus")
+    val inst = withId(lineitem(s, dir).filter(col("l_orderkey") <= 10))
+      .select((Seq("instance_id") ++ numFeats ++ catFeats).map(col): _*)
+    val stats = statsFor(s, dir).filter(st => numFeats.contains(st.name))
+    val scoreFn: DataFrame => DataFrame = { df =>
+      val lin = lit(0.2) +
+        lit(0.6) * (col("l_quantity__val") - lit(stats(0).mean)) / lit(stats(0).std) +
+        lit(-0.4) * (col("l_discount__val") - lit(stats(1).mean)) / lit(stats(1).std) +
+        when(col("l_returnflag__val") === "R", 1.5).otherwise(0.0) +
+        when(col("l_linestatus__val") === "F", -0.8).otherwise(0.0)
+      df.withColumn("pred", lit(1.0) / (lit(1.0) + exp(-lin)))
+    }
+    Lime.explainTabular(inst, "instance_id", numFeats,
+      LimeConfig(nSamples = 512, kFeatures = 4), Some(scoreFn), catFeats)
+  }
+
   def limeExplainText(s: SparkSession, dir: String): DataFrame =
     LimeText.explainText(documents(s, dir).filter(col("doc_id") < 5), "doc_id", "text",
       LimeConfig(nSamples = 64, kFeatures = 10, kernelWidth = Some(25.0)))
@@ -185,6 +208,7 @@ object LimeOps {
     "lime_fit_ridge" -> (limeFitRidge _),
     "lime_select_topk" -> (limeSelectTopk _),
     "lime_explain_tabular" -> (limeExplainTabular _),
+    "lime_explain_cat" -> (limeExplainCat _),
     "lime_explain_text" -> (limeExplainText _),
     "sp_lime_pick" -> (spLimePick _)
   )

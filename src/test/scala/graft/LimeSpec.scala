@@ -136,6 +136,30 @@ class LimeSpec extends SparkSpec {
     assert(r2s.forall(v => v > 0.5 && v <= 1.0 + 1e-9), s"r2s ${r2s.min}")
   }
 
+  test("categorical features: frequency-resampled, dominant cat ranks first") {
+    val e1 = LimeOps.limeExplainCat(spark, dir).collect()
+    val e2 = LimeOps.limeExplainCat(spark, dir).collect()
+    assert(e1.nonEmpty && e1.map(_.toString).toSeq == e2.map(_.toString).toSeq)
+    // For instances whose returnflag IS 'R', z=1 carries the scorer's
+    // +1.5 signal vs the resample mixture, so l_returnflag should rank
+    // in the top 2 with a positive weight. (For non-'R' instances the
+    // indicator only carries the small mixture effect — no claim.)
+    val rIds = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") <= 10 && col("l_returnflag") === "R")
+      .withColumn("instance_id", col("l_orderkey") * 10 + col("l_linenumber"))
+      .select("instance_id").collect().map(_.getLong(0)).toSet
+    assert(rIds.nonEmpty, "fixture needs at least one 'R' instance")
+    val byInst = e1.groupBy(_.getLong(0))
+    val rfRows = rIds.toSeq.map(id => byInst(id).find(_.getString(2) == "l_returnflag").get)
+    // individual instances can sit in logistic saturation (p ≈ 1 →
+    // near-zero local sensitivity), so assert in aggregate: mean
+    // weight clearly positive and a top-2 majority
+    val ws = rfRows.map(_.getDouble(3))
+    assert(ws.sum / ws.length > 0.01, s"mean returnflag weight ${ws.sum / ws.length}")
+    assert(rfRows.count(_.getInt(1) <= 2) * 2 >= rfRows.length,
+      s"ranks: ${rfRows.map(_.getInt(1)).mkString(",")}")
+  }
+
   test("explainText: deterministic, word weights align with hash-sign scorer") {
     val e1 = LimeOps.limeExplainText(spark, dir).collect()
     val e2 = LimeOps.limeExplainText(spark, dir).collect()
