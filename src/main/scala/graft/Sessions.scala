@@ -17,5 +17,6 @@ object Sessions {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .getOrCreate()
 }

@@ -32,12 +32,16 @@ object SpLime {
       // Marginal gain = Σ importance over this instance's not-yet-covered
       // features; instances with zero gain stay pickable (Algorithm 2
       // selects exactly B instances).
+      // One job per round: the winner's feature set rides along via
+      // collect_set, so no second job is needed to update `covered`.
       val gains = w
         .filter(!col("instance_id").isin(picked.map(_._2): _*))
         .join(broadcast(importance), "feature")
         .groupBy("instance_id")
-        .agg(sum(when(col("feature").isin(covered.toSeq: _*), 0.0)
-          .otherwise(col("imp"))).as("gain"))
+        .agg(
+          sum(when(col("feature").isin(covered.toSeq: _*), 0.0)
+            .otherwise(col("imp"))).as("gain"),
+          collect_set(col("feature")).as("feats"))
         .orderBy(col("gain").desc, col("instance_id"))
         .limit(1)
         .collect()
@@ -46,8 +50,7 @@ object SpLime {
         val g = gains(0)
         val id = g.getLong(0)
         picked :+= ((round, id, g.getDouble(1)))
-        covered ++= w.filter(col("instance_id") === id)
-          .select("feature").collect().map(_.getString(0))
+        covered ++= g.getSeq[String](2)
         round += 1
       }
     }

@@ -19,5 +19,6 @@ object SparkSpec {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .getOrCreate()
 }
