@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.ScaleOps
+import org.apache.spark.sql.functions._
+
+class ScaleOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("saltedJoin matches the plain join on a skewed key") {
+    val events = Tables.events(spark, dir).select("event_id", "user_id", "event_type")
+    val users = events.groupBy("user_id").agg(count(lit(1)).as("user_events"))
+    val plain = events.join(users, "user_id")
+      .select("event_id", "user_events").orderBy("event_id").collect()
+    val salted = ScaleOps.saltedJoin(events, users, "user_id", 8)
+      .select("event_id", "user_events").orderBy("event_id").collect()
+    assert(salted.length == plain.length)
+    assert(salted.map(_.toString).toSeq == plain.map(_.toString).toSeq)
+  }
+
+  test("saltedCount matches groupBy count") {
+    val events = Tables.events(spark, dir)
+    val plain = events.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .orderBy("user_id").collect()
+    val salted = ScaleOps.saltedCount(events, "user_id", 8)
+      .orderBy("user_id").collect()
+    assert(salted.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      plain.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  test("bucketed co-located join runs without a shuffle exchange") {
+    val s = spark
+    val orders = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+    val lineitem = Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+    s.sql("DROP TABLE IF EXISTS b_orders")
+    s.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("b_orders")
+    lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("b_lineitem")
+    // disable broadcast so the join must pick a shuffle-free SMJ on
+    // the matching bucket layout
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = s.table("b_orders")
+        .join(s.table("b_lineitem"), col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == lineitem.count())
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
