@@ -80,13 +80,7 @@ class LimeSpec extends SparkSpec {
       .withColumn("label", (col("l_discount") > 0.05).cast("double"))
     val asm = new VectorAssembler().setInputCols(feats.toArray).setOutputCol("features")
     val model = new LogisticRegression().setMaxIter(20).fit(asm.transform(li))
-    val scoreFn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = { df =>
-      val renamed = feats.foldLeft(df)((d, f) => d.withColumn(s"${f}__orig", col(f)).withColumn(f, col(s"${f}__val")))
-      val scored = model.transform(new VectorAssembler().setInputCols(feats.toArray).setOutputCol("features").transform(renamed))
-      feats.foldLeft(scored.withColumn("pred", element_at(vector_to_array(col("probability")), 2)))(
-        (d, f) => d.withColumn(f, col(s"${f}__orig")))
-        .drop("features", "rawPrediction", "probability", "prediction")
-    }
+    val scoreFn = LimeMllib.scoreFn(model, feats)
     val expl = Lime.explainTabular(
       li.filter(col("l_orderkey") <= 5).select((Seq("instance_id") ++ feats).map(col): _*),
       "instance_id", feats, LimeConfig(nSamples = 256, kFeatures = 4), Some(scoreFn))
