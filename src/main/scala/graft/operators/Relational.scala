@@ -407,6 +407,48 @@ object Relational {
 
   // ===== oracle SQL (DuckDB) =====
 
+  /** Pivot: per-day event counts spread into one column per event
+    * type (explicit value list keeps column order deterministic and,
+    * at scale, avoids the extra distinct-values job).
+    */
+  def qAggPivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("day").pivot("event_type", types).agg(count(lit(1)))
+      .select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("day")
+  }
+
+  /** first/last/nth value window frame over each user's event history. */
+  def qWinFirstLast(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, dir)
+      .select(col("user_id"),
+        first(col("event_type")).over(w).as("first_type"),
+        last(col("event_type")).over(w).as("last_type"),
+        nth_value(col("event_type"), 2).over(w).as("second_type"),
+        row_number().over(wRn).as("rn"))
+      .filter(col("rn") === 1)
+      .select("user_id", "first_type", "last_type", "second_type")
+      .orderBy("user_id")
+  }
+
+  /** String aggregation: per (returnflag, linestatus), the sorted
+    * distinct ship-years as one comma-joined string —
+    * order-insensitive via sort_array, matching DuckDB string_agg
+    * with ORDER BY.
+    */
+  def qExprStragg(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .withColumn("yr", year(col("l_shipdate")).cast("string"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(concat_ws(",", sort_array(collect_set(col("yr")))).as("ship_years"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+
   val oracle: Map[String, String] = Map(
     "q_scan_parquet" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
@@ -506,6 +548,30 @@ object Relational {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY region_name, nation_name""".stripMargin,
+    "q_agg_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+        |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+        |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+        |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_win_firstlast" ->
+      """SELECT user_id, first_type, last_type, second_type FROM (
+        |  SELECT user_id,
+        |    FIRST_VALUE(event_type) OVER w AS first_type,
+        |    LAST_VALUE(event_type) OVER w AS last_type,
+        |    NTH_VALUE(event_type, 2) OVER w AS second_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_expr_stragg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  string_agg(DISTINCT CAST(year(l_shipdate) AS VARCHAR), ',' ORDER BY CAST(year(l_shipdate) AS VARCHAR)) AS ship_years,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_agg_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, COALESCE(l_linestatus, 'ALL') AS linestatus,
         |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, COUNT(*) AS n_rows
@@ -681,6 +747,9 @@ object Relational {
     "q_agg_distinct" -> (qAggDistinct _),
     "q_agg_approx_distinct" -> (qAggApproxDistinct _),
     "q_agg_rollup" -> (qAggRollup _),
+    "q_agg_pivot" -> (qAggPivot _),
+    "q_win_firstlast" -> (qWinFirstLast _),
+    "q_expr_stragg" -> (qExprStragg _),
     "q_agg_cube" -> (qAggCube _),
     "q_agg_stats" -> (qAggStats _),
     "q_agg_quantile" -> (qAggQuantile _),

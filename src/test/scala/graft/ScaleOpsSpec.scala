@@ -34,6 +34,18 @@ class ScaleOpsSpec extends SparkSpec {
     val lineitem = Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
     s.sql("DROP TABLE IF EXISTS b_orders")
     s.sql("DROP TABLE IF EXISTS b_lineitem")
+    // each JVM gets a fresh in-memory catalog, so orphaned warehouse
+    // dirs from a previous run must go too
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
       .sortBy("o_orderkey").saveAsTable("b_orders")
     lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey")
