@@ -41,6 +41,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late events behind the watermark are dropped (append-mode tumble)") {
+    val s = spark
+    import s.implicits._
+    val stream = MemoryStream[Ev](s)
+    val df = stream.toDF()
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val q = EventStreams.tumble(df).writeStream
+      .format("memory").queryName("late_out").outputMode("append").start()
+    try {
+      // batch 1: window [0h,1h) gets one event; the 2h05 event pushes
+      // the watermark to 1h55 after the batch, closing [0h,1h)
+      stream.addData(Seq(Ev(1, ts(5), 1, "click"), Ev(2, ts(125), 2, "click")))
+      q.processAllAvailable()
+      // batch 2: minute-15 event is 100 min behind the watermark → must
+      // be DROPPED, not added to the already-closed [0h,1h) window
+      stream.addData(Seq(Ev(3, ts(15), 3, "click"), Ev(4, ts(130), 4, "click")))
+      q.processAllAvailable()
+      val out = s.table("late_out")
+        .select(col("hour_start").cast("string"), col("n_events")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(out("2024-01-01 00:00:00") == 1L,
+        s"late event leaked into the closed window: $out")
+    } finally q.stop()
+  }
+
   test("dedup twin drops duplicate event_id within watermark") {
     val s = spark
     import s.implicits._
