@@ -28,6 +28,24 @@ class ScaleOpsSpec extends SparkSpec {
       plain.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("date-partitioned writes are partition-pruned on read") {
+    val s = spark
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events_by_day"
+    Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    val oneDay = s.read.parquet(out).filter(col("day") === "2024-01-02")
+    val scan = oneDay.queryExecution.executedPlan.collectLeaves().head.toString
+    // the day predicate must land in PartitionFilters (pruning whole
+    // directories), not in the row-level data filters
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").contains("day"),
+      s"day filter not pushed to partition pruning:\n$scan")
+    val expected = Tables.events(s, dir)
+      .filter(to_date(col("ts")) === "2024-01-02").count()
+    assert(oneDay.count() == expected)
+  }
+
   test("bucketed co-located join runs without a shuffle exchange") {
     val s = spark
     val orders = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
