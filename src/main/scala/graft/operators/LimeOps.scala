@@ -28,6 +28,9 @@ object LimeOps {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Lime.FeatureStats]]()
   private def statsFor(s: SparkSession, dir: String): Seq[Lime.FeatureStats] =
     statsCache.computeIfAbsent(dir, d => Lime.fitStats(lineitem(s, d), limeFeatures))
+  /** For benchmarking: drop fitted artifacts so a timed pass measures
+    * the stats computation rather than a cache hit. */
+  def clearStatsCache(): Unit = statsCache.clear()
 
   /** Deterministic long instance id for lineitem rows. */
   private def withId(df: DataFrame): DataFrame =
