@@ -340,6 +340,19 @@ object LlmData {
         round(sum(length(col("word")).cast("decimal(18,2)")).cast("double") / count(lit(1)), 6).as("avg_len"))
       .orderBy("lang")
 
+  /** Token counting two ways (LLM-pipeline sizing): whitespace tokens
+    * and a BPE-ish pre-tokenizer count (letter runs / digit runs /
+    * single non-alphanumerics — the GPT-2-style split classes, minus
+    * byte-level merges). Disjoint character classes keep the regex
+    * engine-portable (Java regex vs RE2).
+    */
+  def qTextTokcount(s: SparkSession, dir: String): DataFrame =
+    docsNorm(s, dir)
+      .select(col("doc_id"),
+        size(expr("filter(split(norm_text, ' '), x -> x != '')")).as("ws_tokens"),
+        expr("regexp_count(norm_text, '[a-z]+|[0-9]+|[^a-z0-9 ]')").cast("long").as("bpe_tokens"))
+      .orderBy("doc_id")
+
   /** Exact tf-idf, top-5 terms per source:
     * idf = ln((N+1)/(df+1)) + 1 (smoothed), score = tf * idf.
     */
@@ -448,6 +461,11 @@ object LlmData {
   // ===== oracle SQL =====
 
   val oracle: Map[String, String] = Map(
+    "q_text_tokcount" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')) AS ws_tokens,
+        |  len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT doc_id, lang, source, n_chars,
@@ -566,6 +584,7 @@ object LlmData {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tokcount" -> (qTextTokcount _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
