@@ -68,6 +68,13 @@ object Lime {
     }
   }
 
+  /** HALF_UP 6-dp rounding — the one cross-engine rule (Spark round()
+    * and DuckDB ROUND are both half-up; math.rint is half-even and
+    * diverges on exact halves).
+    */
+  def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   // 19,6: >18 digits forces int128 decimal storage in DuckDB (int64
   // products of scale-6 values overflow), and 19+19 stays at the 38 cap
   private val D6 = "decimal(19,6)"
@@ -82,8 +89,7 @@ object Lime {
     // map, so 3 separate calls tripled the aggregation state. Rounding
     // moves to the driver with the same HALF_UP rule Spark's round()
     // applies to doubles.
-    def r6(v: Double): Double =
-      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(v: Double): Double = round6(v)
     val pass1 = features.flatMap { f =>
       val x = col(f).cast(D6)
       Seq(
@@ -258,12 +264,32 @@ object Lime {
       .agg(agg.toColumn.name("fit"))
       .toDF("instance_id", "fit")
 
+    // In continuous mode the instance's interpretable vector is its
+    // z-scored values (not all-ones), so the aggregator's localPred
+    // (= beta-sum) is replaced with intercept + beta . z_instance,
+    // joined back from the instances frame.
+    val fitsWithPred =
+      if (cfg.discretize) fits.withColumn("local_pred", col("fit.localPred"))
+      else {
+        val zArr = array(
+          (stats.map(st =>
+            (col(st.name) - lit(st.mean)) / lit(math.max(st.std, 1e-12))) ++
+            catFeatures.map(_ => lit(1.0))): _*)
+        val instZ = instances.select(col(idCol).as("instance_id"), zArr.as("z_inst"))
+        fits.join(instZ, "instance_id")
+          .withColumn("local_pred",
+            col("fit.intercept") + aggregate(
+              zip_with(col("fit.coefs"), col("z_inst"), (c, z) => c * z),
+              lit(0.0), (acc, x) => acc + x))
+          .drop("z_inst")
+      }
+
     val names = array(allFeatures.map(lit): _*)
-    val exploded = fits.select(
+    val exploded = fitsWithPred.select(
       col("instance_id"),
       col("fit.intercept").as("intercept"),
       col("fit.r2").as("r2"),
-      col("fit.localPred").as("local_pred"),
+      col("local_pred"),
       posexplode(col("fit.coefs")))
       .withColumn("feature", element_at(names, col("pos") + 1))
       .withColumnRenamed("col", "weight")

@@ -60,8 +60,11 @@ object LimeText {
         sum(col("keep")).as("n_kept"),
         array_sort(collect_list(struct(col("wpos"), col("keep")))).as("zs"))
       .withColumn("pred", lit(1.0) / (lit(1.0) + exp(-col("score_lin") / sqrt(col("vsize").cast("double")))))
-      // cosine(mask, ones) = sqrt(Σz/|V|); distance = 1 - cosine
-      .withColumn("dist", lit(1.0) - sqrt(col("n_kept") / col("vsize").cast("double")))
+      // cosine(mask, ones) = sqrt(Σz/|V|); distance = (1 - cosine)·100 —
+      // the ×100 matches the public implementation, which scales cosine
+      // distance by 100 against its default kernel width of 25 (without
+      // it the kernel is ~constant and locality weighting is lost)
+      .withColumn("dist", (lit(1.0) - sqrt(col("n_kept") / col("vsize").cast("double"))) * 100.0)
       .withColumn("kweight", Lime.kernel(col("dist"), cfg.kernelWidth.getOrElse(25.0)))
 
     val fits = persample

@@ -43,7 +43,10 @@ object EventOps {
       .withColumn("prev_ts", lag(col("ts"), 1).over(byTs))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-             unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1)
+             // >= so a gap of exactly 30 min starts a new session —
+             // the same boundary as streaming session_window's
+             // half-open [start, last + gap) extent
+             unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= 30L * 60 * 1000000, 1)
           .otherwise(0))
       .withColumn("session_id", sum(col("new_session")).over(cum))
       .groupBy("user_id", "session_id")
@@ -126,7 +129,7 @@ object EventOps {
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts,
         |    CASE WHEN LAG(ts) OVER w IS NULL
-        |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+        |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

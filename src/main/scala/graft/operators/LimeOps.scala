@@ -47,7 +47,7 @@ object LimeOps {
     val session = s
     import session.implicits._
     stats.map(st => (st.name,
-        math.rint(st.mean * 1e6) / 1e6, math.rint(st.std * 1e6) / 1e6,
+        Lime.round6(st.mean), Lime.round6(st.std),
         st.edges(0), st.edges(1), st.edges(2)))
       .toDF("feature", "mean", "std", "q1", "q2", "q3")
       .orderBy("feature")

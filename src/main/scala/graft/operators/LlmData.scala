@@ -32,8 +32,13 @@ object LlmData {
   private def shingled(s: SparkSession, dir: String): DataFrame =
     docsNorm(s, dir)
       .withColumn("w", split(col("norm_text"), " "))
-      .withColumn("shingles", array_distinct(expr(
-        "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))")))
+      // guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty
+      // (and w[i] throws under ANSI mode), so sub-two-word docs need an
+      // explicit empty shingle set — matching DuckDB's empty
+      // generate_series(1, 0)
+      .withColumn("shingles", when(size(col("w")) < 2, array().cast("array<string>"))
+        .otherwise(array_distinct(expr(
+          "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))"))))
       .select("doc_id", "shingles")
 
   // ===== dedup =====
@@ -390,7 +395,10 @@ object LlmData {
     * determinism. Output is the per-lang confusion matrix.
     */
   def qTextLangid(s: SparkSession, dir: String): DataFrame = {
+    // same sequence(1, 0)-descends guard as shingled(): sub-two-char
+    // docs contribute no bigrams (as in the oracle's generate_series)
     val bigrams = docsNorm(s, dir)
+      .filter(length(col("norm_text")) >= 2)
       .select(col("doc_id"), col("lang"),
         explode(expr("transform(sequence(1, length(norm_text) - 1), i -> substring(norm_text, i, 2))")).as("bg"))
     val model = bigrams.groupBy(col("lang").as("m_lang"), col("bg")).agg(count(lit(1)).as("cnt"))

@@ -21,7 +21,6 @@ object EventStreams {
     */
   def readEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = graft.Tables.events(s, dir).schema
     // streaming source needs an explicit schema (pre-ts-conversion)
     // FileStreamSource wants a directory; glob the single harness file
     val raw = s.readStream
@@ -61,12 +60,23 @@ object EventStreams {
               col("session_window.end").as("session_end"),
               col("user_id"), col("n_events"))
 
+  /** First event per (user_id, event_type) — the same key set as the
+    * batch twin qEvDedupStream (event_id alone is unique in this data,
+    * which would make the dedup a no-op).
+    */
   def dedup(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
-      .dropDuplicatesWithinWatermark("event_id")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
 
   // ===== stateful funnel (flatMapGroupsWithState) =====
+
+  /** Full-precision event time: getTime truncates to milliseconds,
+    * which would break strict ordering comparisons against the batch
+    * twin's unix_micros for same-millisecond events.
+    */
+  private def tsMicros(t: Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
 
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
   case class FunnelState(signupUs: Option[Long], clickUs: Option[Long], purchaseUs: Option[Long])
@@ -92,8 +102,8 @@ object EventStreams {
             var st = state.getOption.getOrElse(FunnelState(None, None, None))
             val done0 = st.purchaseUs.isDefined
             // process in event-time order for correct funnel ordering
-            evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-              val us = e.ts.getTime * 1000
+            evs.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+              val us = tsMicros(e.ts)
               e.event_type match {
                 case "signup" if st.signupUs.isEmpty => st = st.copy(signupUs = Some(us))
                 case "click" if st.signupUs.isDefined && st.clickUs.isEmpty &&

@@ -9,6 +9,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getDouble(0) == 32.0)
   }
 
+  test("wrong argument types are rejected at analysis time") {
+    // int arrays would be silently reinterpreted as garbage doubles
+    val e = intercept[Exception] {
+      spark.sql("SELECT dot_f64(array(1, 2), array(3, 4))").head()
+    }
+    assert(e.getMessage.contains("dot_f64"), e.getMessage)
+  }
+
   test("bitset_intersect_count callable from SQL") {
     val r = spark.sql(
       "SELECT bitset_intersect_count(array(7L, 1L), array(5L, 3L)) AS c").head()
