@@ -72,14 +72,24 @@ object LlmData {
     // ascending and join only on the first |s| − ⌈τ·|s|⌉ + 1 tokens —
     // two sets with Jaccard ≥ τ must share a prefix token — then
     // verify candidates exactly. Both paths produce identical output.
-    val tau = 0.3
-    val sh = shingled(s, dir).select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
+    jaccardPairs(
+      shingled(s, dir).select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz")),
+      tau = 0.3, s)
+  }
+
+  /** Exact Jaccard pair join over (doc_id, shingles, sz), strategy
+    * picked by vocabulary size (see qDedupJaccard). `denseVocabMax` is
+    * the crossover, exposed so tests can force either path and assert
+    * identical output.
+    */
+  private[graft] def jaccardPairs(sh: DataFrame, tau: Double,
+                                  s: SparkSession, denseVocabMax: Int = 16384): DataFrame = {
     val tokens = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
       .cache() // read 3×: vocabulary sizing, id assignment, bitset build
     val vocab = tokens.select("sh").distinct()
     val v = vocab.count().toInt
     val verified =
-      if (v <= 16384) {
+      if (v <= denseVocabMax) {
         val nWords = (v + 63) / 64
         // V is bounded here, so the single-partition id window is fine.
         val ids = vocab.withColumn("id", row_number().over(Window.orderBy("sh")) - 1)

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.LlmData
+import org.apache.spark.sql.functions.{col, size}
 
 /** Grades the non-oracle LLM-data operators (§2.8) against their exact
   * counterparts and checks partition-layout determinism.
@@ -60,6 +61,25 @@ class LlmDataSpec extends SparkSpec {
     assert(ivf1.toSeq == ivf2.toSeq, "IVF result drifted between runs")
     val recall = exact.count(ivf1.toSet.contains).toDouble / exact.size
     assert(recall >= 0.5, s"IVF recall $recall vs brute force")
+  }
+
+  test("jaccard: bitset and prefix-filter strategies produce identical pairs") {
+    val s = spark
+    import s.implicits._
+    // synthetic corpus with controlled overlap: shared prefixes create
+    // pairs above and below the threshold
+    val docs = (0 until 60).map { i =>
+      val base = (0 until 30).map(k => s"tok${(i / 3) * 40 + k}")  // groups of 3 share 30 tokens
+      val own = (0 until i % 7).map(k => s"own${i}_$k")
+      (i.toLong, (base ++ own).toArray)
+    }.toDF("doc_id", "shingles")
+      .withColumn("sz", size(col("shingles")))
+    val dense = LlmData.jaccardPairs(docs, 0.3, s, denseVocabMax = Int.MaxValue)
+      .collect().map(_.toString).toSeq
+    val sparse = LlmData.jaccardPairs(docs, 0.3, s, denseVocabMax = 0)
+      .collect().map(_.toString).toSeq
+    assert(dense.nonEmpty, "fixture should produce pairs")
+    assert(dense == sparse, s"strategies diverge:\ndense=$dense\nsparse=$sparse")
   }
 
   test("fingerprints stable across partition layouts and runs") {
