@@ -63,6 +63,12 @@ object EventStreams {
   /** First event per (user_id, event_type) — the same key set as the
     * batch twin qEvDedupStream (event_id alone is unique in this data,
     * which would make the dedup a no-op).
+    *
+    * Caveat: dropDuplicatesWithinWatermark keeps the first ARRIVING
+    * record per key; the batch twin keeps the earliest by event time.
+    * These coincide for in-order streams — for an out-of-order source
+    * where the distinction matters, use a flatMapGroupsWithState
+    * min-by-event-time variant (cf. funnel below) instead.
     */
   def dedup(events: DataFrame): DataFrame =
     events
