@@ -411,7 +411,9 @@ object LlmData {
       .filter(length(col("norm_text")) >= 2)
       .select(col("doc_id"), col("lang"),
         explode(expr("transform(sequence(1, length(norm_text) - 1), i -> substring(norm_text, i, 2))")).as("bg"))
+      .cache() // read twice: model fit and per-doc scoring
     val model = bigrams.groupBy(col("lang").as("m_lang"), col("bg")).agg(count(lit(1)).as("cnt"))
+      .cache() // read twice: lang totals and the broadcast scoring join
     val totals = model.groupBy("m_lang").agg(sum(col("cnt")).as("tot"))
     val langs = totals.select("m_lang", "tot")
     // Pre-aggregate per-doc bigram occurrence counts before scoring:

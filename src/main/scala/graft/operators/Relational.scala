@@ -449,6 +449,20 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Event-time range frame: per event, activity of the same user in
+    * the preceding hour (RANGE BETWEEN INTERVAL ... on the timestamp,
+    * expressed as a microsecond range frame).
+    */
+  def qWinRangeInterval(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000, 0)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w).as("events_last_hour"),
+        sum(col("value").cast("decimal(18,2)")).over(w).as("value_last_hour"))
+      .orderBy("event_id")
+  }
+
   val oracle: Map[String, String] = Map(
     "q_scan_parquet" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
@@ -636,6 +650,14 @@ object Relational {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+    "q_win_range_interval" ->
+      """SELECT event_id, user_id, ts,
+        |  COUNT(*) OVER w AS events_last_hour,
+        |  SUM(CAST(value AS DECIMAL(18,2))) OVER w AS value_last_hour
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q_win_cumsum" ->
       """WITH daily AS (
         |  SELECT l_returnflag, CAST(l_shipdate AS DATE) AS day,
@@ -758,6 +780,7 @@ object Relational {
     "q_win_topk_group" -> (qWinTopkGroup _),
     "q_win_movavg" -> (qWinMovavg _),
     "q_win_lag_lead" -> (qWinLagLead _),
+    "q_win_range_interval" -> (qWinRangeInterval _),
     "q_win_cumsum" -> (qWinCumsum _),
     "q_win_ntile_pctrank" -> (qWinNtilePctrank _),
     "q_sort_limit" -> (qSortLimit _),
