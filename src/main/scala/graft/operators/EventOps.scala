@@ -25,6 +25,22 @@ object EventOps {
       .agg(count(lit(1)).as("n_events"), sum(d2(col("value"))).as("sum_value"))
       .orderBy("hour_start", "event_type")
 
+  /** Time-series gap filling: a full hour spine from min to max event
+    * time, left-joined with hourly counts so silent hours appear as
+    * zero rows. The spine stays O(hours) regardless of event volume.
+    */
+  def qEvGapfill(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(count(lit(1)).as("n_events"))
+    val spine = ev
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"), date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour_start"))
+    spine.join(hourly, Seq("hour_start"), "left")
+      .select(col("hour_start"), coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("hour_start")
+  }
+
   /** Sliding 1-hour window, 15-minute slide, per-user activity. */
   def qEvSlide(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
@@ -114,6 +130,13 @@ object EventOps {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q_ev_gapfill" ->
+      """WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start FROM b),
+        |hourly AS (SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n_events FROM events GROUP BY 1)
+        |SELECT s.hour_start, COALESCE(h.n_events, 0) AS n_events
+        |FROM spine s LEFT JOIN hourly h USING (hour_start)
+        |ORDER BY hour_start""".stripMargin,
     "q_ev_slide" ->
       """WITH expanded AS (
         |  SELECT make_timestamp((epoch_us(ts) // 900000000 - k) * 900000000) AS win_start,
@@ -176,6 +199,7 @@ object EventOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_tumble" -> (qEvTumble _),
     "q_ev_slide" -> (qEvSlide _),
+    "q_ev_gapfill" -> (qEvGapfill _),
     "q_ev_session" -> (qEvSession _),
     "q_ev_late_watermark" -> (qEvLateWatermark _),
     "q_ev_funnel" -> (qEvFunnel _),

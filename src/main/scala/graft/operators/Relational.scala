@@ -192,6 +192,22 @@ object Relational {
       .orderBy("region_name", "nation_name")
   }
 
+  /** Explicit GROUPING SETS with grouping() flags, through the SQL
+    * entry point (rollup/cube cover the DataFrame route).
+    */
+  def qAggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+    s.sql("""
+      SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+             COALESCE(l_linestatus, 'ALL') AS linestatus,
+             grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+             COUNT(*) AS n_rows
+      FROM lineitem_gs
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY returnflag, linestatus, g_rf, g_ls""")
+  }
+
   def qAggCube(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir)
       .cube("l_returnflag", "l_linestatus")
@@ -586,6 +602,15 @@ object Relational {
         |  string_agg(DISTINCT CAST(year(l_shipdate) AS VARCHAR), ',' ORDER BY CAST(year(l_shipdate) AS VARCHAR)) AS ship_years,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus, g_rf, g_ls""".stripMargin,
     "q_agg_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, COALESCE(l_linestatus, 'ALL') AS linestatus,
         |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, COUNT(*) AS n_rows
@@ -772,6 +797,7 @@ object Relational {
     "q_agg_pivot" -> (qAggPivot _),
     "q_win_firstlast" -> (qWinFirstLast _),
     "q_expr_stragg" -> (qExprStragg _),
+    "q_agg_grouping_sets" -> (qAggGroupingSets _),
     "q_agg_cube" -> (qAggCube _),
     "q_agg_stats" -> (qAggStats _),
     "q_agg_quantile" -> (qAggQuantile _),
