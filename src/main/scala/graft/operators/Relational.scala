@@ -192,6 +192,21 @@ object Relational {
       .orderBy("region_name", "nation_name")
   }
 
+  /** Correlated scalar subquery through the SQL entry point —
+    * Catalyst decorrelates it into a left outer aggregate join
+    * (RewriteCorrelatedScalarSubquery), so no per-row execution.
+    */
+  def qExprScalarSubq(s: SparkSession, dir: String): DataFrame = {
+    orders(s, dir).createOrReplaceTempView("orders_sq")
+    lineitem(s, dir).createOrReplaceTempView("lineitem_sq")
+    s.sql("""
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+             (SELECT CAST(MAX(l_extendedprice) AS DECIMAL(18,2))
+              FROM lineitem_sq WHERE l_orderkey = o_orderkey) AS max_item_price
+      FROM orders_sq
+      ORDER BY o_orderkey""")
+  }
+
   /** Explicit GROUPING SETS with grouping() flags, through the SQL
     * entry point (rollup/cube cover the DataFrame route).
     */
@@ -602,6 +617,12 @@ object Relational {
         |  string_agg(DISTINCT CAST(year(l_shipdate) AS VARCHAR), ',' ORDER BY CAST(year(l_shipdate) AS VARCHAR)) AS ship_years,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_expr_scalar_subq" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+        |  (SELECT CAST(MAX(l_extendedprice) AS DECIMAL(18,2))
+        |   FROM lineitem WHERE l_orderkey = o_orderkey) AS max_item_price
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
     "q_agg_grouping_sets" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS linestatus,
@@ -797,6 +818,7 @@ object Relational {
     "q_agg_pivot" -> (qAggPivot _),
     "q_win_firstlast" -> (qWinFirstLast _),
     "q_expr_stragg" -> (qExprStragg _),
+    "q_expr_scalar_subq" -> (qExprScalarSubq _),
     "q_agg_grouping_sets" -> (qAggGroupingSets _),
     "q_agg_cube" -> (qAggCube _),
     "q_agg_stats" -> (qAggStats _),
