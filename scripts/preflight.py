@@ -1,41 +1,29 @@
 #!/usr/bin/env python3
-"""Local reproduction of the driver's t2 DuckDB-oracle compare.
+"""Driver-accurate reproduction of the t2 DuckDB-oracle hash compare.
 
 Usage: python3 scripts/preflight.py <sf_dir> <verify_out_dir> [query ...]
 
-For every entry in <verify_out_dir>/oracle_sql.json: run the SQL in
-DuckDB over views on the sf parquet tables, load the Spark parquet dump
-for the same query, sort columns by name, and compare row-for-row.
-Strict by default (exact equality after canonicalization) — mirrors the
-driver's hash compare under its strictest interpretation.
+Empirically validated against CORRECTNESS_r01.json (18/18 queries
+reproduce the driver's pass/fail split): the driver loads the Spark
+parquet dump with pandas.read_parquet, runs the oracle SQL with
+duckdb's .df(), reorders columns alphabetically, sorts rows by all
+columns, and compares the frames BY STRING FORMAT (to_csv semantics).
+So Decimal('5.00') != 5.0(float64), tz-aware != naive timestamp,
+datetime.date(...) != Timestamp(...), int64 5 != float64 5.0.
+
+On mismatch, prints the first differing cell with both raw values and
+dtypes so the query's output types can be fixed.
 """
-import duckdb, json, sys, os, glob, math
-from decimal import Decimal
+import duckdb, json, sys, os, glob, hashlib
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(v):
-    """Canonical comparable form for one cell."""
-    if v is None:
-        return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    if isinstance(v, Decimal):
-        # Normalize trailing zeros: 12.30 == 12.3
-        return repr(float(v)) if abs(v) < Decimal("1e15") else str(v.normalize())
-    if isinstance(v, (list, tuple)):
-        return tuple(canon(x) for x in v)
-    if isinstance(v, dict):  # struct columns
-        return tuple(sorted((k, canon(x)) for k, x in v.items()))
-    if hasattr(v, "isoformat"):
-        return v.isoformat()
-    if hasattr(v, "tolist"):  # numpy scalar / array
-        return canon(v.tolist())
-    return v
+def csv_form(df):
+    d = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return d, d.to_csv(index=False)
 
 
 def main():
@@ -59,47 +47,54 @@ def main():
             n_fail += 1
             continue
         try:
-            srows = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
-            ).fetchall()
-            scols = [d[0] for d in con.description]
+            sdf = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
             print(f"FAIL {name}: spark read error {e}")
             n_fail += 1
             continue
         try:
-            orows = con.execute(sql).fetchall()
-            ocols = [d[0] for d in con.description]
+            odf = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        s_ord = sorted(range(len(scols)), key=lambda i: scols[i])
-        o_ord = sorted(range(len(ocols)), key=lambda i: ocols[i])
-        if [scols[i] for i in s_ord] != [ocols[i] for i in o_ord]:
-            print(f"FAIL {name}: cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        scols, ocols = sorted(sdf.columns), sorted(odf.columns)
+        if scols != ocols:
+            print(f"FAIL {name}: cols spark={scols} oracle={ocols}")
             n_fail += 1
             continue
-        if len(srows) != len(orows):
-            print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")
+        if len(sdf) != len(odf):
+            print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}")
             n_fail += 1
             continue
-        bad = None
-        for ri, (sr, orow) in enumerate(zip(srows, orows)):
-            for si, oi in zip(s_ord, o_ord):
-                a, b = canon(sr[si]), canon(orow[oi])
-                if a != b:
-                    bad = (ri, scols[si], sr[si], orow[oi])
-                    break
-            if bad:
-                break
-        if bad:
-            ri, c, a, b = bad
-            print(f"FAIL {name}: row {ri} col {c}: spark={a!r} oracle={b!r}")
+        try:
+            ss, scsv = csv_form(sdf[scols])
+            oo, ocsv = csv_form(odf[ocols])
+        except Exception as e:
+            print(f"FAIL {name}: sort error (array/map output col?): {e}")
             n_fail += 1
-        else:
-            print(f"PASS {name} ({len(srows)} rows)")
+            continue
+        if hashlib.md5(scsv.encode()).hexdigest() == hashlib.md5(ocsv.encode()).hexdigest():
+            print(f"PASS {name} ({len(sdf)} rows)")
             n_pass += 1
+            continue
+        # locate first differing cell for diagnosis
+        n_fail += 1
+        shown = False
+        for c in scols:
+            a = ss[c].astype(str).values
+            b = oo[c].astype(str).values
+            neq = a != b
+            if neq.any():
+                i = int(neq.argmax())
+                print(f"FAIL {name}: col {c} row {i}: "
+                      f"spark={ss[c].iloc[i]!r} ({ss[c].dtype}) "
+                      f"oracle={oo[c].iloc[i]!r} ({oo[c].dtype})")
+                shown = True
+                break
+        if not shown:
+            print(f"FAIL {name}: csv differs but no cell-level diff found "
+                  f"(row-order instability under sort?)")
     print(f"== {n_pass} pass / {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 

@@ -15,11 +15,18 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    // Cold-start the timed pass: drop fitted-artifact caches AND every
+    // cached DataFrame subtree (minhash signatures, packed bitsets, …)
+    // so the timed loop measures real recomputation, not cache replay.
     graft.operators.LimeOps.clearStatsCache()
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // A failed query is reported as -elapsed (negative) so a
+      // regression that fails fast cannot masquerade as a speedup.
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) elapsed else -elapsed)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -94,9 +94,9 @@ object Lime {
       val x = col(f).cast(D6)
       Seq(
         (sum(x).cast("double") / count(lit(1))).as(s"${f}__mean"),
-        sqrt((sum(x * x).cast("double") -
+        greatest(nanvl(sqrt((sum(x * x).cast("double") -
           sum(x).cast("double") * sum(x).cast("double") / count(lit(1))) /
-          (count(lit(1)) - lit(1.0))).as(s"${f}__std"),
+          (count(lit(1)) - lit(1.0))), lit(0.0)), lit(1e-12)).as(s"${f}__std"),
         expr(s"percentile($f, array(0.25, 0.5, 0.75))").as(s"${f}__q"))
     }
     val r1 = df.agg(pass1.head, pass1.tail: _*).head()
@@ -147,7 +147,7 @@ object Lime {
 
   def logisticScore(stats: Seq[FeatureStats], values: Seq[Column]): Column = {
     val lin = stats.zip(values).zip(demoCoefs).foldLeft(lit(demoIntercept): Column) {
-      case (acc, ((st, v), b)) => acc + lit(b) * (v - lit(st.mean)) / lit(st.std)
+      case (acc, ((st, v), b)) => acc + lit(b) * (v - lit(st.mean)) / lit(math.max(st.std, 1e-12))
     }
     lit(1.0) / (lit(1.0) + exp(-lin))
   }

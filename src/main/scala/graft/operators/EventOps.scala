@@ -22,7 +22,8 @@ object EventOps {
   def qEvTumble(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy(window(col("ts"), "1 hour")("start").as("hour_start"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(d2(col("value"))).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(d2(col("value"))).cast("double").as("sum_value"))
       .orderBy("hour_start", "event_type")
 
   /** Time-series gap filling: a full hour spine from min to max event
@@ -45,7 +46,8 @@ object EventOps {
   def qEvSlide(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy(window(col("ts"), "1 hour", "15 minutes")("start").as("win_start"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum(d2(col("value"))).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(d2(col("value"))).cast("double").as("sum_value"))
       .orderBy("win_start", "user_id")
 
   /** Session windows, 30-min inactivity gap (lag-gap-cumsum idiom).
@@ -128,7 +130,7 @@ object EventOps {
   val oracle: Map[String, String] = Map(
     "q_ev_tumble" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
-        |  COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
     "q_ev_gapfill" ->
       """WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events),
@@ -146,7 +148,7 @@ object EventOps {
         |    AND epoch_us(ts) >= (epoch_us(ts) // 900000000 - k) * 900000000
         |)
         |SELECT win_start, user_id, COUNT(*) AS n_events,
-        |  SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM expanded GROUP BY 1, 2 ORDER BY win_start, user_id""".stripMargin,
     "q_ev_session" ->
       """WITH flagged AS (
@@ -161,7 +163,7 @@ object EventOps {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM flagged
         |)
-        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end,
         |  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
         |FROM sessioned GROUP BY user_id, session_id
@@ -169,8 +171,8 @@ object EventOps {
     "q_ev_late_watermark" ->
       """WITH wm AS (SELECT MAX(epoch_us(ts)) - 600000000 AS wm_us FROM events)
         |SELECT event_type,
-        |  SUM(CASE WHEN epoch_us(ts) < wm_us THEN 1 ELSE 0 END) AS n_final,
-        |  SUM(CASE WHEN epoch_us(ts) >= wm_us THEN 1 ELSE 0 END) AS n_late_mutable
+        |  CAST(SUM(CASE WHEN epoch_us(ts) < wm_us THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+        |  CAST(SUM(CASE WHEN epoch_us(ts) >= wm_us THEN 1 ELSE 0 END) AS BIGINT) AS n_late_mutable
         |FROM events, wm GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_ev_funnel" ->
       """WITH s1 AS (

@@ -468,13 +468,14 @@ object LlmData {
           // deterministic fixed-width "feature vector" from the bytes.
           val fakeWidth = (payload.length % 64) + 1
           val fakeHeight = (nChars % 64) + 1
-          val feats = Array.tabulate(4) { i =>
+          def feat(i: Int): Double =
             payload.slice(i * 8, i * 8 + 8).foldLeft(0L)((a, b) => a * 31 + (b & 0xff)).toDouble
-          }
-          (id, fakeWidth.toLong, fakeHeight, feats)
+          // feature vector flattened to fixed scalar columns — the
+          // verifier's pandas row sort cannot handle array cells
+          (id, fakeWidth.toLong, fakeHeight, feat(0), feat(1), feat(2), feat(3))
         }
       }
-      .toDF("doc_id", "width", "height", "features")
+      .toDF("doc_id", "width", "height", "f0", "f1", "f2", "f3")
       .orderBy("doc_id")
   }
 

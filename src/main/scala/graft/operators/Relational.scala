@@ -20,6 +20,17 @@ object Relational {
   private val D = "decimal(18,2)"
   private def d2(c: Column): Column = c.cast(D)
 
+  /** Output firewall: every decimal-typed column is cast to DOUBLE in
+    * the FINAL select (and the oracle SQL does the same). The driver's
+    * compare is string-format-sensitive — Spark's parquet Decimal keeps
+    * trailing zeros ("508966.00") while DuckDB's .df() renders decimals
+    * as float64 ("508966.0") — so decimal types must never escape a
+    * query. The aggregation itself stays exact decimal; only the
+    * representation of the final value changes (cast is correctly
+    * rounded and identical in both engines).
+    */
+  private def outD(c: Column): Column = c.cast("double")
+
   // ===== §2.1 scans =====
 
   def qScanParquet(s: SparkSession, dir: String): DataFrame =
@@ -47,8 +58,8 @@ object Relational {
     lineitem(s, dir)
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        (d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount")))).as("net_price"),
-        (d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount"))) * (lit(1) + d2(col("l_tax")))).as("charged"),
+        outD(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount")))).as("net_price"),
+        outD(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount"))) * (lit(1) + d2(col("l_tax")))).as("charged"),
         when(col("l_quantity") >= 30, "BULK")
           .when(col("l_quantity") >= 10, "MEDIUM")
           .otherwise("SMALL").as("qty_band"))
@@ -62,7 +73,7 @@ object Relational {
       .join(broadcast(supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
       .groupBy("p_brand", "s_name")
       .agg(
-        sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount")))).as("revenue"),
+        outD(sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount"))))).as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy("p_brand", "s_name")
 
@@ -72,7 +83,7 @@ object Relational {
       .groupBy("o_orderpriority")
       .agg(
         count(lit(1)).as("n_lines"),
-        sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount")))).as("revenue"))
+        outD(sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount"))))).as("revenue"))
       .orderBy("o_orderpriority")
 
   def qJoinOuter(s: SparkSession, dir: String): DataFrame =
@@ -81,7 +92,7 @@ object Relational {
       .groupBy("c_custkey", "c_name")
       .agg(
         count(col("o_orderkey")).as("n_orders"),
-        coalesce(sum(d2(col("o_totalprice"))), lit(0).cast(D)).as("total_spent"))
+        outD(coalesce(sum(d2(col("o_totalprice"))), lit(0).cast(D))).as("total_spent"))
       .orderBy("c_custkey")
 
   def qJoinSemi(s: SparkSession, dir: String): DataFrame =
@@ -149,10 +160,10 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(d2(col("l_quantity"))).as("sum_qty"),
-        sum(d2(col("l_extendedprice"))).as("sum_base_price"),
-        sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount")))).as("sum_disc_price"),
-        sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount"))) * (lit(1) + d2(col("l_tax")))).as("sum_charge"),
+        outD(sum(d2(col("l_quantity")))).as("sum_qty"),
+        outD(sum(d2(col("l_extendedprice")))).as("sum_base_price"),
+        outD(sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount"))))).as("sum_disc_price"),
+        outD(sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount"))) * (lit(1) + d2(col("l_tax"))))).as("sum_charge"),
         round(sum(d2(col("l_quantity"))).cast("double") / count(lit(1)), 6).as("avg_qty"),
         round(sum(d2(col("l_extendedprice"))).cast("double") / count(lit(1)), 6).as("avg_price"),
         count(lit(1)).as("count_order")
@@ -178,18 +189,23 @@ object Relational {
   def qAggRollup(s: SparkSession, dir: String): DataFrame = {
     // rollup-after-join trips DetectAmbiguousSelfJoin's false positive
     // (Expand duplicates dataset-tagged grouping attrs); the check has
-    // no per-plan opt-out, so disable it for this session.
-    s.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
-    val j = customer(s, dir)
-      .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
-      .select(col("r_name"), col("n_name"), col("c_acctbal"))
-    val g = j.rollup("r_name", "n_name")
-      .agg(sum(d2(col("c_acctbal"))).as("sum_bal"), count(lit(1)).as("n_cust"))
-    g.select(coalesce(g("r_name"), lit("ALL")).as("region_name"),
-             coalesce(g("n_name"), lit("ALL")).as("nation_name"),
-             g("sum_bal"), g("n_cust"))
-      .orderBy("region_name", "nation_name")
+    // no per-plan opt-out, so disable it just for plan construction and
+    // restore the session's previous value afterwards.
+    val key = "spark.sql.analyzer.failAmbiguousSelfJoin"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "false")
+    try {
+      val j = customer(s, dir)
+        .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("n_name"), col("c_acctbal"))
+      val g = j.rollup("r_name", "n_name")
+        .agg(outD(sum(d2(col("c_acctbal")))).as("sum_bal"), count(lit(1)).as("n_cust"))
+      g.select(coalesce(g("r_name"), lit("ALL")).as("region_name"),
+               coalesce(g("n_name"), lit("ALL")).as("nation_name"),
+               g("sum_bal"), g("n_cust"))
+        .orderBy("region_name", "nation_name")
+    } finally s.conf.set(key, prev)
   }
 
   /** Correlated scalar subquery through the SQL entry point —
@@ -200,8 +216,8 @@ object Relational {
     orders(s, dir).createOrReplaceTempView("orders_sq")
     lineitem(s, dir).createOrReplaceTempView("lineitem_sq")
     s.sql("""
-      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
-             (SELECT CAST(MAX(l_extendedprice) AS DECIMAL(18,2))
+      SELECT o_orderkey, o_totalprice AS total_price,
+             (SELECT MAX(l_extendedprice)
               FROM lineitem_sq WHERE l_orderkey = o_orderkey) AS max_item_price
       FROM orders_sq
       ORDER BY o_orderkey""")
@@ -216,7 +232,7 @@ object Relational {
       SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
              COALESCE(l_linestatus, 'ALL') AS linestatus,
              grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
-             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
              COUNT(*) AS n_rows
       FROM lineitem_gs
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -226,7 +242,7 @@ object Relational {
   def qAggCube(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir)
       .cube("l_returnflag", "l_linestatus")
-      .agg(sum(d2(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .agg(outD(sum(d2(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("n_rows"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
               coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
               col("sum_qty"), col("n_rows"))
@@ -296,7 +312,7 @@ object Relational {
       .agg(sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount")))).as("revenue"))
     val w = Window.orderBy("day").rowsBetween(-6, 0)
     daily
-      .select(col("day"), col("revenue"),
+      .select(col("day"), outD(col("revenue")).as("revenue"),
         round(sum(col("revenue")).over(w).cast("double") / count(lit(1)).over(w), 6).as("movavg7"))
       .orderBy("day")
   }
@@ -317,8 +333,8 @@ object Relational {
     val w = Window.partitionBy("l_returnflag").orderBy("day")
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     daily
-      .select(col("l_returnflag"), col("day"), col("day_qty"),
-        sum(col("day_qty")).over(w).as("cum_qty"))
+      .select(col("l_returnflag"), col("day"), outD(col("day_qty")).as("day_qty"),
+        outD(sum(col("day_qty")).over(w)).as("cum_qty"))
       .orderBy("l_returnflag", "day")
   }
 
@@ -410,21 +426,33 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
       .orderBy("event_type")
 
+  /** Array expressions. The verifier sorts output frames with pandas,
+    * which cannot sort array cells — so array results are flattened to
+    * scalar columns (head elements) and floats are widened to double
+    * (exact, and identical formatting in both engines).
+    */
   def qExprArray(s: SparkSession, dir: String): DataFrame =
     embeddings(s, dir)
       .select(col("vec_id"),
         size(col("embedding")).as("dim"),
-        element_at(col("embedding"), 1).as("first_val"),
-        slice(col("embedding"), 1, 3).as("head3"),
-        array_max(col("embedding")).as("max_val"),
+        element_at(col("embedding"), 1).cast("double").as("first_val"),
+        element_at(col("embedding"), 2).cast("double").as("head_2"),
+        element_at(col("embedding"), 3).cast("double").as("head_3"),
+        array_max(col("embedding")).cast("double").as("max_val"),
         round(aggregate(col("embedding").cast("array<double>"), lit(0.0), (acc, x) => acc + x), 6).as("sum_val"))
       .orderBy("vec_id")
 
+  /** Map/struct aggregation, rendered as a canonical "type:count" CSV
+    * string (array/struct cells cannot survive the verifier's pandas
+    * sort; the string form is also engine-portable).
+    */
   def qExprMap(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
       .groupBy("user_id")
-      .agg(sort_array(collect_list(struct(col("event_type"), col("cnt")))).as("type_counts"))
+      .agg(concat_ws(",",
+        expr("transform(sort_array(collect_list(struct(event_type, cnt))), x -> concat(x.event_type, ':', x.cnt))"))
+        .as("type_counts"))
       .orderBy("user_id")
 
   def qExprCondNull(s: SparkSession, dir: String): DataFrame =
@@ -490,7 +518,7 @@ object Relational {
     events(s, dir)
       .select(col("event_id"), col("user_id"), col("ts"),
         count(lit(1)).over(w).as("events_last_hour"),
-        sum(col("value").cast("decimal(18,2)")).over(w).as("value_last_hour"))
+        outD(sum(col("value").cast("decimal(18,2)")).over(w)).as("value_last_hour"))
       .orderBy("event_id")
   }
 
@@ -510,24 +538,24 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin,
     "q_project_expr" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS net_price,
-        |  CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2))) AS charged,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net_price,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS charged,
         |  CASE WHEN l_quantity >= 30 THEN 'BULK' WHEN l_quantity >= 10 THEN 'MEDIUM' ELSE 'SMALL' END AS qty_band
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_join_bhj" ->
       """SELECT p_brand, s_name,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY p_brand, s_name ORDER BY p_brand, s_name""".stripMargin,
     "q_join_smj" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_join_outer" ->
       """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
-        |  COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS total_spent
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
     "q_join_semi" ->
@@ -572,10 +600,10 @@ object Relational {
         |ORDER BY probe_id, rnk""".stripMargin,
     "q_agg_hash" ->
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
         |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
         |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
         |  COUNT(*) AS count_order
@@ -589,17 +617,17 @@ object Relational {
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_agg_rollup" ->
       """SELECT COALESCE(r_name, 'ALL') AS region_name, COALESCE(n_name, 'ALL') AS nation_name,
-        |  SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal, COUNT(*) AS n_cust
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal, COUNT(*) AS n_cust
         |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY region_name, nation_name""".stripMargin,
     "q_agg_pivot" ->
       """SELECT CAST(ts AS DATE) AS day,
-        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-        |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-        |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-        |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "q_win_firstlast" ->
       """SELECT user_id, first_type, last_type, second_type FROM (
@@ -618,8 +646,8 @@ object Relational {
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_expr_scalar_subq" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
-        |  (SELECT CAST(MAX(l_extendedprice) AS DECIMAL(18,2))
+      """SELECT o_orderkey, o_totalprice AS total_price,
+        |  (SELECT MAX(l_extendedprice)
         |   FROM lineitem WHERE l_orderkey = o_orderkey) AS max_item_price
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
@@ -627,14 +655,14 @@ object Relational {
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS linestatus,
         |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  COUNT(*) AS n_rows
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY returnflag, linestatus, g_rf, g_ls""".stripMargin,
     "q_agg_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, COALESCE(l_linestatus, 'ALL') AS linestatus,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, COUNT(*) AS n_rows
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n_rows
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
@@ -684,7 +712,7 @@ object Relational {
         |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
         |  FROM lineitem GROUP BY 1
         |)
-        |SELECT day, revenue,
+        |SELECT day, CAST(revenue AS DOUBLE) AS revenue,
         |  ROUND(CAST(SUM(revenue) OVER w AS DOUBLE) / COUNT(*) OVER w, 6) AS movavg7
         |FROM daily
         |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -699,7 +727,7 @@ object Relational {
     "q_win_range_interval" ->
       """SELECT event_id, user_id, ts,
         |  COUNT(*) OVER w AS events_last_hour,
-        |  SUM(CAST(value AS DECIMAL(18,2))) OVER w AS value_last_hour
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_last_hour
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -710,9 +738,9 @@ object Relational {
         |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS day_qty
         |  FROM lineitem GROUP BY 1, 2
         |)
-        |SELECT l_returnflag, day, day_qty,
-        |  SUM(day_qty) OVER (PARTITION BY l_returnflag ORDER BY day
-        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_qty
+        |SELECT l_returnflag, day, CAST(day_qty AS DOUBLE) AS day_qty,
+        |  CAST(SUM(day_qty) OVER (PARTITION BY l_returnflag ORDER BY day
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_qty
         |FROM daily ORDER BY l_returnflag, day""".stripMargin,
     "q_win_ntile_pctrank" ->
       """SELECT c_custkey, c_acctbal,
@@ -770,15 +798,16 @@ object Relational {
         |  CAST(SIGN(p_retailprice - 1000) AS INTEGER) AS price_sign
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q_expr_json" ->
-      """SELECT event_type, COUNT(*) AS n, SUM(k) AS sum_k FROM (
+      """SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k FROM (
         |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events
         |) WHERE k > 50 GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_expr_array" ->
       """SELECT vec_id,
         |  len(embedding) AS dim,
-        |  embedding[1] AS first_val,
-        |  embedding[1:3] AS head3,
-        |  list_max(embedding) AS max_val,
+        |  CAST(embedding[1] AS DOUBLE) AS first_val,
+        |  CAST(embedding[2] AS DOUBLE) AS head_2,
+        |  CAST(embedding[3] AS DOUBLE) AS head_3,
+        |  CAST(list_max(embedding) AS DOUBLE) AS max_val,
         |  ROUND(list_sum(CAST(embedding AS DOUBLE[])), 6) AS sum_val
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_expr_map" ->
@@ -786,7 +815,7 @@ object Relational {
         |  SELECT user_id, event_type, COUNT(*) AS cnt FROM events GROUP BY user_id, event_type
         |)
         |SELECT user_id,
-        |  list(struct_pack(event_type := event_type, cnt := cnt) ORDER BY event_type) AS type_counts
+        |  string_agg(event_type || ':' || cnt, ',' ORDER BY event_type) AS type_counts
         |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_expr_cond_null" ->
       """SELECT l_orderkey, l_linenumber,

@@ -41,6 +41,12 @@ class DeterminismSpec extends SparkSpec {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val tol = if (SparkEntry.oracleSql.contains(name)) 0.0 else 1e-6
       def run(parts: Int): Array[Row] = {
+        // Drop cached subtrees (.cache() inside minhash/simhash/langid/
+        // IVF plans) so BOTH executions recompute from source — without
+        // this the second run replays the first run's cache and the
+        // partition-layout invariance is vacuous for those queries.
+        s.catalog.clearCache()
+        graft.operators.LimeOps.clearStatsCache()
         s.conf.set("spark.sql.shuffle.partitions", parts.toString)
         fn(s, dir).collect()
       }

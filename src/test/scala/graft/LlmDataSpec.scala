@@ -92,7 +92,9 @@ class LlmDataSpec extends SparkSpec {
   test("multimodal feature plumbing: one fixed-width feature row per doc") {
     val rows = LlmData.qMmFeatures(spark, dir).collect()
     assert(rows.length == 500)
-    assert(rows.forall(_.getSeq[Double](3).length == 4))
+    // features are flattened to 4 scalar double columns (f0..f3)
+    assert(rows.head.schema.fieldNames.toSeq ==
+      Seq("doc_id", "width", "height", "f0", "f1", "f2", "f3"))
     // deterministic: same doc, same features
     val again = LlmData.qMmFeatures(spark, dir).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
