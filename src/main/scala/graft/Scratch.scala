@@ -1,0 +1,24 @@
+package graft
+
+/** Ad-hoc profiling main (dev tool; not part of the driver contract).
+  * Edit locally to time suspect subtrees — see git history for the
+  * lambda-capture investigation it was built for.
+  */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scratch] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { n => t(s"warm_$n")(SparkEntry.queries(n)(spark, sfDir).count()) }
+    spark.catalog.clearCache()
+    operators.LimeOps.clearStatsCache()
+    names.foreach { n => t(s"cold_$n")(SparkEntry.queries(n)(spark, sfDir).count()) }
+    spark.stop()
+  }
+}

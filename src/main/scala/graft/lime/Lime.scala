@@ -84,11 +84,6 @@ object Lime {
     * change results (SURVEY.md §7.4).
     */
   def fitStats(df: DataFrame, features: Seq[String]): Seq[FeatureStats] = {
-    // One percentile buffer per feature (array form), not one per
-    // quantile — each percentile expression keeps its own value→count
-    // map, so 3 separate calls tripled the aggregation state. Rounding
-    // moves to the driver with the same HALF_UP rule Spark's round()
-    // applies to doubles.
     def r6(v: Double): Double = round6(v)
     val pass1 = features.flatMap { f =>
       val x = col(f).cast(D6)
@@ -96,12 +91,11 @@ object Lime {
         (sum(x).cast("double") / count(lit(1))).as(s"${f}__mean"),
         greatest(nanvl(sqrt((sum(x * x).cast("double") -
           sum(x).cast("double") * sum(x).cast("double") / count(lit(1))) /
-          (count(lit(1)) - lit(1.0))), lit(0.0)), lit(1e-12)).as(s"${f}__std"),
-        expr(s"percentile($f, array(0.25, 0.5, 0.75))").as(s"${f}__q"))
-    }
+          (count(lit(1)) - lit(1.0))), lit(0.0)), lit(1e-12)).as(s"${f}__std"))
+    } :+ count(lit(1)).as("__n")
     val r1 = df.agg(pass1.head, pass1.tail: _*).head()
     def g(n: String): Double = r1.getAs[Double](n)
-    val edges = features.map(f => r1.getAs[scala.collection.Seq[Double]](s"${f}__q").toVector.map(r6))
+    val edges = exactQuartiles(df, features, r1.getAs[Long]("__n")).map(_.map(r6))
 
     // Bin means/frequencies feed only the internal perturbation tables
     // (never an oracle-checked output), so they skip the decimal
@@ -125,6 +119,59 @@ object Lime {
       val cum = freqs.scanLeft(0.0)(_ + _).tail.updated(3, 1.0)
       FeatureStats(f, g(s"${f}__mean"), g(s"${f}__std"), e,
         (0 until 4).map(b => g2(s"${f}__bm$b")), cum)
+    }
+  }
+
+  /** Exact (q1, q2, q3) per feature via a value-count cumulative
+    * distribution instead of the `percentile` aggregate: Spark's
+    * Percentile builds one value→count OpenHashMap per partition and
+    * merges them generically (the dominant cost of the stats pass at
+    * bench scale), while this shape is one codegen'd melt + hash
+    * aggregate + tiny per-feature window. Order statistics and the
+    * interpolation `(hi−pos)·v_lo + (pos−lo)·v_hi` replicate
+    * Percentile.getPercentile bit-for-bit, so results are unchanged
+    * (and still match DuckDB quantile_cont after round6).
+    *
+    * Scale shape: the shuffle carries one row per DISTINCT value per
+    * feature (not per input row), and the per-feature window sees only
+    * that distinct-value list.
+    */
+  private[graft] def exactQuartiles(df: DataFrame, features: Seq[String],
+                                   n: Long): Seq[Vector[Double]] = {
+    import org.apache.spark.sql.expressions.Window
+    val ps = Seq(0.25, 0.5, 0.75)
+    // driver-side rank targets (0-indexed order statistics)
+    val wanted: Seq[(String, Long)] = features.flatMap { f =>
+      ps.flatMap { p =>
+        val pos = (n - 1) * p
+        Seq((f, math.floor(pos).toLong), (f, math.ceil(pos).toLong))
+      }
+    }.distinct
+    val session = df.sparkSession
+    import session.implicits._
+    val ranks = wanted.toDF("feature", "rank")
+    val melted = df.select(explode(array(features.map(f =>
+        struct(lit(f).as("feature"), col(f).cast("double").as("v"))): _*)).as("fv"))
+      .select(col("fv.feature").as("feature"), col("fv.v").as("v"))
+    val wCum = Window.partitionBy("feature").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = melted.groupBy("feature", "v").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("prev", col("cum") - col("c"))
+    // rank k (0-indexed) lives in the row whose cum range covers it
+    val hits = cum.join(broadcast(ranks), Seq("feature"))
+      .filter(col("rank") >= col("prev") && col("rank") < col("cum"))
+      .select(col("feature"), col("rank"), col("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    features.map { f =>
+      ps.map { p =>
+        val pos = (n - 1) * p
+        val lo = math.floor(pos).toLong
+        val hi = math.ceil(pos).toLong
+        if (lo == hi) hits((f, lo))
+        else (hi - pos) * hits((f, lo)) + (pos - lo) * hits((f, hi))
+      }.toVector
     }
   }
 

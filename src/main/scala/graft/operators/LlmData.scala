@@ -23,22 +23,36 @@ object LlmData {
   // downstream text pipeline (shingling, bigrams, tokenizing) would run
   // on one core without this explicit spread; at real scale the source
   // has many splits and the repartition is a cheap rebalance.
+  //
+  // norm_text is computed BELOW the repartition exchange on purpose:
+  // the exchange is a CollapseProject barrier, so downstream lambdas
+  // that capture norm_text see a materialized attribute. Inlined, the
+  // lower(trim(text)) subtree would be RE-EVALUATED PER LAMBDA ELEMENT
+  // (a captured outer expression is not a lambda argument) — measured
+  // 7+ s on the shingle explode at sf0.1.
   private def docsNorm(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("norm_text", lower(trim(col("text"))))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
 
-  /** Distinct word-bigram shingle set per document. */
+  /** Distinct word-bigram shingle set per document.
+    *
+    * zip_with over two slices, NOT transform(sequence(1, n-1),
+    * i -> concat(w[i-1], ' ', w[i])): zip_with's array inputs are
+    * evaluated once per row, while a captured `w` inside a transform
+    * lambda re-evaluates the whole split per element (O(words²)/doc).
+    * (Also keeps the sub-two-word guard: slice of an empty range is
+    * empty, but the `when` stays for the explicit empty-set contract —
+    * Spark's sequence(1, 0) DESCENDS, so the transform form needed it.)
+    */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     docsNorm(s, dir)
       .withColumn("w", split(col("norm_text"), " "))
-      // guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty
-      // (and w[i] throws under ANSI mode), so sub-two-word docs need an
-      // explicit empty shingle set — matching DuckDB's empty
-      // generate_series(1, 0)
       .withColumn("shingles", when(size(col("w")) < 2, array().cast("array<string>"))
-        .otherwise(array_distinct(expr(
-          "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))"))))
+        .otherwise(array_distinct(
+          zip_with(slice(col("w"), lit(1), size(col("w")) - 1),
+                   slice(col("w"), lit(2), size(col("w")) - 1),
+                   (a, b) => concat(a, lit(" "), b)))))
       .select("doc_id", "shingles")
 
   // ===== dedup =====
@@ -107,12 +121,49 @@ object LlmData {
           // tiny (docs × V/64 longs); cached because the pair join
           // reads it twice and the build subtree is the expensive part
           .cache()
+        // Block nested loop over PRIMITIVE arrays: the row-at-a-time
+        // BroadcastNestedLoopJoin materializes (or interpretedly
+        // re-evaluates) every one of the N²/2 candidate pairs; here the
+        // build side (N × V/64 longs — the same table BNLJ would
+        // broadcast) ships as one primitive long[][] and each task
+        // runs a tight JITed popcount loop, emitting ONLY pairs that
+        // can pass τ (small slack; the exact rounded filter below is
+        // unchanged): I·(1+τ') ≥ τ'·(a+b) ⇔ I/(a+b−I) ≥ τ'.
+        val tauSlack = tau - 1e-6
+        val session = s
+        import session.implicits._
+        val bLocal = packed.select(col("doc_id"), col("bits"), col("sz"))
+          .as[(Long, Array[Long], Int)].collect().sortBy(_._1)
+        val bBc = s.sparkContext.broadcast(bLocal)
         val p = s.sparkContext.defaultParallelism
-        val a = packed.select(col("doc_id").as("a_id"), col("bits").as("a_bits"), col("sz").as("a_sz"))
-          .repartition(p, col("a_id"))
-        val b = packed.select(col("doc_id").as("b_id"), col("bits").as("b_bits"), col("sz").as("b_sz"))
-        val inter = graft.functions.VectorExprs.bitsetIntersectCount(col("a_bits"), col("b_bits"))
-        a.join(b, col("a_id") < col("b_id")).withColumn("inter", inter)
+        packed.select(col("doc_id"), col("bits"), col("sz"))
+          .repartition(p, col("doc_id"))
+          .as[(Long, Array[Long], Int)]
+          .mapPartitions { it =>
+            val bs = bBc.value
+            it.flatMap { case (aId, aBits, aSz) =>
+              // bs is sorted by doc_id: start past aId for the a<b half
+              var lo = 0; var hi = bs.length
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                if (bs(mid)._1 <= aId) lo = mid + 1 else hi = mid
+              }
+              val out = Iterator.range(lo, bs.length).flatMap { j =>
+                val (bId, bBits, bSz) = bs(j)
+                val n = math.min(aBits.length, bBits.length)
+                var inter = 0
+                var w = 0
+                while (w < n) {
+                  inter += java.lang.Long.bitCount(aBits(w) & bBits(w)); w += 1
+                }
+                if (inter * (1.0 + tauSlack) >= tauSlack * (aSz + bSz))
+                  Some((aId, bId, inter, aSz, bSz))
+                else None
+              }
+              out
+            }
+          }
+          .toDF("a_id", "b_id", "inter", "a_sz", "b_sz")
       } else {
         val dfreq = tokens.groupBy("sh").agg(count(lit(1)).as("dfreq"))
         val w = Window.partitionBy("doc_id").orderBy("dfreq", "sh")
@@ -405,12 +456,18 @@ object LlmData {
     * determinism. Output is the per-lang confusion matrix.
     */
   def qTextLangid(s: SparkSession, dir: String): DataFrame = {
-    // same sequence(1, 0)-descends guard as shingled(): sub-two-char
-    // docs contribute no bigrams (as in the oracle's generate_series)
+    // char-array zip_with, not transform(sequence, i -> substring):
+    // same per-element-recompute trap as shingled() — substring over a
+    // captured string is O(len) per element (O(len²)/doc). The length
+    // filter also keeps the sub-two-char guard (no bigrams, as in the
+    // oracle's empty generate_series).
     val bigrams = docsNorm(s, dir)
       .filter(length(col("norm_text")) >= 2)
+      .withColumn("c", split(col("norm_text"), ""))
       .select(col("doc_id"), col("lang"),
-        explode(expr("transform(sequence(1, length(norm_text) - 1), i -> substring(norm_text, i, 2))")).as("bg"))
+        explode(zip_with(slice(col("c"), lit(1), size(col("c")) - 1),
+                         slice(col("c"), lit(2), size(col("c")) - 1),
+                         (a, b) => concat(a, b))).as("bg"))
       .cache() // read twice: model fit and per-doc scoring
     val model = bigrams.groupBy(col("lang").as("m_lang"), col("bg")).agg(count(lit(1)).as("cnt"))
       .cache() // read twice: lang totals and the broadcast scoring join
