@@ -502,6 +502,44 @@ object LlmData {
         array_min(expr("transform(shingles, x -> xxhash64(x))")).as("min_shingle_hash"))
       .orderBy("doc_id")
 
+  // ===== deterministic sampling =====
+
+  /** Engine-portable deterministic hash for sampling oracles:
+    * Lehmer-style multiplicative hash `key·48271 mod (2³¹−1)`.
+    * Products stay far below 2⁶³ (DuckDB ERRORS on BIGINT overflow
+    * where Spark wraps, so a portable hash must not overflow). At
+    * real scale substitute `pmod(xxhash64(key), m)` — same shape, not
+    * DuckDB-checkable.
+    */
+  private def lehmer(key: Column): Column =
+    (key * lit(48271L)) % lit(2147483647L)
+
+  /** Deterministic ~10% Bernoulli sample of the corpus — reproducible
+    * across runs/engines/partitionings (rand()-based sampling is not),
+    * which is what a training-data pipeline needs for auditable
+    * subset selection. Pure scan-side filter: no shuffle, prunes to
+    * the projected columns.
+    */
+  def qSampleHash(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .filter(lehmer(col("doc_id")) % 10 === 0)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  /** Deterministic stratified sample: fixed quota of 50 docs per
+    * language, picked by hash order (uniform within stratum). One
+    * shuffle on the stratum key; state O(quota·strata).
+    */
+  def qSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("hv"), col("doc_id"))
+    documents(s, dir)
+      .withColumn("hv", lehmer(col("doc_id")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 50)
+      .select("lang", "rn", "doc_id", "n_chars")
+      .orderBy("lang", "rn")
+  }
+
   // ===== multimodal column plumbing =====
 
   /** Multimodal columns: payloads as opaque binary + typed metadata,
@@ -539,6 +577,17 @@ object LlmData {
   // ===== oracle SQL =====
 
   val oracle: Map[String, String] = Map(
+    "q_sample_hash" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE ((doc_id * 48271) % 2147483647) % 10 = 0
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT lang, rn, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 48271) % 2147483647, doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn <= 50 ORDER BY lang, rn""".stripMargin,
     "q_text_tokcount" ->
       """SELECT doc_id,
         |  len(list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')) AS ws_tokens,
@@ -662,6 +711,8 @@ object LlmData {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_hash" -> (qSampleHash _),
+    "q_sample_stratified" -> (qSampleStratified _),
     "q_text_tokcount" -> (qTextTokcount _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),

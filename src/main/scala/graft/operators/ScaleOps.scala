@@ -39,4 +39,22 @@ object ScaleOps {
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(key))
       .agg(sum(col("__partial")).as("cnt"))
+
+  /** Compacted partitioned parquet sink — the 100 TB write shape.
+    * Repartitioning by the partition column before `partitionBy` means
+    * each task writes to ONE hive partition (without it, every task
+    * opens a file in every partition → tasks×partitions small files);
+    * `maxRecordsPerFile` bounds file size so one hot partition still
+    * splits, and `sortCols` orders rows within each file so parquet
+    * min/max row-group stats support downstream predicate pushdown.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String,
+                       sortCols: Seq[String], maxRecordsPerFile: Long = 5000000L): Unit =
+    df.repartition(col(partitionCol))
+      .sortWithinPartitions((partitionCol +: sortCols).map(col): _*)
+      .write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCol)
+      .parquet(path)
 }

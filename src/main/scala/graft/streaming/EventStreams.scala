@@ -35,7 +35,7 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-           sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
               col("n_events"), col("sum_value"))
 
@@ -44,7 +44,7 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-           sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("win_start"), col("user_id"),
               col("n_events"), col("sum_value"))
 

@@ -46,6 +46,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(oneDay.count() == expected)
   }
 
+  test("writePartitioned: one file per partition dir, rows sorted within") {
+    val s = spark
+    val out = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/events_by_type"
+    ScaleOps.writePartitioned(
+      Tables.events(s, dir).select("event_id", "ts", "user_id", "event_type"),
+      out, "event_type", Seq("user_id", "ts"))
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+    assert(dirs.nonEmpty)
+    // compaction: each hive partition holds exactly one data file
+    // (one task per partition, under maxRecordsPerFile)
+    dirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: ${files.length} files")
+    }
+    val back = s.read.parquet(out)
+    assert(back.count() == Tables.events(s, dir).count())
+    // within-file sort supports row-group min/max pruning downstream
+    val one = back.filter(col("event_type") === "click").select("user_id").collect().map(_.getLong(0))
+    assert(one.sameElements(one.sorted))
+  }
+
   test("bucketed co-located join runs without a shuffle exchange") {
     val s = spark
     val orders = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
