@@ -30,7 +30,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // abs: a failed query's negative marker must not LOWER the total —
+    // a fast failure would otherwise read as a speedup
+    val total = if (results.nonEmpty) results.values.map(math.abs).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

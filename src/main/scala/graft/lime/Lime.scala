@@ -92,10 +92,10 @@ object Lime {
         greatest(nanvl(sqrt((sum(x * x).cast("double") -
           sum(x).cast("double") * sum(x).cast("double") / count(lit(1))) /
           (count(lit(1)) - lit(1.0))), lit(0.0)), lit(1e-12)).as(s"${f}__std"))
-    } :+ count(lit(1)).as("__n")
+    }
     val r1 = df.agg(pass1.head, pass1.tail: _*).head()
     def g(n: String): Double = r1.getAs[Double](n)
-    val edges = exactQuartiles(df, features, r1.getAs[Long]("__n")).map(_.map(r6))
+    val edges = exactQuartiles(df, features).map(_.map(r6))
 
     // Bin means/frequencies feed only the internal perturbation tables
     // (never an oracle-checked output), so they skip the decimal
@@ -136,47 +136,60 @@ object Lime {
     * feature (not per input row), and the per-feature window sees only
     * that distinct-value list.
     */
-  private[graft] def exactQuartiles(df: DataFrame, features: Seq[String],
-                                   n: Long): Seq[Vector[Double]] = {
+  private[graft] def exactQuartiles(df: DataFrame,
+                                    features: Seq[String]): Seq[Vector[Double]] = {
     import org.apache.spark.sql.expressions.Window
     val ps = Seq(0.25, 0.5, 0.75)
-    // driver-side rank targets (0-indexed order statistics)
-    val wanted: Seq[(String, Long)] = features.flatMap { f =>
-      ps.flatMap { p =>
-        val pos = (n - 1) * p
-        Seq((f, math.floor(pos).toLong), (f, math.ceil(pos).toLong))
-      }
-    }.distinct
     val session = df.sparkSession
     import session.implicits._
-    val ranks = wanted.toDF("feature", "rank")
     // one union job with a column-pruned scan + hash-agg branch per
     // feature (branches run concurrently), instead of a 4× row melt
-    // through a single generator + aggregate
+    // through a single generator + aggregate. NULLs are excluded like
+    // the `percentile` aggregate this replaces (and like DuckDB
+    // quantile_cont); rank targets therefore use the per-feature
+    // NON-NULL count, not the row count.
     val counts = features.map { f =>
-      df.groupBy(col(f).cast("double").as("v")).agg(count(lit(1)).as("c"))
+      df.filter(col(f).isNotNull)
+        .groupBy(col(f).cast("double").as("v")).agg(count(lit(1)).as("c"))
         .select(lit(f).as("feature"), col("v"), col("c"))
-    }.reduce(_ unionByName _)
-    val wCum = Window.partitionBy("feature").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = counts
-      .withColumn("cum", sum(col("c")).over(wCum))
-      .withColumn("prev", col("cum") - col("c"))
-    // rank k (0-indexed) lives in the row whose cum range covers it
-    val hits = cum.join(broadcast(ranks), Seq("feature"))
-      .filter(col("rank") >= col("prev") && col("rank") < col("cum"))
-      .select(col("feature"), col("rank"), col("v"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    features.map { f =>
-      ps.map { p =>
-        val pos = (n - 1) * p
-        val lo = math.floor(pos).toLong
-        val hi = math.ceil(pos).toLong
-        if (lo == hi) hits((f, lo))
-        else (hi - pos) * hits((f, lo)) + (pos - lo) * hits((f, hi))
-      }.toVector
-    }
+    }.reduce(_ unionByName _).cache()
+    try {
+      val nPer: Map[String, Long] = counts.groupBy("feature").agg(sum(col("c")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      features.foreach { f =>
+        require(nPer.getOrElse(f, 0L) > 0, s"exactQuartiles: feature $f has no non-null values")
+      }
+      // driver-side rank targets (0-indexed order statistics)
+      val wanted: Seq[(String, Long)] = features.flatMap { f =>
+        val n = nPer(f)
+        ps.flatMap { p =>
+          val pos = (n - 1) * p
+          Seq((f, math.floor(pos).toLong), (f, math.ceil(pos).toLong))
+        }
+      }.distinct
+      val ranks = wanted.toDF("feature", "rank")
+      val wCum = Window.partitionBy("feature").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = counts
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("prev", col("cum") - col("c"))
+      // rank k (0-indexed) lives in the row whose cum range covers it
+      val hits = cum.join(broadcast(ranks), Seq("feature"))
+        .filter(col("rank") >= col("prev") && col("rank") < col("cum"))
+        .select(col("feature"), col("rank"), col("v"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      features.map { f =>
+        val n = nPer(f)
+        ps.map { p =>
+          val pos = (n - 1) * p
+          val lo = math.floor(pos).toLong
+          val hi = math.ceil(pos).toLong
+          if (lo == hi) hits((f, lo))
+          else (hi - pos) * hits((f, lo)) + (pos - lo) * hits((f, hi))
+        }.toVector
+      }
+    } finally counts.unpersist()
   }
 
   /** Quartile bin id: count of edges strictly below x — matches

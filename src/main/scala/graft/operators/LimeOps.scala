@@ -151,9 +151,9 @@ object LimeOps {
     def one(f: String) =
       s"""SELECT '$f' AS feature,
          |  ROUND(CAST(SUM(CAST($f AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*), 6) AS mean,
-         |  ROUND(SQRT((CAST(SUM(CAST($f AS DECIMAL(19,6)) * CAST($f AS DECIMAL(19,6))) AS DOUBLE)
+         |  ROUND(GREATEST(SQRT(GREATEST((CAST(SUM(CAST($f AS DECIMAL(19,6)) * CAST($f AS DECIMAL(19,6))) AS DOUBLE)
          |    - CAST(SUM(CAST($f AS DECIMAL(19,6))) AS DOUBLE) * CAST(SUM(CAST($f AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*))
-         |    / (COUNT(*) - 1.0)), 6) AS std,
+         |    / (COUNT(*) - 1.0), 0.0)), 1e-12), 6) AS std,
          |  ROUND(quantile_cont($f, 0.25), 6) AS q1,
          |  ROUND(quantile_cont($f, 0.5), 6) AS q2,
          |  ROUND(quantile_cont($f, 0.75), 6) AS q3
@@ -181,13 +181,13 @@ object LimeOps {
       """WITH st AS (
         |  SELECT
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*) AS mq,
-        |    SQRT((CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) - CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1.0)) AS sq,
+        |    GREATEST(SQRT(GREATEST((CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) - CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1.0), 0.0)), 1e-12) AS sq,
         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*) AS me,
-        |    SQRT((CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) - CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1.0)) AS se,
+        |    GREATEST(SQRT(GREATEST((CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) - CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1.0), 0.0)), 1e-12) AS se,
         |    CAST(SUM(CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*) AS md,
-        |    SQRT((CAST(SUM(CAST(l_discount AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) - CAST(SUM(CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) * CAST(SUM(CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1.0)) AS sd,
+        |    GREATEST(SQRT(GREATEST((CAST(SUM(CAST(l_discount AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) - CAST(SUM(CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) * CAST(SUM(CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1.0), 0.0)), 1e-12) AS sd,
         |    CAST(SUM(CAST(l_tax AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*) AS mt,
-        |    SQRT((CAST(SUM(CAST(l_tax AS DECIMAL(19,6)) * CAST(l_tax AS DECIMAL(19,6))) AS DOUBLE) - CAST(SUM(CAST(l_tax AS DECIMAL(19,6))) AS DOUBLE) * CAST(SUM(CAST(l_tax AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1.0)) AS st_
+        |    GREATEST(SQRT(GREATEST((CAST(SUM(CAST(l_tax AS DECIMAL(19,6)) * CAST(l_tax AS DECIMAL(19,6))) AS DOUBLE) - CAST(SUM(CAST(l_tax AS DECIMAL(19,6))) AS DOUBLE) * CAST(SUM(CAST(l_tax AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1.0), 0.0)), 1e-12) AS st_
         |  FROM lineitem
         |)
         |SELECT l_orderkey * 10 + l_linenumber AS instance_id,
