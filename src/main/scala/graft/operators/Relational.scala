@@ -95,6 +95,27 @@ object Relational {
         outD(coalesce(sum(d2(col("o_totalprice"))), lit(0).cast(D))).as("total_spent"))
       .orderBy("c_custkey")
 
+  /** Full outer join with exclusive keys on BOTH sides: per-customer
+    * 1995 vs 1996 order activity (customers active in only one year
+    * produce a null side each way).
+    */
+  def qJoinFull(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    def yearAgg(y: Int, pfx: String) =
+      o.filter(year(col("o_orderdate")) === y)
+        .groupBy(col("o_custkey").as(s"${pfx}_custkey"))
+        .agg(count(lit(1)).as(s"${pfx}_orders"),
+             outD(sum(d2(col("o_totalprice")))).as(s"${pfx}_spent"))
+    yearAgg(1995, "a").join(yearAgg(1996, "b"),
+        col("a_custkey") === col("b_custkey"), "full")
+      .select(coalesce(col("a_custkey"), col("b_custkey")).as("custkey"),
+        coalesce(col("a_orders"), lit(0L)).as("orders_1995"),
+        coalesce(col("a_spent"), lit(0.0)).as("spent_1995"),
+        coalesce(col("b_orders"), lit(0L)).as("orders_1996"),
+        coalesce(col("b_spent"), lit(0.0)).as("spent_1996"))
+      .orderBy("custkey")
+  }
+
   def qJoinSemi(s: SparkSession, dir: String): DataFrame =
     customer(s, dir)
       .join(orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
@@ -185,6 +206,25 @@ object Relational {
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy("event_type")
+
+  /** Greenwald-Khanna approximate quantiles — the sketch companion to
+    * the exact sort-based `percentile` (constant memory per group at
+    * any scale). No oracle (sketch estimates are impl-specific); the
+    * spec grades each estimate against the exact percentile within
+    * the declared relative error.
+    */
+  def qAggApproxQuantile(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 100)").as("q"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        element_at(col("q"), 1).as("q1_approx"),
+        element_at(col("q"), 2).as("q2_approx"),
+        element_at(col("q"), 3).as("q3_approx"),
+        col("n"))
+      .orderBy("l_returnflag")
 
   def qAggRollup(s: SparkSession, dir: String): DataFrame = {
     // rollup-after-join trips DetectAmbiguousSelfJoin's false positive
@@ -558,6 +598,23 @@ object Relational {
         |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "q_join_full" ->
+      """WITH a AS (
+        |  SELECT o_custkey AS a_custkey, COUNT(*) AS a_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS a_spent
+        |  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey
+        |), b AS (
+        |  SELECT o_custkey AS b_custkey, COUNT(*) AS b_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS b_spent
+        |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey
+        |)
+        |SELECT COALESCE(a_custkey, b_custkey) AS custkey,
+        |  COALESCE(a_orders, 0) AS orders_1995,
+        |  COALESCE(a_spent, 0.0) AS spent_1995,
+        |  COALESCE(b_orders, 0) AS orders_1996,
+        |  COALESCE(b_spent, 0.0) AS spent_1996
+        |FROM a FULL OUTER JOIN b ON a_custkey = b_custkey
+        |ORDER BY custkey""".stripMargin,
     "q_join_semi" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
@@ -835,7 +892,9 @@ object Relational {
     "q_join_bhj" -> (qJoinBhj _),
     "q_join_smj" -> (qJoinSmj _),
     "q_join_outer" -> (qJoinOuter _),
+    "q_join_full" -> (qJoinFull _),
     "q_join_semi" -> (qJoinSemi _),
+    "q_agg_approx_quantile" -> (qAggApproxQuantile _),
     "q_join_anti" -> (qJoinAnti _),
     "q_join_theta_range" -> (qJoinThetaRange _),
     "q_join_asof" -> (qJoinAsof _),

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+
+/** Grades the sketch-based aggregates (no oracle — estimates are
+  * impl-specific) against their exact counterparts.
+  */
+class ApproxAggSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("approx_percentile within the GK rank-error bound of exact") {
+    val s = spark
+    // exact percentiles at p ± rank error (1/accuracy = 1%)
+    val exact = Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.24, 0.26, 0.49, 0.51, 0.74, 0.76))").as("e"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toVector).toMap
+    val approx = Relational.qAggApproxQuantile(s, dir).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val e = exact(r.getString(0))
+      val qs = Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(qs == qs.sorted, s"approx quantiles not monotonic: $qs")
+      Seq((qs(0), e(0), e(1)), (qs(1), e(2), e(3)), (qs(2), e(4), e(5))).foreach {
+        case (a, lo, hi) =>
+          assert(a >= lo && a <= hi,
+            s"${r.getString(0)}: approx $a outside exact rank-error band [$lo, $hi]")
+      }
+    }
+  }
+
+  test("approx_count_distinct within 5% of exact distinct") {
+    val s = spark
+    val exact = Tables.events(s, dir).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Relational.qAggApproxDistinct(s, dir).collect().foreach { r =>
+      val e = exact(r.getString(0)).toDouble
+      val a = r.getLong(1).toDouble
+      assert(math.abs(a - e) / e <= 0.05, s"${r.getString(0)}: $a vs exact $e")
+    }
+  }
+}

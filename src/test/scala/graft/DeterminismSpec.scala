@@ -39,7 +39,16 @@ class DeterminismSpec extends SparkSpec {
   test("all queries partition-count invariant (shuffle.partitions 3 vs 11)") {
     val s = spark
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val tol = if (SparkEntry.oracleSql.contains(name)) 0.0 else 1e-6
+      // GK quantile sketches (approx_percentile) merge partial
+      // summaries in shuffle-arrival order, so their ESTIMATES may
+      // legitimately move with partition layout — the rank-error
+      // bound (1/accuracy = 1%) holds for any layout, so that is
+      // what partition-invariance means for them. HLL (approx
+      // distinct) merges by register max and stays exact-stable.
+      val tol =
+        if (name == "q_agg_approx_quantile") 0.02
+        else if (SparkEntry.oracleSql.contains(name)) 0.0
+        else 1e-6
       def run(parts: Int): Array[Row] = {
         // Drop cached subtrees (.cache() inside minhash/simhash/langid/
         // IVF plans) so BOTH executions recompute from source — without
