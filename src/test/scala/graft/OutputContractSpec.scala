@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Guards the verifier's output-format contract (SURVEY.md §7.4.7):
+  * the driver compares result frames BY STRING FORM after a pandas
+  * row sort, so
+  *  - no DECIMAL column may escape any query (Spark's parquet Decimal
+  *    formats "5.00" where DuckDB's float64 formats "5.0")
+  *  - no array/map/struct cell may appear ANYWHERE, even in no-oracle
+  *    queries (the verifier's row sort throws on unhashable cells and
+  *    records the query as an error)
+  * Round 1 lost 19 queries to exactly these; this spec fails fast on
+  * any future query that reintroduces one.
+  */
+class OutputContractSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("no query output column is decimal, array, map, or struct typed") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val schema = fn(spark, dir).schema
+      schema.fields.collect {
+        case f if f.dataType.isInstanceOf[DecimalType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString} (decimal must be cast to double in the final select)"
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+                  f.dataType.isInstanceOf[MapType] ||
+                  f.dataType.isInstanceOf[StructType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString} (flatten to scalars or render a canonical string)"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("every oracle-declared query aliases only [a-z0-9_] column names") {
+    // the driver sorts columns by name on both sides; exotic names
+    // (spaces, quotes, uppercase mismatches) break the pairing
+    val bad = SparkEntry.oracleSql.keys.toSeq.sorted.flatMap { name =>
+      val cols = SparkEntry.queries(name)(spark, dir).schema.fieldNames
+      cols.filterNot(_.matches("[a-z][a-z0-9_]*")).map(c => s"$name.$c")
+    }
+    assert(bad.isEmpty, bad.mkString(", "))
+  }
+}
