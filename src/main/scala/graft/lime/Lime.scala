@@ -36,7 +36,8 @@ object Lime {
       seed: Long = 42,
       lambda: Double = 1.0,
       discretize: Boolean = true,
-      selection: String = "highest_weights")
+      selection: String = "highest_weights",
+      nBins: Int = 4)  // 4 = quartile (public default), 10 = decile
 
   /** Per-feature training statistics: mean/std (exact decimal sums),
     * quartile bin edges (rounded to 6dp as the cross-engine firewall),
@@ -79,11 +80,15 @@ object Lime {
   // products of scale-6 values overflow), and 19+19 stays at the 38 cap
   private val D6 = "decimal(19,6)"
 
-  /** Deterministic mean/std/quartiles in one pass + bin stats in a
+  /** Deterministic mean/std/bin-edges in one pass + bin stats in a
     * second pass. Sums go through DECIMAL so partition order can't
     * change results (SURVEY.md §7.4).
+    *
+    * `nBins` = 4 gives the public quartile discretizer (default);
+    * 10 gives the decile discretizer (`discretizer='decile'`).
     */
-  def fitStats(df: DataFrame, features: Seq[String]): Seq[FeatureStats] = {
+  def fitStats(df: DataFrame, features: Seq[String], nBins: Int = 4): Seq[FeatureStats] = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     def r6(v: Double): Double = round6(v)
     val pass1 = features.flatMap { f =>
       val x = col(f).cast(D6)
@@ -95,7 +100,8 @@ object Lime {
     }
     val r1 = df.agg(pass1.head, pass1.tail: _*).head()
     def g(n: String): Double = r1.getAs[Double](n)
-    val edges = exactQuartiles(df, features).map(_.map(r6))
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val edges = exactQuantiles(df, features, ps).map(_.map(r6))
 
     // Bin means/frequencies feed only the internal perturbation tables
     // (never an oracle-checked output), so they skip the decimal
@@ -104,7 +110,7 @@ object Lime {
     // non-oracle tolerance.
     val pass2 = features.zip(edges).flatMap { case (f, e) =>
       val bin = binOf(col(f), e)
-      (0 until 4).flatMap { b =>
+      (0 until nBins).flatMap { b =>
         Seq(
           (sum(when(bin === b, col(f))) /
             greatest(sum(when(bin === b, 1).otherwise(0)), lit(1))).as(s"${f}__bm$b"),
@@ -115,14 +121,14 @@ object Lime {
     def g2(n: String): Double = r2.getAs[Double](n)
 
     features.zip(edges).map { case (f, e) =>
-      val freqs = (0 until 4).map(b => g2(s"${f}__bf$b"))
-      val cum = freqs.scanLeft(0.0)(_ + _).tail.updated(3, 1.0)
+      val freqs = (0 until nBins).map(b => g2(s"${f}__bf$b"))
+      val cum = freqs.scanLeft(0.0)(_ + _).tail.updated(nBins - 1, 1.0)
       FeatureStats(f, g(s"${f}__mean"), g(s"${f}__std"), e,
-        (0 until 4).map(b => g2(s"${f}__bm$b")), cum)
+        (0 until nBins).map(b => g2(s"${f}__bm$b")), cum)
     }
   }
 
-  /** Exact (q1, q2, q3) per feature via a value-count cumulative
+  /** Exact quantiles at `ps` per feature via a value-count cumulative
     * distribution instead of the `percentile` aggregate: Spark's
     * Percentile builds one value→count OpenHashMap per partition and
     * merges them generically (the dominant cost of the stats pass at
@@ -137,9 +143,12 @@ object Lime {
     * that distinct-value list.
     */
   private[graft] def exactQuartiles(df: DataFrame,
-                                    features: Seq[String]): Seq[Vector[Double]] = {
+                                    features: Seq[String]): Seq[Vector[Double]] =
+    exactQuantiles(df, features, Seq(0.25, 0.5, 0.75))
+
+  private[graft] def exactQuantiles(df: DataFrame, features: Seq[String],
+                                    ps: Seq[Double]): Seq[Vector[Double]] = {
     import org.apache.spark.sql.expressions.Window
-    val ps = Seq(0.25, 0.5, 0.75)
     val session = df.sparkSession
     import session.implicits._
     // one union job with a column-pruned scan + hash-agg branch per
@@ -196,7 +205,11 @@ object Lime {
     * numpy searchsorted(side='left') used by the public discretizer.
     */
   def binOf(x: Column, edges: Seq[Double]): Column =
-    when(x > edges(2), 3).when(x > edges(1), 2).when(x > edges(0), 1).otherwise(0)
+    // ascending fold leaves the HIGHEST edge as the outermost check:
+    // when(x > e_last, n-1).otherwise(when(x > e_{n-2}, ...)...)
+    edges.zipWithIndex.foldLeft(lit(0): Column) {
+      case (acc, (e, i)) => when(x > e, i + 1).otherwise(acc)
+    }
 
   /** Proximity kernel π(d) = sqrt(exp(-d²/w²)) (public impl form). */
   def kernel(dist: Column, width: Double): Column =
@@ -246,11 +259,13 @@ object Lime {
     if (cfg.discretize)
       stats.foldLeft(base) { (df, st) =>
         val u = Rng.u01(lit(cfg.seed), col(idCol), col("sample_id"), lit(st.name))
-        val sampledBin =
-          when(u < st.binCumFreqs(0), 0)
-            .when(u < st.binCumFreqs(1), 1)
-            .when(u < st.binCumFreqs(2), 2)
-            .otherwise(3)
+        // reverse-nested fold: when(u<c0,0).otherwise(when(u<c1,1)...)
+        // — the LOWEST matching cumulative frequency wins, identical to
+        // the original ascending when-chain for any bin count
+        val sampledBin = st.binCumFreqs.init.zipWithIndex.reverse
+          .foldLeft(lit(st.binCumFreqs.length - 1): Column) { case (acc, (c, i)) =>
+            when(u < c, i).otherwise(acc)
+          }
         val instBin = binOf(col(st.name), st.edges)
         val bin = when(col("sample_id") === 0, instBin).otherwise(sampledBin)
         df.withColumn(s"${st.name}__bin", bin)
@@ -292,7 +307,7 @@ object Lime {
       catFeatures: Seq[String] = Nil): DataFrame = {
     val spark = instances.sparkSession
     import spark.implicits._
-    val stats = fitStats(instances, features)
+    val stats = fitStats(instances, features, cfg.nBins)
     val catStats = if (catFeatures.nonEmpty) fitCatStats(instances, catFeatures) else Nil
     val allFeatures = features ++ catFeatures
     val d = allFeatures.size

@@ -63,6 +63,18 @@ object LimeOps {
       .orderBy("instance_id")
   }
 
+  /** Decile discretizer (public LIME `discretizer='decile'`) on one
+    * feature — the nBins generalization of the quartile default.
+    */
+  def limeDiscretizeDecile(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+    val stats = Lime.fitStats(li, Seq("l_extendedprice"), nBins = 10)
+    withId(li)
+      .withColumn("l_extendedprice_bin", Lime.binOf(col("l_extendedprice"), stats.head.edges))
+      .select("instance_id", "l_extendedprice_bin")
+      .orderBy("instance_id")
+  }
+
   def limeScore(s: SparkSession, dir: String): DataFrame = {
     val li = lineitem(s, dir)
     val stats = statsFor(s, dir)
@@ -177,6 +189,16 @@ object LimeOps {
         |  CASE WHEN l_discount > dq3 THEN 3 WHEN l_discount > dq2 THEN 2 WHEN l_discount > dq1 THEN 1 ELSE 0 END AS l_discount_bin,
         |  CASE WHEN l_tax > tq3 THEN 3 WHEN l_tax > tq2 THEN 2 WHEN l_tax > tq1 THEN 1 ELSE 0 END AS l_tax_bin
         |FROM lineitem, q ORDER BY instance_id""".stripMargin,
+    "lime_discretize_decile" -> {
+      val edges = (1 to 9).map(i =>
+        s"ROUND(quantile_cont(l_extendedprice, 0.$i), 6) AS e$i").mkString(", ")
+      val chain = (9 to 1 by -1).map(i =>
+        s"WHEN l_extendedprice > e$i THEN $i").mkString(" ")
+      s"""WITH q AS (SELECT $edges FROM lineitem)
+         |SELECT l_orderkey * 10 + l_linenumber AS instance_id,
+         |  CASE $chain ELSE 0 END AS l_extendedprice_bin
+         |FROM lineitem, q ORDER BY instance_id""".stripMargin
+    },
     "lime_score" ->
       """WITH st AS (
         |  SELECT
@@ -205,6 +227,7 @@ object LimeOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lime_stats_fit" -> (limeStatsFit _),
     "lime_discretize" -> (limeDiscretize _),
+    "lime_discretize_decile" -> (limeDiscretizeDecile _),
     "lime_score" -> (limeScore _),
     "lime_kernel" -> (limeKernel _),
     "lime_perturb" -> (limePerturb _),
