@@ -68,9 +68,11 @@ object LimeOps {
     */
   def limeDiscretizeDecile(s: SparkSession, dir: String): DataFrame = {
     val li = lineitem(s, dir)
-    val stats = Lime.fitStats(li, Seq("l_extendedprice"), nBins = 10)
+    // only the edges are needed — skip fitStats' mean/std/bin passes
+    val edges = Lime.exactQuantiles(li, Seq("l_extendedprice"),
+      (1 until 10).map(_.toDouble / 10)).head.map(Lime.round6)
     withId(li)
-      .withColumn("l_extendedprice_bin", Lime.binOf(col("l_extendedprice"), stats.head.edges))
+      .withColumn("l_extendedprice_bin", Lime.binOf(col("l_extendedprice"), edges))
       .select("instance_id", "l_extendedprice_bin")
       .orderBy("instance_id")
   }
