@@ -87,9 +87,18 @@ object Lime {
     * `nBins` = 4 gives the public quartile discretizer (default);
     * 10 gives the decile discretizer (`discretizer='decile'`).
     */
-  def fitStats(df: DataFrame, features: Seq[String], nBins: Int = 4): Seq[FeatureStats] = {
+  /** @param smallInput single-job `percentile` aggregate for the bin
+    *   edges instead of the distributed value-count CDF — same values
+    *   (identical interpolation formula), fewer jobs. Right for
+    *   explain-time instance sets (tens-to-thousands of rows); wrong
+    *   for corpus-level fits where the Percentile map-aggregate's
+    *   per-partition value→count maps dominate.
+    */
+  def fitStats(df: DataFrame, features: Seq[String], nBins: Int = 4,
+               smallInput: Boolean = false): Seq[FeatureStats] = {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     def r6(v: Double): Double = round6(v)
+    val ps = (1 until nBins).map(_.toDouble / nBins)
     val pass1 = features.flatMap { f =>
       val x = col(f).cast(D6)
       Seq(
@@ -97,11 +106,15 @@ object Lime {
         greatest(nanvl(sqrt((sum(x * x).cast("double") -
           sum(x).cast("double") * sum(x).cast("double") / count(lit(1))) /
           (count(lit(1)) - lit(1.0))), lit(0.0)), lit(1e-12)).as(s"${f}__std"))
-    }
+    } ++ (if (smallInput) features.map { f =>
+      expr(s"percentile($f, array(${ps.mkString(", ")}))").as(s"${f}__q")
+    } else Nil)
     val r1 = df.agg(pass1.head, pass1.tail: _*).head()
     def g(n: String): Double = r1.getAs[Double](n)
-    val ps = (1 until nBins).map(_.toDouble / nBins)
-    val edges = exactQuantiles(df, features, ps).map(_.map(r6))
+    val edges =
+      if (smallInput)
+        features.map(f => r1.getAs[scala.collection.Seq[Double]](s"${f}__q").toVector.map(r6))
+      else exactQuantiles(df, features, ps).map(_.map(r6))
 
     // Bin means/frequencies feed only the internal perturbation tables
     // (never an oracle-checked output), so they skip the decimal
@@ -307,7 +320,7 @@ object Lime {
       catFeatures: Seq[String] = Nil): DataFrame = {
     val spark = instances.sparkSession
     import spark.implicits._
-    val stats = fitStats(instances, features, cfg.nBins)
+    val stats = fitStats(instances, features, cfg.nBins, smallInput = true)
     val catStats = if (catFeatures.nonEmpty) fitCatStats(instances, catFeatures) else Nil
     val allFeatures = features ++ catFeatures
     val d = allFeatures.size
