@@ -162,56 +162,54 @@ object Lime {
   private[graft] def exactQuantiles(df: DataFrame, features: Seq[String],
                                     ps: Seq[Double]): Seq[Vector[Double]] = {
     import org.apache.spark.sql.expressions.Window
-    val session = df.sparkSession
-    import session.implicits._
-    // one union job with a column-pruned scan + hash-agg branch per
-    // feature (branches run concurrently), instead of a 4× row melt
-    // through a single generator + aggregate. NULLs are excluded like
-    // the `percentile` aggregate this replaces (and like DuckDB
-    // quantile_cont); rank targets therefore use the per-feature
-    // NON-NULL count, not the row count.
+    // SINGLE job: a column-pruned scan + hash-agg branch per feature
+    // (branches run concurrently), unioned into one per-feature window
+    // that carries both the running count and the partition total, so
+    // the 0-indexed rank targets floor/ceil((n−1)·p) are evaluated as
+    // EXPRESSIONS — no separate count job, no rank broadcast, no
+    // cache. NULLs are excluded like the `percentile` aggregate this
+    // replaces (and like DuckDB quantile_cont); rank targets use the
+    // per-feature NON-NULL count.
     val counts = features.map { f =>
       df.filter(col(f).isNotNull)
         .groupBy(col(f).cast("double").as("v")).agg(count(lit(1)).as("c"))
         .select(lit(f).as("feature"), col("v"), col("c"))
-    }.reduce(_ unionByName _).cache()
-    try {
-      val nPer: Map[String, Long] = counts.groupBy("feature").agg(sum(col("c")).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      features.foreach { f =>
-        require(nPer.getOrElse(f, 0L) > 0, s"exactQuartiles: feature $f has no non-null values")
-      }
-      // driver-side rank targets (0-indexed order statistics)
-      val wanted: Seq[(String, Long)] = features.flatMap { f =>
-        val n = nPer(f)
-        ps.flatMap { p =>
-          val pos = (n - 1) * p
-          Seq((f, math.floor(pos).toLong), (f, math.ceil(pos).toLong))
-        }
-      }.distinct
-      val ranks = wanted.toDF("feature", "rank")
-      val wCum = Window.partitionBy("feature").orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = counts
-        .withColumn("cum", sum(col("c")).over(wCum))
-        .withColumn("prev", col("cum") - col("c"))
-      // rank k (0-indexed) lives in the row whose cum range covers it
-      val hits = cum.join(broadcast(ranks), Seq("feature"))
-        .filter(col("rank") >= col("prev") && col("rank") < col("cum"))
-        .select(col("feature"), col("rank"), col("v"))
-        .collect()
-        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
-      features.map { f =>
-        val n = nPer(f)
-        ps.map { p =>
-          val pos = (n - 1) * p
-          val lo = math.floor(pos).toLong
-          val hi = math.ceil(pos).toLong
-          if (lo == hi) hits((f, lo))
-          else (hi - pos) * hits((f, lo)) + (pos - lo) * hits((f, hi))
-        }.toVector
-      }
-    } finally counts.unpersist()
+    }.reduce(_ unionByName _)
+    val wCum = Window.partitionBy("feature").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("feature")
+    val withCum = counts
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("prev", col("cum") - col("c"))
+      .withColumn("n", sum(col("c")).over(wAll))
+    // a row survives iff one of the wanted order statistics lands in
+    // its [prev, cum) range
+    val target = ps.flatMap { p =>
+      val pos = (col("n") - 1) * lit(p)
+      Seq(floor(pos), ceil(pos))
+    }.map(k => k >= col("prev") && k < col("cum")).reduce(_ || _)
+    val hitRows = withCum.filter(target)
+      .select("feature", "v", "prev", "cum", "n").collect()
+    val nPer: Map[String, Long] =
+      hitRows.map(r => r.getString(0) -> r.getLong(4)).toMap
+    features.foreach { f =>
+      require(nPer.contains(f), s"exactQuantiles: feature $f has no non-null values")
+    }
+    def valueAt(f: String, k: Long): Double =
+      hitRows.collectFirst {
+        case r if r.getString(0) == f && r.getLong(2) <= k && k < r.getLong(3) =>
+          r.getDouble(1)
+      }.getOrElse(sys.error(s"exactQuantiles: rank $k of $f not found"))
+    features.map { f =>
+      val n = nPer(f)
+      ps.map { p =>
+        val pos = (n - 1) * p
+        val lo = math.floor(pos).toLong
+        val hi = math.ceil(pos).toLong
+        if (lo == hi) valueAt(f, lo)
+        else (hi - pos) * valueAt(f, lo) + (pos - lo) * valueAt(f, hi)
+      }.toVector
+    }
   }
 
   /** Quartile bin id: count of edges strictly below x — matches
