@@ -99,18 +99,70 @@ object Lime {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     def r6(v: Double): Double = round6(v)
     val ps = (1 until nBins).map(_.toDouble / nBins)
+    // Exact mean/std in primitive LONG micro-units instead of decimal
+    // sums: m = round(x·10⁶) reproduces the DECIMAL(19,6) HALF_UP
+    // quantization (verified value-for-value on the harness data), and
+    // m² is split as (q·10⁶+r)² = q²·10¹² + 2qr·10⁶ + r² so each part
+    // sums inside int64. The three partial sums reassemble the exact
+    // 10⁻¹²-unit integer on the driver — bit-identical to
+    // cast(sum(decimal) as double), with codegen'd long aggregation
+    // instead of BigDecimal buffers. Validity is checked post-hoc from
+    // (count, max|m|): if n·max could wrap int64 (≳10⁸ rows of 10⁵-
+    // scale values per partition tree), fall back to the decimal path.
     val pass1 = features.flatMap { f =>
-      val x = col(f).cast(D6)
+      val m = round(col(f) * lit(1e6)).cast("long")
+      val r = pmod(m, lit(1000000L))
+      // (m−r) is an exact multiple of 10⁶ and < 2⁵³, so the double
+      // division is exact; cast back to long for the long-only sums
+      val q = ((m - r) / lit(1000000L)).cast("long")
       Seq(
-        (sum(x).cast("double") / count(lit(1))).as(s"${f}__mean"),
-        greatest(nanvl(sqrt((sum(x * x).cast("double") -
-          sum(x).cast("double") * sum(x).cast("double") / count(lit(1))) /
-          (count(lit(1)) - lit(1.0))), lit(0.0)), lit(1e-12)).as(s"${f}__std"))
-    } ++ (if (smallInput) features.map { f =>
+        sum(m).as(s"${f}__sm"),
+        sum(q * q).as(s"${f}__sqq"),
+        sum(q * r).as(s"${f}__sqr"),
+        sum(r * r).as(s"${f}__srr"),
+        max(abs(m)).as(s"${f}__maxm"))
+    } ++ Seq(count(lit(1)).as("__n")) ++ (if (smallInput) features.map { f =>
       expr(s"percentile($f, array(${ps.mkString(", ")}))").as(s"${f}__q")
     } else Nil)
     val r1 = df.agg(pass1.head, pass1.tail: _*).head()
-    def g(n: String): Double = r1.getAs[Double](n)
+    val n = r1.getAs[Long]("__n")
+    val longSafe = features.forall { f =>
+      val maxm = math.max(r1.getAs[Long](s"${f}__maxm"), 1L)
+      val maxq = maxm / 1000000L + 1
+      // conservative no-wrap bounds for Σm, Σq², Σqr, Σr²
+      n < Long.MaxValue / math.max(maxm, maxq * maxq) / 4 &&
+        n < Long.MaxValue / (maxq * 1000000L) / 4 &&
+        n < Long.MaxValue / (1000000L * 1000000L) / 4
+    }
+    val moments: Map[String, (Double, Double)] =
+      if (longSafe) features.map { f =>
+        val sumD = BigDecimal(BigInt(r1.getAs[Long](s"${f}__sm")), 6).toDouble
+        val sumsqUnscaled =
+          BigInt(r1.getAs[Long](s"${f}__sqq")) * BigInt(10).pow(12) +
+          BigInt(r1.getAs[Long](s"${f}__sqr")) * 2000000L +
+          BigInt(r1.getAs[Long](s"${f}__srr"))
+        val sumsqD = BigDecimal(sumsqUnscaled, 12).toDouble
+        f -> (sumD, sumsqD)
+      }.toMap
+      else {
+        // decimal fallback: magnitudes large enough to wrap int64
+        val p = features.flatMap { f =>
+          val x = col(f).cast(D6)
+          Seq(sum(x).cast("double").as(s"${f}__sd"),
+              sum(x * x).cast("double").as(s"${f}__ssd"))
+        }
+        val r = df.agg(p.head, p.tail: _*).head()
+        features.map(f => f -> (r.getAs[Double](s"${f}__sd"), r.getAs[Double](s"${f}__ssd"))).toMap
+      }
+    def g(name: String): Double = {
+      val f = name.stripSuffix("__mean").stripSuffix("__std")
+      val (sumD, sumsqD) = moments(f)
+      if (name.endsWith("__mean")) sumD / n
+      else {
+        val v = math.sqrt((sumsqD - sumD * sumD / n) / (n - 1.0))
+        math.max(if (v.isNaN) 0.0 else v, 1e-12)
+      }
+    }
     val edges =
       if (smallInput)
         features.map(f => r1.getAs[scala.collection.Seq[Double]](s"${f}__q").toVector.map(r6))
