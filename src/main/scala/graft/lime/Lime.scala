@@ -26,7 +26,8 @@ object Lime {
     *   interpretable representation (public LIME default); false =
     *   gaussian sampling around the instance with z-scored features
     *   (`discretize_continuous=False, sample_around_instance=True`)
-    * @param selection "highest_weights", "forward_selection", or
+    * @param selection "highest_weights", "forward_selection", "none"
+    *   (keep every feature, public LIME feature_selection='none'), or
     *   "auto" (forward selection when d' <= 6, like the public impl)
     */
   case class LimeConfig(
@@ -448,8 +449,9 @@ object Lime {
       .withColumn("feature", element_at(names, col("pos") + 1))
       .withColumnRenamed("col", "weight")
     val w = Window.partitionBy("instance_id").orderBy(abs(col("weight")).desc, col("feature"))
+    val keep = if (cfg.selection == "none") Int.MaxValue else cfg.kFeatures
     exploded.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= cfg.kFeatures)
+      .filter(col("rank") <= keep)
       .select("instance_id", "rank", "feature", "weight", "intercept", "r2", "local_pred")
       .orderBy("instance_id", "rank")
   }

@@ -111,6 +111,19 @@ class LimeSpec extends SparkSpec {
     assert(auto.map(_.toString).toSeq == fwd.map(_.toString).toSeq)
   }
 
+  test("selection='none' keeps every feature regardless of kFeatures") {
+    val feats = LimeOps.limeFeatures
+    val inst = Tables.lineitem(spark, dir).filter(col("l_orderkey") <= 5)
+      .withColumn("instance_id", col("l_orderkey") * 10 + col("l_linenumber"))
+      .select((Seq("instance_id") ++ feats).map(col): _*)
+    val all = Lime.explainTabular(inst, "instance_id", feats,
+      LimeConfig(nSamples = 128, kFeatures = 2, selection = "none")).collect()
+    val perInstance = all.groupBy(_.getLong(0)).values
+    assert(perInstance.nonEmpty)
+    perInstance.foreach(rows =>
+      assert(rows.length == feats.length, s"expected all ${feats.length} features, got ${rows.length}"))
+  }
+
   test("continuous (non-discretized) mode: deterministic, strong local fit") {
     val feats = LimeOps.limeFeatures
     val inst = Tables.lineitem(spark, dir).filter(col("l_orderkey") <= 10)

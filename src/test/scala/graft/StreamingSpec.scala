@@ -41,6 +41,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slide twin: one row per overlapping 15-min-slide window") {
+    val s = spark
+    import s.implicits._
+    // one event at minute 20 belongs to 1h windows starting at
+    // -40, -25, -10 min... clipped to slides: starts {-40,-25,-10,5}? —
+    // with 1h/15min windows an event is in 4 windows
+    val (_, df) = evDf(Seq(Ev(1, ts(20), 7, "click")))
+    val q = EventStreams.slide(df).writeStream
+      .format("memory").queryName("slide_out").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = s.sql("SELECT win_start, user_id, n_events FROM slide_out ORDER BY win_start")
+        .as[(Timestamp, Long, Long)].collect().toSeq
+      assert(rows.length == 4, s"expected 4 overlapping windows, got $rows")
+      assert(rows.forall { case (_, uid, n) => uid == 7L && n == 1L })
+      // consecutive window starts are exactly one slide apart
+      val starts = rows.map(_._1.getTime)
+      assert(starts.sliding(2).forall { case Seq(a, b) => b - a == 15 * 60 * 1000 })
+    } finally q.stop()
+  }
+
   test("late events behind the watermark are dropped (append-mode tumble)") {
     val s = spark
     import s.implicits._
