@@ -57,13 +57,28 @@ object LlmData {
 
   // ===== dedup =====
 
-  /** Exact dedup: keep the lowest doc_id per normalized text. */
+  /** Exact dedup: keep the lowest doc_id per normalized text.
+    *
+    * Scale shape: the first shuffle carries only (ids, 64-bit hash) —
+    * never the text payload. Hash groups with one member are unique
+    * texts by construction; only multi-member groups (true duplicates
+    * plus astronomically-rare collisions) re-verify on the actual
+    * text, so text bytes shuffle only for the duplicate subset.
+    * Results are EXACT regardless of hash collisions.
+    */
   def qDedupExact(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("norm_text").orderBy("doc_id")
-    docsNorm(s, dir)
-      .withColumn("rn", row_number().over(w))
+    val d = docsNorm(s, dir).withColumn("h", xxhash64(col("norm_text")))
+    val wH = Window.partitionBy("h")
+    val slim = d.select("doc_id", "lang", "source", "n_chars", "h")
+      .withColumn("grp", count(lit(1)).over(wH))
+    val singles = slim.filter(col("grp") === 1)
+    val wTxt = Window.partitionBy("norm_text").orderBy("doc_id")
+    val multiWinners = slim.filter(col("grp") > 1)
+      .join(d.select(col("doc_id"), col("norm_text")), "doc_id")
+      .withColumn("rn", row_number().over(wTxt))
       .filter(col("rn") === 1)
-      .select("doc_id", "lang", "source", "n_chars")
+    singles.select("doc_id", "lang", "source", "n_chars")
+      .unionByName(multiWinners.select("doc_id", "lang", "source", "n_chars"))
       .orderBy("doc_id")
   }
 
