@@ -525,6 +525,44 @@ object LlmData {
         array_min(expr("transform(shingles, x -> xxhash64(x))")).as("min_shingle_hash"))
       .orderBy("doc_id")
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03)
+    * over a Karp-Rabin ROLLING HASH: h(p) = Σⱼ code(cₚ₊ⱼ)·Bʲ' mod M
+    * for k=8-grams, then the minimum of each w=4 consecutive hashes,
+    * deduplicated — the standard plagiarism/near-dup anchor set.
+    * Engine-portable modular arithmetic (every term < 2⁶³ — DuckDB
+    * errors on int64 overflow), so unlike the xxhash64 fingerprint
+    * this one IS oracle-checked. One narrow explode per doc; the
+    * winnow window partitions by doc_id — state O(w) per doc.
+    */
+  def qTextWinnow(s: SparkSession, dir: String): DataFrame = {
+    val K = 8; val W = 4
+    val M = 1000000007L; val B = 256L
+    // B^(K-1-j) mod M for j = 0..K-1 — plan literals in both engines
+    val pows = Array.iterate(1L, K)(p => p * B % M).reverse
+    // char-code array materialized per DOC before the position explode
+    // (the Generate operator is a projection barrier, so `cs` is an
+    // attribute in the per-position rows — never recomputed per
+    // element; see the lambda-capture note on shingled())
+    val d = docsNorm(s, dir)
+      .filter(length(col("norm_text")) >= K + W - 1)
+      .withColumn("cs", expr("transform(split(norm_text, ''), x -> ascii(x))"))
+    val h = (0 until K).map(j =>
+      element_at(col("cs"), col("p") + j).cast("long") * lit(pows(j)) % lit(M))
+      .reduce(_ + _) % lit(M)
+    val hashed = d
+      .select(col("doc_id"), col("cs"),
+        explode(sequence(lit(1), size(col("cs")) - (K - 1))).as("p"))
+      .withColumn("fp", h)
+      .withColumn("lastp", size(col("cs")) - (K - 1))
+      .select("doc_id", "p", "fp", "lastp")
+    val wWin = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, W - 1)
+    hashed
+      .withColumn("winmin", min(col("fp")).over(wWin))
+      .filter(col("p") <= col("lastp") - (W - 1)) // full windows only
+      .select(col("doc_id"), col("winmin").as("fp")).distinct()
+      .orderBy("doc_id", "fp")
+  }
+
   // ===== deterministic sampling =====
 
   /** Engine-portable deterministic hash for sampling oracles:
@@ -611,6 +649,33 @@ object LlmData {
         |      ORDER BY (doc_id * 48271) % 2147483647, doc_id) AS rn
         |  FROM documents
         |) WHERE rn <= 50 ORDER BY lang, rn""".stripMargin,
+    "q_text_winnow" -> {
+      val K = 8; val W = 4
+      val M = 1000000007L; val B = 256L
+      val pows = Array.iterate(1L, K)(p => p * B % M).reverse
+      val terms = (0 until K)
+        .map(j => s"CAST(c[p + $j] AS BIGINT) * ${pows(j)} % $M").mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT doc_id, lower(trim(text)) AS t FROM documents
+         |  WHERE length(lower(trim(text))) >= ${K + W - 1}
+         |), cs AS (
+         |  SELECT doc_id, list_transform(string_split(t, ''), x -> ord(x)) AS c FROM d
+         |), pos AS (
+         |  SELECT doc_id, c, unnest(generate_series(1, len(c) - ${K - 1})) AS p,
+         |    len(c) - ${K - 1} AS lastp
+         |  FROM cs
+         |), hashed AS (
+         |  SELECT doc_id, p, lastp, ($terms) % $M AS fp FROM pos
+         |), winm AS (
+         |  SELECT doc_id, p, lastp,
+         |    MIN(fp) OVER (PARTITION BY doc_id ORDER BY p
+         |      ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS fp
+         |  FROM hashed
+         |)
+         |SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM winm
+         |WHERE p <= lastp - ${W - 1}
+         |ORDER BY doc_id, fp""".stripMargin
+    },
     "q_text_tokcount" ->
       """SELECT doc_id,
         |  len(list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')) AS ws_tokens,
@@ -751,6 +816,7 @@ object LlmData {
     "q_text_quality" -> (qTextQuality _),
     "q_text_langid" -> (qTextLangid _),
     "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_text_winnow" -> (qTextWinnow _),
     "q_mm_features" -> (qMmFeatures _)
   )
 }
