@@ -539,27 +539,30 @@ object LlmData {
     val M = 1000000007L; val B = 256L
     // B^(K-1-j) mod M for j = 0..K-1 — plan literals in both engines
     val pows = Array.iterate(1L, K)(p => p * B % M).reverse
-    // char-code array materialized per DOC before the position explode
-    // (the Generate operator is a projection barrier, so `cs` is an
-    // attribute in the per-position rows — never recomputed per
-    // element; see the lambda-capture note on shingled())
+    // Entirely array-land per doc — NO position explode: exploding
+    // (doc_id, cs, p) copies the char array into every one of the
+    // ~len position rows (GBs of Generate output at bench scale).
+    // The repartition after `cs` is the usual CollapseProject barrier
+    // so the position lambda reads a materialized attribute.
     val d = docsNorm(s, dir)
       .filter(length(col("norm_text")) >= K + W - 1)
       .withColumn("cs", expr("transform(split(norm_text, ''), x -> ascii(x))"))
-    val h = (0 until K).map(j =>
-      element_at(col("cs"), col("p") + j).cast("long") * lit(pows(j)) % lit(M))
-      .reduce(_ + _) % lit(M)
-    val hashed = d
-      .select(col("doc_id"), col("cs"),
-        explode(sequence(lit(1), size(col("cs")) - (K - 1))).as("p"))
-      .withColumn("fp", h)
-      .withColumn("lastp", size(col("cs")) - (K - 1))
-      .select("doc_id", "p", "fp", "lastp")
-    val wWin = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, W - 1)
-    hashed
-      .withColumn("winmin", min(col("fp")).over(wWin))
-      .filter(col("p") <= col("lastp") - (W - 1)) // full windows only
-      .select(col("doc_id"), col("winmin").as("fp")).distinct()
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    // fps(p) for p = 1..len-K+1, then the min of each W=4 consecutive
+    // hashes as two cascaded pairwise-min zip_withs:
+    // m1(i) = min(fp(i), fp(i+1)); win(i) = min(m1(i), m1(i+2)).
+    // zip_with/slice inputs evaluate once per ROW, so the fps
+    // expression is evaluated a constant number of times per doc —
+    // never per element (lambda-capture discipline).
+    def pairMin(a: Column, len: Column, gap: Int): Column =
+      zip_with(slice(a, lit(1), len), slice(a, lit(1 + gap), len), (x, y) => least(x, y))
+    d.select(col("doc_id"), col("cs"))
+      .withColumn("fps", expr(
+        s"""transform(sequence(1, size(cs) - ${K - 1}), p ->
+           |  (${(0 until K).map(j => s"CAST(element_at(cs, p + $j) AS BIGINT) * ${pows(j)} % $M").mkString(" + ")}) % $M)""".stripMargin))
+      .withColumn("m1", pairMin(col("fps"), size(col("fps")) - 1, 1))
+      .withColumn("win", pairMin(col("m1"), size(col("m1")) - 2, 2))
+      .select(col("doc_id"), explode(array_distinct(col("win"))).as("fp"))
       .orderBy("doc_id", "fp")
   }
 
