@@ -566,6 +566,26 @@ object LlmData {
       .orderBy("doc_id", "fp")
   }
 
+  /** Fingerprint-based near-dup candidates: pairs of docs sharing
+    * ≥ 40 winnowing fingerprints (calibrated so the candidate set
+    * tracks the exact-Jaccard near-dup pairs on this corpus; the
+    * template-generated docs share a long tail of common anchors). The join key is the 64-bit-bounded
+    * fingerprint — the MOSS/plagiarism-detection dedup shape: shuffle
+    * O(fingerprints), never O(docs²), then count shared anchors per
+    * pair. (An exact-similarity verify on the candidates would follow
+    * at production scale — q_dedup_jaccard is that verify here.)
+    */
+  def qDedupWinnow(s: SparkSession, dir: String): DataFrame = {
+    val fp = qTextWinnow(s, dir)
+    val a = fp.select(col("doc_id").as("a_id"), col("fp"))
+    val b = fp.select(col("doc_id").as("b_id"), col("fp"))
+    a.join(b, Seq("fp")).filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 40)
+      .orderBy("a_id", "b_id")
+  }
+
   // ===== deterministic sampling =====
 
   /** Engine-portable deterministic hash for sampling oracles:
@@ -640,6 +660,37 @@ object LlmData {
 
   // ===== oracle SQL =====
 
+  /** Shared winnowing-fingerprint CTE (`fps`: doc_id, fp) — keep in
+    * lockstep with qTextWinnow's K/W/M/B.
+    */
+  private val winnowFpSql: String = {
+    val K = 8; val W = 4
+    val M = 1000000007L; val B = 256L
+    val pows = Array.iterate(1L, K)(p => p * B % M).reverse
+    val terms = (0 until K)
+      .map(j => s"CAST(c[p + $j] AS BIGINT) * ${pows(j)} % $M").mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, lower(trim(text)) AS t FROM documents
+       |  WHERE length(lower(trim(text))) >= ${K + W - 1}
+       |), cs AS (
+       |  SELECT doc_id, list_transform(string_split(t, ''), x -> ord(x)) AS c FROM d
+       |), pos AS (
+       |  SELECT doc_id, c, unnest(generate_series(1, len(c) - ${K - 1})) AS p,
+       |    len(c) - ${K - 1} AS lastp
+       |  FROM cs
+       |), hashed AS (
+       |  SELECT doc_id, p, lastp, ($terms) % $M AS fp FROM pos
+       |), winm AS (
+       |  SELECT doc_id, p, lastp,
+       |    MIN(fp) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS fp
+       |  FROM hashed
+       |), fps AS (
+       |  SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM winm
+       |  WHERE p <= lastp - ${W - 1}
+       |)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_sample_hash" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
@@ -652,33 +703,14 @@ object LlmData {
         |      ORDER BY (doc_id * 48271) % 2147483647, doc_id) AS rn
         |  FROM documents
         |) WHERE rn <= 50 ORDER BY lang, rn""".stripMargin,
-    "q_text_winnow" -> {
-      val K = 8; val W = 4
-      val M = 1000000007L; val B = 256L
-      val pows = Array.iterate(1L, K)(p => p * B % M).reverse
-      val terms = (0 until K)
-        .map(j => s"CAST(c[p + $j] AS BIGINT) * ${pows(j)} % $M").mkString(" + ")
-      s"""WITH d AS (
-         |  SELECT doc_id, lower(trim(text)) AS t FROM documents
-         |  WHERE length(lower(trim(text))) >= ${K + W - 1}
-         |), cs AS (
-         |  SELECT doc_id, list_transform(string_split(t, ''), x -> ord(x)) AS c FROM d
-         |), pos AS (
-         |  SELECT doc_id, c, unnest(generate_series(1, len(c) - ${K - 1})) AS p,
-         |    len(c) - ${K - 1} AS lastp
-         |  FROM cs
-         |), hashed AS (
-         |  SELECT doc_id, p, lastp, ($terms) % $M AS fp FROM pos
-         |), winm AS (
-         |  SELECT doc_id, p, lastp,
-         |    MIN(fp) OVER (PARTITION BY doc_id ORDER BY p
-         |      ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS fp
-         |  FROM hashed
-         |)
-         |SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM winm
-         |WHERE p <= lastp - ${W - 1}
-         |ORDER BY doc_id, fp""".stripMargin
-    },
+    "q_text_winnow" -> s"$winnowFpSql\nSELECT doc_id, fp FROM fps ORDER BY doc_id, fp",
+    "q_dedup_winnow" ->
+      s"""$winnowFpSql
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+         |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |HAVING COUNT(*) >= 40
+         |ORDER BY a_id, b_id""".stripMargin,
     "q_text_tokcount" ->
       """SELECT doc_id,
         |  len(list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')) AS ws_tokens,
@@ -820,6 +852,7 @@ object LlmData {
     "q_text_langid" -> (qTextLangid _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_text_winnow" -> (qTextWinnow _),
+    "q_dedup_winnow" -> (qDedupWinnow _),
     "q_mm_features" -> (qMmFeatures _)
   )
 }
