@@ -63,8 +63,13 @@ object LlmData {
     * never the text payload. Hash groups with one member are unique
     * texts by construction; only multi-member groups (true duplicates
     * plus astronomically-rare collisions) re-verify on the actual
-    * text, so text bytes shuffle only for the duplicate subset.
-    * Results are EXACT regardless of hash collisions.
+    * text. The duplicate doc_id set rides a broadcast semi join, so
+    * the text side is filtered at the scan without shuffling the full
+    * corpus — text bytes shuffle only for the duplicate subset. (For
+    * a duplicate-DOMINATED corpus where that id set outgrows a
+    * broadcast, drop the hint and this degrades to one text shuffle —
+    * the same cost as the plain one-window form.) Results are EXACT
+    * regardless of hash collisions.
     */
   def qDedupExact(s: SparkSession, dir: String): DataFrame = {
     val d = docsNorm(s, dir).withColumn("h", xxhash64(col("norm_text")))
@@ -72,9 +77,10 @@ object LlmData {
     val slim = d.select("doc_id", "lang", "source", "n_chars", "h")
       .withColumn("grp", count(lit(1)).over(wH))
     val singles = slim.filter(col("grp") === 1)
+    val multiIds = slim.filter(col("grp") > 1).select("doc_id")
     val wTxt = Window.partitionBy("norm_text").orderBy("doc_id")
-    val multiWinners = slim.filter(col("grp") > 1)
-      .join(d.select(col("doc_id"), col("norm_text")), "doc_id")
+    val multiWinners = d
+      .join(broadcast(multiIds), Seq("doc_id"), "left_semi")
       .withColumn("rn", row_number().over(wTxt))
       .filter(col("rn") === 1)
     singles.select("doc_id", "lang", "source", "n_chars")
@@ -525,28 +531,42 @@ object LlmData {
         array_min(expr("transform(shingles, x -> xxhash64(x))")).as("min_shingle_hash"))
       .orderBy("doc_id")
 
+  /** Winnowing parameters shared by the Spark implementation and the
+    * DuckDB oracle CTE — single source of truth so the two cannot
+    * drift: k-gram size, winnow window, modulus, base, df cap and the
+    * shared-anchor threshold for the near-dup candidates.
+    */
+  private object Winnow {
+    val K = 8; val W = 4
+    val M = 1000000007L; val B = 256L
+    val DfCap = 20      // MOSS-style: drop near-universal anchors
+    val MinShared = 10  // near-dup candidate threshold
+    // B^(K-1-j) mod M for j = 0..K-1 — plan literals in both engines
+    val pows: Array[Long] = Array.iterate(1L, K)(p => p * B % M).reverse
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03)
     * over a Karp-Rabin ROLLING HASH: h(p) = Σⱼ code(cₚ₊ⱼ)·Bʲ' mod M
     * for k=8-grams, then the minimum of each w=4 consecutive hashes,
     * deduplicated — the standard plagiarism/near-dup anchor set.
-    * Engine-portable modular arithmetic (every term < 2⁶³ — DuckDB
-    * errors on int64 overflow), so unlike the xxhash64 fingerprint
-    * this one IS oracle-checked. One narrow explode per doc; the
-    * winnow window partitions by doc_id — state O(w) per doc.
+    * Engine-portable by construction: text is sanitized to ASCII
+    * first (Spark's split('')/ascii are per-UTF-8-BYTE while DuckDB's
+    * string_split('')/ord are per-codepoint — they agree only on
+    * ASCII), and every modular term stays under 2⁶³ (DuckDB errors on
+    * int64 overflow). Unlike the xxhash64 fingerprint this one IS
+    * oracle-checked.
     */
   def qTextWinnow(s: SparkSession, dir: String): DataFrame = {
-    val K = 8; val W = 4
-    val M = 1000000007L; val B = 256L
-    // B^(K-1-j) mod M for j = 0..K-1 — plan literals in both engines
-    val pows = Array.iterate(1L, K)(p => p * B % M).reverse
+    import Winnow._
     // Entirely array-land per doc — NO position explode: exploding
     // (doc_id, cs, p) copies the char array into every one of the
     // ~len position rows (GBs of Generate output at bench scale).
     // The repartition after `cs` is the usual CollapseProject barrier
     // so the position lambda reads a materialized attribute.
     val d = docsNorm(s, dir)
-      .filter(length(col("norm_text")) >= K + W - 1)
-      .withColumn("cs", expr("transform(split(norm_text, ''), x -> ascii(x))"))
+      .withColumn("at", regexp_replace(col("norm_text"), "[^\\x00-\\x7f]", "?"))
+      .filter(length(col("at")) >= K + W - 1)
+      .withColumn("cs", expr("transform(split(at, ''), x -> ascii(x))"))
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     // fps(p) for p = 1..len-K+1, then the min of each W=4 consecutive
     // hashes as two cascaded pairwise-min zip_withs:
@@ -567,22 +587,26 @@ object LlmData {
   }
 
   /** Fingerprint-based near-dup candidates: pairs of docs sharing
-    * ≥ 40 winnowing fingerprints (calibrated so the candidate set
-    * tracks the exact-Jaccard near-dup pairs on this corpus; the
-    * template-generated docs share a long tail of common anchors). The join key is the 64-bit-bounded
-    * fingerprint — the MOSS/plagiarism-detection dedup shape: shuffle
-    * O(fingerprints), never O(docs²), then count shared anchors per
-    * pair. (An exact-similarity verify on the candidates would follow
-    * at production scale — q_dedup_jaccard is that verify here.)
+    * ≥ MinShared RARE winnowing anchors. Anchors present in more than
+    * DfCap docs are dropped first (the MOSS move) — without the cap a
+    * single boilerplate anchor shared by N docs creates N² join rows,
+    * which is exactly the quadratic blow-up this operator exists to
+    * avoid; with it, shuffle and join stay O(Σ df²) with df ≤ DfCap.
+    * (q_dedup_jaccard is the exact-similarity verify that would
+    * follow the candidates at production scale.)
     */
   def qDedupWinnow(s: SparkSession, dir: String): DataFrame = {
+    import Winnow._
     val fp = qTextWinnow(s, dir)
-    val a = fp.select(col("doc_id").as("a_id"), col("fp"))
-    val b = fp.select(col("doc_id").as("b_id"), col("fp"))
+    val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap).select("fp")
+    val f = fp.join(rare, "fp")
+    val a = f.select(col("doc_id").as("a_id"), col("fp"))
+    val b = f.select(col("doc_id").as("b_id"), col("fp"))
     a.join(b, Seq("fp")).filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 40)
+      .filter(col("n_shared") >= MinShared)
       .orderBy("a_id", "b_id")
   }
 
@@ -660,18 +684,19 @@ object LlmData {
 
   // ===== oracle SQL =====
 
-  /** Shared winnowing-fingerprint CTE (`fps`: doc_id, fp) — keep in
-    * lockstep with qTextWinnow's K/W/M/B.
+  /** Shared winnowing-fingerprint CTE (`fps`: doc_id, fp), built from
+    * the same `Winnow` constants as the Spark implementation. The
+    * ASCII sanitation mirrors the Spark side (regexp_replace with the
+    * 'g' flag — DuckDB replaces only the first match by default).
     */
   private val winnowFpSql: String = {
-    val K = 8; val W = 4
-    val M = 1000000007L; val B = 256L
-    val pows = Array.iterate(1L, K)(p => p * B % M).reverse
+    import Winnow._
     val terms = (0 until K)
       .map(j => s"CAST(c[p + $j] AS BIGINT) * ${pows(j)} % $M").mkString(" + ")
     s"""WITH d AS (
-       |  SELECT doc_id, lower(trim(text)) AS t FROM documents
-       |  WHERE length(lower(trim(text))) >= ${K + W - 1}
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '[^\\x00-\\x7f]', '?', 'g') AS t
+       |  FROM documents
+       |  WHERE length(regexp_replace(lower(trim(text)), '[^\\x00-\\x7f]', '?', 'g')) >= ${K + W - 1}
        |), cs AS (
        |  SELECT doc_id, list_transform(string_split(t, ''), x -> ord(x)) AS c FROM d
        |), pos AS (
@@ -706,10 +731,15 @@ object LlmData {
     "q_text_winnow" -> s"$winnowFpSql\nSELECT doc_id, fp FROM fps ORDER BY doc_id, fp",
     "q_dedup_winnow" ->
       s"""$winnowFpSql
+         |, rare AS (
+         |  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= ${Winnow.DfCap}
+         |), f AS (
+         |  SELECT fps.doc_id, fps.fp FROM fps JOIN rare ON fps.fp = rare.fp
+         |)
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
-         |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY a.doc_id, b.doc_id
-         |HAVING COUNT(*) >= 40
+         |HAVING COUNT(*) >= ${Winnow.MinShared}
          |ORDER BY a_id, b_id""".stripMargin,
     "q_text_tokcount" ->
       """SELECT doc_id,

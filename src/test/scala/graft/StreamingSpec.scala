@@ -44,9 +44,10 @@ class StreamingSpec extends SparkSpec {
   test("slide twin: one row per overlapping 15-min-slide window") {
     val s = spark
     import s.implicits._
-    // one event at minute 20 belongs to 1h windows starting at
-    // -40, -25, -10 min... clipped to slides: starts {-40,-25,-10,5}? —
-    // with 1h/15min windows an event is in 4 windows
+    // 1h windows sliding every 15 min: window starts are multiples of
+    // the slide, so an event at minute 20 falls in the 4 windows
+    // starting at 23:30, 23:45, 00:00 and 00:15 — 4 windows, starts
+    // one slide apart, which is exactly what the assertions check
     val (_, df) = evDf(Seq(Ev(1, ts(20), 7, "click")))
     val q = EventStreams.slide(df).writeStream
       .format("memory").queryName("slide_out").outputMode("complete").start()
