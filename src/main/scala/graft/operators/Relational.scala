@@ -207,6 +207,28 @@ object Relational {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy("event_type")
 
+  /** Mergeable DataSketches HLL: per-type estimates plus the SAME
+    * estimate reassembled by merging per-day partial sketches —
+    * demonstrating the property that matters at 100 TB: partials
+    * built independently (per partition / per day / per cluster)
+    * union into the global sketch without re-reading data. No oracle
+    * (sketch internals are impl-specific); the spec checks merged ==
+    * direct and both within HLL error of exact.
+    */
+  def qAggHllSketch(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val direct = e.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("direct_est"))
+    val merged = e
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("day_sketch"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("day_sketch"))).as("merged_est"))
+    direct.join(merged, "event_type")
+      .select("event_type", "direct_est", "merged_est")
+      .orderBy("event_type")
+  }
+
   /** Greenwald-Khanna approximate quantiles — the sketch companion to
     * the exact sort-based `percentile` (constant memory per group at
     * any scale). No oracle (sketch estimates are impl-specific); the
@@ -895,6 +917,7 @@ object Relational {
     "q_join_full" -> (qJoinFull _),
     "q_join_semi" -> (qJoinSemi _),
     "q_agg_approx_quantile" -> (qAggApproxQuantile _),
+    "q_agg_hll_sketch" -> (qAggHllSketch _),
     "q_join_anti" -> (qJoinAnti _),
     "q_join_theta_range" -> (qJoinThetaRange _),
     "q_join_asof" -> (qJoinAsof _),

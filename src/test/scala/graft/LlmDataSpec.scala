@@ -82,6 +82,19 @@ class LlmDataSpec extends SparkSpec {
     assert(dense == sparse, s"strategies diverge:\ndense=$dense\nsparse=$sparse")
   }
 
+  test("winnow near-dup candidates cover the exact-jaccard pairs") {
+    val jac = LlmData.qDedupJaccard(spark, dir).select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.nonEmpty, "fixture should contain planted near-dups")
+    val cand = LlmData.qDedupWinnow(spark, dir).select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // char-8-gram anchor sharing and word-bigram jaccard are related
+    // but not identical similarity notions, so coverage is high, not
+    // total (tiny-corpus fixture: 3 of 4 pairs)
+    val recall = jac.intersect(cand).size.toDouble / jac.size
+    assert(recall >= 0.7, s"winnow candidates cover only $recall of exact jaccard pairs")
+  }
+
   test("fingerprints stable across partition layouts and runs") {
     val a = LlmData.qTextFingerprint(spark, dir).collect().toSeq
     val b = LlmData.qTextFingerprint(spark, dir).collect().toSeq
