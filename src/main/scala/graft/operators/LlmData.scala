@@ -597,7 +597,9 @@ object LlmData {
     */
   def qDedupWinnow(s: SparkSession, dir: String): DataFrame = {
     import Winnow._
-    val fp = qTextWinnow(s, dir)
+    // fingerprint table is read 3× (df counts + both join sides) —
+    // cache it or the whole hash/winnow subtree re-executes each time
+    val fp = qTextWinnow(s, dir).cache()
     val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select("fp")
     val f = fp.join(rare, "fp")
