@@ -447,6 +447,7 @@ object LlmData {
     val words = docsNorm(s, dir)
       .select(col("doc_id"), col("source"), explode(split(col("norm_text"), " ")).as("word"))
       .filter(col("word") =!= "")
+      .cache() // read twice: document frequency and term frequency
     val n = documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val df_ = words.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
     val tf = words.groupBy("source", "word").agg(count(lit(1)).as("tf"))
