@@ -22,6 +22,8 @@ import org.apache.spark.sql.expressions.Window
   */
 object Lime {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** @param discretize quartile-discretized sampling with a binary
     *   interpretable representation (public LIME default); false =
     *   gaussian sampling around the instance with z-scored features
@@ -124,6 +126,7 @@ object Lime {
         sum(q * r).as(s"${f}__sqr"),
         sum(r * r).as(s"${f}__srr"),
         max(abs(m)).as(s"${f}__maxm"),
+        max(r).as(s"${f}__maxr"),
         count(col(f)).as(s"${f}__nx"),
         count(m).as(s"${f}__nm"))
     } ++ Seq(count(lit(1)).as("__n")) ++ (if (smallInput) features.map { f =>
@@ -136,12 +139,17 @@ object Lime {
     val longSafe = n > 0 && features.forall { f =>
       val maxm = BigInt(math.max(r1.getAs[Long](s"${f}__maxm"), 1L))
       val maxq = maxm / 1000000L + 1
-      // no decimal-cast overflow, and conservative (BigInt-computed)
-      // no-wrap bounds for Σm, Σq², Σqr, Σr²
+      val maxr = BigInt(math.max(r1.getAs[Long](s"${f}__maxr"), 1L))
+      // no decimal-cast overflow, and exact no-wrap bounds for Σm,
+      // Σq², Σqr, Σr²: |Σx| <= n·max|x| per term, so no extra margin —
+      // the observed max(r) keeps the r² bound from capping the fast
+      // path at ~2.3M rows the way a blanket (10⁶)² term would
       r1.getAs[Long](s"${f}__nx") == r1.getAs[Long](s"${f}__nm") &&
-        Seq(maxm, maxq * maxq, maxq * 1000000L, BigInt(1000000L) * 1000000L)
-          .forall(b => BigInt(n) * b * 4 < Long.MaxValue)
+        Seq(maxm, maxq * maxq, maxq * maxr, maxr * maxr)
+          .forall(b => BigInt(n) * b < Long.MaxValue)
     }
+    if (!longSafe) log.info(
+      s"fitStats: long fast path unsafe for n=$n (overflow bound or nulls); using decimal fallback")
     val moments: Map[String, (Double, Double)] =
       if (longSafe) features.map { f =>
         val sumD = BigDecimal(BigInt(r1.getAs[Long](s"${f}__sm")), 6).toDouble

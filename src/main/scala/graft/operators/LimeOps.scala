@@ -165,9 +165,10 @@ object LimeOps {
     def one(f: String) =
       s"""SELECT '$f' AS feature,
          |  ROUND(CAST(SUM(CAST($f AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*), 6) AS mean,
-         |  ROUND(GREATEST(SQRT(GREATEST((CAST(SUM(CAST($f AS DECIMAL(19,6)) * CAST($f AS DECIMAL(19,6))) AS DOUBLE)
+         |  ROUND(CASE WHEN COUNT(*) < 2 THEN 1e-12
+         |    ELSE GREATEST(SQRT(GREATEST((CAST(SUM(CAST($f AS DECIMAL(19,6)) * CAST($f AS DECIMAL(19,6))) AS DOUBLE)
          |    - CAST(SUM(CAST($f AS DECIMAL(19,6))) AS DOUBLE) * CAST(SUM(CAST($f AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*))
-         |    / (COUNT(*) - 1.0), 0.0)), 1e-12), 6) AS std,
+         |    / (COUNT(*) - 1.0), 0.0)), 1e-12) END, 6) AS std,
          |  ROUND(quantile_cont($f, 0.25), 6) AS q1,
          |  ROUND(quantile_cont($f, 0.5), 6) AS q2,
          |  ROUND(quantile_cont($f, 0.75), 6) AS q3

@@ -118,13 +118,22 @@ object LlmData {
     * identical output.
     */
   private[graft] def jaccardPairs(sh: DataFrame, tau: Double,
-                                  s: SparkSession, denseVocabMax: Int = 16384): DataFrame = {
+                                  s: SparkSession, denseVocabMax: Int = 16384,
+                                  denseBitsetBudgetLongs: Long = 8L << 20): DataFrame = {
     val tokens = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
       .cache() // read 3×: vocabulary sizing, id assignment, bitset build
     val vocab = tokens.select("sh").distinct()
     val v = vocab.count().toInt
+    // The dense path collects + broadcasts the full docs × ⌈V/64⌉ long
+    // bitset table, so it must be gated on BOTH dimensions: a small
+    // vocabulary over a huge corpus would still materialize N × V/64
+    // longs on the driver twice. Budget default: 8M longs (64 MB).
+    // Counted off the cached token table (populated by vocab.count)
+    // rather than sh, whose shingling subtree is not cached.
+    val nDocs = tokens.select("doc_id").distinct().count()
     val verified =
-      if (v <= denseVocabMax) {
+      if (v <= denseVocabMax &&
+          nDocs * ((v + 63) / 64).toLong <= denseBitsetBudgetLongs) {
         val nWords = (v + 63) / 64
         // V is bounded here, so the single-partition id window is fine.
         val ids = vocab.withColumn("id", row_number().over(Window.orderBy("sh")) - 1)

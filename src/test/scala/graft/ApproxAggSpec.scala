@@ -36,16 +36,21 @@ class ApproxAggSpec extends SparkSpec {
     }
   }
 
-  test("HLL sketch: merged per-day partials equal the direct sketch, both near exact") {
+  test("HLL sketch: merged per-day partials match the direct sketch, both near exact") {
     val s = spark
     val exact = Tables.events(s, dir).groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("d"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     Relational.qAggHllSketch(s, dir).collect().foreach { r =>
       val (direct, merged) = (r.getLong(1), r.getLong(2))
-      // mergeability: the union of independently-built partials IS the
-      // sketch of the whole — not just approximately
-      assert(direct == merged, s"${r.getString(0)}: direct $direct vs merged $merged")
+      // mergeability: the union of independently-built partials estimates
+      // the same set as the direct sketch. At this fixture's cardinality
+      // the sketches stay in sparse/coupon mode where both paths agree
+      // exactly; in dense HLL mode a direct sketch estimates via HIP
+      // while a union falls back to the composite estimator, so allow a
+      // small relative tolerance rather than assert equality.
+      assert(math.abs(direct - merged) <= math.max(1L, (0.02 * direct).toLong),
+        s"${r.getString(0)}: direct $direct vs merged $merged")
       val e = exact(r.getString(0)).toDouble
       assert(math.abs(direct - e) / e <= 0.05, s"${r.getString(0)}: $direct vs exact $e")
     }
