@@ -127,7 +127,32 @@ object EventOps {
       .orderBy("user_id", "event_type")
   }
 
+  /** Cohort retention: users grouped by first-seen day, distinct
+    * active users per (cohort_day, day_offset) for the first week.
+    * One shuffle on user_id for the cohort assignment, then a
+    * (cohort, offset) count-distinct — both keyed aggregations, no
+    * per-event state.
+    */
+  def qEvRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    ev.join(cohort, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .filter(col("day_offset") <= 7)
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_ev_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT c.cohort_day, date_diff('day', c.cohort_day, ev.day) AS day_offset,
+        |  COUNT(DISTINCT ev.user_id) AS active_users
+        |FROM ev JOIN c ON ev.user_id = c.user_id
+        |WHERE date_diff('day', c.cohort_day, ev.day) <= 7
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
     "q_ev_tumble" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -205,6 +230,7 @@ object EventOps {
     "q_ev_session" -> (qEvSession _),
     "q_ev_late_watermark" -> (qEvLateWatermark _),
     "q_ev_funnel" -> (qEvFunnel _),
-    "q_ev_dedup_stream" -> (qEvDedupStream _)
+    "q_ev_dedup_stream" -> (qEvDedupStream _),
+    "q_ev_retention" -> (qEvRetention _)
   )
 }

@@ -481,6 +481,58 @@ object LlmData {
          size(col("w")) >= 20).as("passed"))
       .orderBy("doc_id")
 
+  /** Greedy sequence packing for LLM pretraining batches: documents
+    * stream in doc_id order within each source shard and are assigned
+    * to fixed-capacity bins by their exclusive running word count
+    * (bin = ⌊cumsum_before / C⌋ — the contiguous streaming pack, where
+    * a document crossing a boundary opens the bin it starts in).
+    * Packing per source keeps the window partitioned (one shard = one
+    * packing worker at cluster scale; no global sort).
+    */
+  def qPackSequences(s: SparkSession, dir: String): DataFrame = {
+    val capacity = 512
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsNorm(s, dir)
+      .withColumn("n_words", size(expr("filter(split(norm_text, ' '), x -> x != '')")))
+      .withColumn("bin", floor((sum(col("n_words")).over(w) - col("n_words")) / lit(capacity.toDouble)))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .withColumn("fill_ratio", round(col("total_words") / lit(capacity.toDouble), 6))
+      .orderBy("source", "bin")
+  }
+
+  /** Gopher-style word-level quality signals (Rae et al. 2021, §A1.1
+    * heuristics re-expressed over the harness corpus): word count,
+    * mean word length, max word length, stopword fraction, and the
+    * resulting keep flag. Complements q_text_quality's char-level
+    * rules. All stats are exact integer arithmetic over the word list,
+    * so the only doubles are final ratios (rounded).
+    */
+  def qQualityGopher(s: SparkSession, dir: String): DataFrame = {
+    // OR-chain instead of IN: the lambda-body subset DuckDB's
+    // list_filter is guaranteed to share with Spark's filter()
+    val swPred = stopwords.map(w => s"x = '$w'").mkString(" OR ")
+    docsNorm(s, dir)
+      .withColumn("w", expr("filter(split(norm_text, ' '), x -> x != '')"))
+      .select(col("doc_id"), col("lang"),
+        size(col("w")).as("n_words"),
+        // Σ word lengths == chars left after removing every space
+        round(length(regexp_replace(col("norm_text"), " ", "")) /
+          size(col("w")).cast("double"), 6).as("mean_word_len"),
+        array_max(expr("transform(w, x -> length(x))")).as("max_word_len"),
+        round(size(expr(s"filter(w, x -> $swPred)")) /
+          size(col("w")).cast("double"), 6).as("stopword_frac"))
+      .withColumn("keep",
+        col("n_words").between(10, 100000) &&
+        col("mean_word_len").between(2.0, 12.0) &&
+        col("max_word_len") <= 30)
+      .orderBy("doc_id")
+  }
+
   /** Char-bigram n-gram language-ID, self-trained on the corpus:
     * score(doc, lang) = Σ_bigram ln((cnt(lang,bg)+1)/(tot(lang)+4096)),
     * each term decimal-cast before summing for cross-engine
@@ -764,6 +816,37 @@ object LlmData {
         |    ROW_NUMBER() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn
         |  FROM documents
         |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')) AS n_words
+        |  FROM documents
+        |), b AS (
+        |  SELECT source, doc_id, n_words,
+        |    CAST(FLOOR((SUM(n_words) OVER (PARTITION BY source ORDER BY doc_id) - n_words) / 512.0) AS BIGINT) AS bin
+        |  FROM d
+        |)
+        |SELECT source, bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_words) AS BIGINT) AS total_words,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+        |  ROUND(CAST(SUM(n_words) AS BIGINT) / 512.0, 6) AS fill_ratio
+        |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+    "q_quality_gopher" ->
+      """SELECT doc_id, lang, n_words, mean_word_len, max_word_len, stopword_frac,
+        |  (n_words BETWEEN 10 AND 100000 AND mean_word_len BETWEEN 2.0 AND 12.0
+        |   AND max_word_len <= 30) AS keep
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    len(w) AS n_words,
+        |    ROUND(length(replace(t, ' ', '')) / CAST(len(w) AS DOUBLE), 6) AS mean_word_len,
+        |    list_max(list_transform(w, x -> length(x))) AS max_word_len,
+        |    ROUND(len(list_filter(w, x -> x = 'the' OR x = 'a')) / CAST(len(w) AS DOUBLE), 6) AS stopword_frac
+        |  FROM (
+        |    SELECT doc_id, lang, lower(trim(text)) AS t,
+        |      list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS w
+        |    FROM documents
+        |  )
+        |) ORDER BY doc_id""".stripMargin,
     "q_dedup_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id,
@@ -895,6 +978,8 @@ object LlmData {
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_text_winnow" -> (qTextWinnow _),
     "q_dedup_winnow" -> (qDedupWinnow _),
-    "q_mm_features" -> (qMmFeatures _)
+    "q_mm_features" -> (qMmFeatures _),
+    "q_pack_sequences" -> (qPackSequences _),
+    "q_quality_gopher" -> (qQualityGopher _)
   )
 }

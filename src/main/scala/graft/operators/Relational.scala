@@ -345,6 +345,66 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** Pearson correlation + OLS slope from EXACT decimal sufficient
+    * statistics (n, Σx, Σy, Σx², Σy², Σxy): the sums are
+    * order-independent decimals and the closed-form combination is the
+    * same double expression in both engines — no reliance on the
+    * engines' streaming corr() kernels, whose merge order (and thus
+    * last-bit result) is partition-layout-dependent.
+    */
+  def qAggCorr(s: SparkSession, dir: String): DataFrame = {
+    def d6(c: String): Column = col(c).cast("decimal(18,6)")
+    val n = col("n").cast("double")
+    def dd(c: String): Column = col(c).cast("double")
+    lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(d6("l_quantity")).as("sx"),
+        sum(d6("l_extendedprice")).as("sy"),
+        sum(d6("l_quantity") * d6("l_quantity")).as("sxx"),
+        sum(d6("l_extendedprice") * d6("l_extendedprice")).as("syy"),
+        sum(d6("l_quantity") * d6("l_extendedprice")).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        round((n * dd("sxy") - dd("sx") * dd("sy")) /
+          sqrt((n * dd("sxx") - dd("sx") * dd("sx")) *
+               (n * dd("syy") - dd("sy") * dd("sy"))), 6).as("corr_qty_price"),
+        round((n * dd("sxy") - dd("sx") * dd("sy")) /
+          (n * dd("sxx") - dd("sx") * dd("sx")), 6).as("slope_price_per_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Fixed-width histogram: binning as a distributed GROUP BY (the
+    * width_bucket shape). Bucket ids come from floor-division of the
+    * raw value — identical double arithmetic in both engines — and
+    * empty buckets are omitted by both.
+    */
+  def qAggHist(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .select(least(floor(col("l_extendedprice") / 10000), lit(10)).cast("int").as("bucket"),
+        col("l_extendedprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_items"),
+        outD(sum(d2(col("l_extendedprice")))).as("total_price"))
+      .orderBy("bucket")
+
+  /** Skew-mitigating two-stage aggregation: pre-aggregate on
+    * (key, salt) — bounding any one reducer's share of a hot key to
+    * 1/8 — then combine the partials on the key alone. Exact decimal
+    * partials make the salted sum bit-equal to the direct one, which
+    * is what the plain-GROUP-BY oracle checks. Locally Spark's
+    * map-side partial aggregation already gives this effect; the
+    * explicit salt is the recipe for cluster-scale hot keys where a
+    * single reduce partition would otherwise absorb the whole key.
+    */
+  def qAggSalted(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(8)))
+      .groupBy("user_id", "salt")
+      .agg(count(lit(1)).as("pn"), sum(col("value").cast(D)).as("pv"))
+      .groupBy("user_id")
+      .agg(sum(col("pn")).as("n_events"), outD(sum(col("pv"))).as("total_value"))
+      .orderBy("user_id")
+
   // ===== §2.5 window functions =====
 
   def qWinRank(s: SparkSession, dir: String): DataFrame = {
@@ -585,6 +645,30 @@ object Relational {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_agg_corr" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n,
+        |  ROUND((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |    SQRT((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_qty_price,
+        |  ROUND((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope_price_per_qty
+        |FROM t ORDER BY l_returnflag""".stripMargin,
+    "q_agg_hist" ->
+      """SELECT CAST(LEAST(FLOOR(l_extendedprice / 10000), 10) AS INT) AS bucket,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_agg_salted" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_scan_parquet" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q_scan_prune" ->
@@ -935,6 +1019,9 @@ object Relational {
     "q_agg_stats" -> (qAggStats _),
     "q_agg_quantile" -> (qAggQuantile _),
     "q_agg_mode_freq" -> (qAggModeFreq _),
+    "q_agg_corr" -> (qAggCorr _),
+    "q_agg_hist" -> (qAggHist _),
+    "q_agg_salted" -> (qAggSalted _),
     "q_win_rank" -> (qWinRank _),
     "q_win_topk_group" -> (qWinTopkGroup _),
     "q_win_movavg" -> (qWinMovavg _),
