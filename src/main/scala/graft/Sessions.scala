@@ -9,6 +9,13 @@ import org.apache.spark.sql.SparkSession
   * AQE would coalesce them to a handful of partitions and serialize
   * the expensive stage. At real scale inputs are large and this
   * setting is inert.
+  *
+  * `files.maxPartitionBytes` is lowered from 128 MB for the same
+  * reason on the SCAN side: the whole bench lineitem table is a
+  * single ~11 MB parquet file, which at the default split size scans
+  * as ONE task — every whole-table aggregation would run
+  * single-threaded. 1 MB splits spread the scan across cores; at real
+  * scale files outnumber cores and this setting is inert.
   */
 object Sessions {
   def local(cpus: String): SparkSession = SparkSession.builder()
@@ -17,6 +24,8 @@ object Sessions {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+    .config("spark.sql.files.maxPartitionBytes", "1m")
+    .config("spark.sql.files.openCostInBytes", "64k")
     .config("spark.sql.extensions", "graft.GraftExtensions")
     .getOrCreate()
 }

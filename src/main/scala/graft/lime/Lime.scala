@@ -232,8 +232,101 @@ object Lime {
                                     features: Seq[String]): Seq[Vector[Double]] =
     exactQuantiles(df, features, Seq(0.25, 0.5, 0.75))
 
+  /** Sketch-bracket exact quantiles — three shuffle-light jobs, no
+    * single-partition window (the value-count CDF below serializes
+    * each feature's distinct values through ONE window partition,
+    * which for a near-unique column means a single-threaded sort of
+    * ~n rows):
+    *
+    *   (A) one `percentile_approx` pass brackets every target order
+    *       statistic within the sketch's rank-error bound (±n/acc);
+    *   (B) one aggregate counts rows strictly below each bracket, and
+    *       one filtered aggregate collects the distinct (value, count)
+    *       pairs inside the brackets — O(#targets · n/acc) rows, equal
+    *       values collapsed;
+    *
+    * then the exact order statistics are read off on the driver. The
+    * sketch only chooses WHICH rows get collected — the returned
+    * quantiles are the exact order statistics either way, so results
+    * are bit-identical to the CDF path (and partition-independent even
+    * though the sketch itself is not). Falls back to the CDF path if a
+    * bracket misses its target (outside the sketch's error contract;
+    * kept as a correctness belt).
+    */
   private[graft] def exactQuantiles(df: DataFrame, features: Seq[String],
                                     ps: Seq[Double]): Seq[Vector[Double]] = {
+    val acc = 10000
+    val margin = 3.0 / acc
+    val lops = ps.map(p => math.max(0.0, p - margin))
+    val hips = ps.map(p => math.min(1.0, p + margin))
+    val aggA = features.flatMap { f =>
+      Seq(count(col(f)).as(s"${f}__n"),
+        percentile_approx(col(f).cast("double"),
+          array((lops ++ hips).map(lit): _*), lit(acc)).as(s"${f}__b"))
+    }
+    val rA = df.agg(aggA.head, aggA.tail: _*).head()
+    val nPer = features.map(f => f -> rA.getAs[Long](s"${f}__n")).toMap
+    features.foreach { f =>
+      require(nPer(f) > 0, s"exactQuantiles: feature $f has no non-null values")
+    }
+    val brackets: Map[String, Seq[(Double, Double)]] = features.map { f =>
+      val b = rA.getAs[scala.collection.Seq[Double]](s"${f}__b")
+      f -> ps.indices.map(i => (b(i), b(ps.length + i)))
+    }.toMap
+    val aggB = features.flatMap { f =>
+      brackets(f).zipWithIndex.map { case ((lo, _), i) =>
+        sum(when(col(f) < lo, 1L).otherwise(0L)).as(s"${f}__below$i")
+      }
+    }
+    val rB = df.agg(aggB.head, aggB.tail: _*).head()
+    val inBracket = features.map { f =>
+      val cond = brackets(f).map { case (lo, hi) => col(f) >= lo && col(f) <= hi }
+        .reduce(_ || _)
+      df.filter(col(f).isNotNull && cond)
+        .groupBy(col(f).cast("double").as("v")).agg(count(lit(1)).as("c"))
+        .select(lit(f).as("feature"), col("v"), col("c"))
+    }.reduce(_ unionByName _)
+    val byFeat = inBracket.collect().groupBy(_.getString(0))
+      .map { case (f, rs) => f -> rs.map(r => (r.getDouble(1), r.getLong(2))).sortBy(_._1) }
+    def search(f: String, k: Long): Option[Double] = {
+      val vs = byFeat.getOrElse(f, Array.empty[(Double, Long)])
+      var res: Option[Double] = None
+      brackets(f).indices.foreach { i =>
+        if (res.isEmpty) {
+          val (lo, hi) = brackets(f)(i)
+          var cum = rB.getAs[Long](s"${f}__below$i")
+          if (k >= cum) vs.foreach { case (v, c) =>
+            if (res.isEmpty && v >= lo && v <= hi) {
+              if (k < cum + c) res = Some(v)
+              cum += c
+            }
+          }
+        }
+      }
+      res
+    }
+    features.map { f =>
+      val n = nPer(f)
+      val qs = ps.map { p =>
+        val pos = (n - 1) * p
+        val lo = math.floor(pos).toLong
+        val hi = math.ceil(pos).toLong
+        (search(f, lo), search(f, hi)) match {
+          case (Some(a), Some(b)) =>
+            Some(if (lo == hi) a else (hi - pos) * a + (pos - lo) * b)
+          case _ => None
+        }
+      }
+      if (qs.forall(_.isDefined)) qs.flatten.toVector
+      else exactQuantilesCdf(df, Seq(f), ps).head
+    }
+  }
+
+  /** Full value-count CDF exact quantiles (fallback path; see
+    * exactQuantiles for why it is no longer the default).
+    */
+  private[graft] def exactQuantilesCdf(df: DataFrame, features: Seq[String],
+                                       ps: Seq[Double]): Seq[Vector[Double]] = {
     import org.apache.spark.sql.expressions.Window
     // SINGLE job: a column-pruned scan + hash-agg branch per feature
     // (branches run concurrently), unioned into one per-feature window

@@ -555,28 +555,40 @@ object LlmData {
     val model = bigrams.groupBy(col("lang").as("m_lang"), col("bg")).agg(count(lit(1)).as("cnt"))
       .cache() // read twice: lang totals and the broadcast scoring join
     val totals = model.groupBy("m_lang").agg(sum(col("cnt")).as("tot"))
-    val langs = totals.select("m_lang", "tot")
+      .orderBy("m_lang").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
     // Pre-aggregate per-doc bigram occurrence counts before scoring:
     // the model join then runs over distinct (doc, bigram) pairs, not
-    // every occurrence. occ·term in exact decimal equals the
-    // occurrence-wise sum, so scores (and the output) are unchanged.
+    // every occurrence. occ·term equals the occurrence-wise sum, so
+    // scores (and the output) are unchanged.
     val docBg = bigrams.groupBy("doc_id", "lang", "bg").agg(count(lit(1)).as("occ"))
-    // Order-independence firewall in primitive LONGs, not decimal:
-    // each log term is quantized HALF_UP to nano-units (the same
-    // 9-decimal quantization the previous DECIMAL(18,9) cast applied)
-    // and summed as int64 — exact, partition-order independent, and
-    // ~2× faster than the BigDecimal-backed decimal aggregation on
-    // the (doc × bigram × lang) fan-out. Magnitudes: |term_n| ≤ ~1e10,
-    // occ ≤ doc length, Σ ≪ 2⁶³.
-    val scored = docBg.join(broadcast(langs))
-      .join(broadcast(model), Seq("m_lang", "bg"), "left")
-      .withColumn("term_n",
-        round(log((coalesce(col("cnt"), lit(0L)) + 1.0) / (col("tot") + 4096.0)) * 1e9).cast("long"))
-      .groupBy("doc_id", "lang", "m_lang")
-      .agg(sum(col("occ") * col("term_n")).as("score"))
-    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("m_lang"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
-      .groupBy(col("lang"), col("m_lang").as("predicted"))
+    // The model is PIVOTED to one count column per language (languages
+    // and their totals are an O(langs) driver list), so scoring is ONE
+    // broadcast join over the (doc, bigram) table with |langs| score
+    // columns — not a ×|langs| row fan-out plus a per-doc-per-lang
+    // shuffle. Order-independence firewall in primitive LONGs: each
+    // log term is quantized HALF_UP to nano-units and summed as int64
+    // — exact, partition-order independent. Magnitudes: |term_n| ≤
+    // ~1e10, occ ≤ doc length, Σ ≪ 2⁶³.
+    val modelWide = model.groupBy("bg")
+      .pivot("m_lang", totals.map(_._1)).agg(first(col("cnt")))
+    def termN(lang: String, tot: Long): Column =
+      round(log((coalesce(col(lang), lit(0L)) + 1.0) / (tot + 4096.0)) * 1e9).cast("long")
+    val scoreCols = totals.toList.map { case (l, tot) =>
+      sum(col("occ") * termN(l, tot)).as(s"s_$l")
+    }
+    val scored = docBg.join(broadcast(modelWide), "bg")
+      .groupBy("doc_id", "lang")
+      .agg(scoreCols.head, scoreCols.tail: _*)
+    // argmax across the per-lang score columns; ties resolve to the
+    // alphabetically first language (same as the previous
+    // ORDER BY score DESC, m_lang tie-break)
+    val mx = greatest(totals.map(t => col(s"s_${t._1}")): _*)
+    val predicted = totals.map(_._1).foldRight(lit(null).cast("string"): Column) {
+      case (l, acc) => when(col(s"s_$l") === mx, lit(l)).otherwise(acc)
+    }
+    scored.withColumn("predicted", predicted)
+      .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "predicted")
   }
