@@ -671,15 +671,18 @@ object LlmData {
     */
   def qDedupWinnow(s: SparkSession, dir: String): DataFrame = {
     import Winnow._
-    // fingerprint table is read 3× (df counts + both join sides) —
-    // cache it or the whole hash/winnow subtree re-executes each time
-    val fp = qTextWinnow(s, dir).cache()
-    val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= DfCap).select("fp")
-    val f = fp.join(rare, "fp")
-    val a = f.select(col("doc_id").as("a_id"), col("fp"))
-    val b = f.select(col("doc_id").as("b_id"), col("fp"))
-    a.join(b, Seq("fp")).filter(col("a_id") < col("b_id"))
+    // One shuffle on fp does everything the old rare-filter + fp
+    // self-join did: group each fingerprint's (sorted) doc list, drop
+    // near-universal anchors (df cap — the MOSS move bounding the pair
+    // blowup at O(Σ df²)), expand the unordered pairs in-row, and
+    // count shared anchors per pair. No cache needed — the winnow
+    // subtree is read exactly once.
+    qTextWinnow(s, dir)
+      .groupBy("fp").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, DfCap))
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a AS a_id, b AS b_id))))")).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= MinShared)
