@@ -405,6 +405,79 @@ object Relational {
       .agg(sum(col("pn")).as("n_events"), outD(sum(col("pv"))).as("total_value"))
       .orderBy("user_id")
 
+  // ===== TPC-H-style composite analytics (round 3) =====
+  // End-to-end showcases: multi-join star queries with mixed broadcast
+  // (dims) / shuffle (fact-fact) strategy, exact decimal revenue, and
+  // a bounded top-k sink. Adapted to the harness schema (no
+  // o_shippriority / comment columns).
+
+  /** TPC-H Q3 shape: shipping-priority revenue of not-yet-shipped
+    * BUILDING-segment orders, top 10 by revenue.
+    */
+  def qTpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val cut = "1996-07-01"
+    val cust = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = orders(s, dir).filter(col("o_orderdate") < lit(cut).cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = lineitem(s, dir).filter(col("l_shipdate") > lit(cut).cast("timestamp"))
+      .select(col("l_orderkey"),
+        (d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount")))).as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(outD(sum(col("rev"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select("l_orderkey", "o_orderdate", "revenue")
+  }
+
+  /** TPC-H Q5 shape: local-supplier volume — revenue per nation from
+    * 1996 orders where the customer and the line's supplier share the
+    * nation. Dims (supplier/nation) broadcast; fact-fact joins shuffle
+    * on their keys.
+    */
+  def qTpchQ5(s: SparkSession, dir: String): DataFrame = {
+    val ord = orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val cust = customer(s, dir).select("c_custkey", "c_nationkey")
+    val supp = supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val li = lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"),
+      (d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount")))).as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(outD(sum(col("rev"))).as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    * items over one quarter.
+    */
+  def qTpchQ10(s: SparkSession, dir: String): DataFrame = {
+    val ord = orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount")))).as("rev"))
+    val cust = customer(s, dir).select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(outD(sum(col("rev"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+      .select("c_custkey", "c_name", "c_acctbal", "n_name", "revenue")
+  }
+
   // ===== §2.5 window functions =====
 
   def qWinRank(s: SparkSession, dir: String): DataFrame = {
@@ -669,6 +742,37 @@ object Relational {
       """SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND l_shipdate > TIMESTAMP '1996-07-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q_scan_parquet" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q_scan_prune" ->
@@ -1022,6 +1126,9 @@ object Relational {
     "q_agg_corr" -> (qAggCorr _),
     "q_agg_hist" -> (qAggHist _),
     "q_agg_salted" -> (qAggSalted _),
+    "q_tpch_q3" -> (qTpchQ3 _),
+    "q_tpch_q5" -> (qTpchQ5 _),
+    "q_tpch_q10" -> (qTpchQ10 _),
     "q_win_rank" -> (qWinRank _),
     "q_win_topk_group" -> (qWinTopkGroup _),
     "q_win_movavg" -> (qWinMovavg _),
