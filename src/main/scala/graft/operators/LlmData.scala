@@ -117,9 +117,14 @@ object LlmData {
     * the crossover, exposed so tests can force either path and assert
     * identical output.
     */
-  private[graft] def jaccardPairs(sh: DataFrame, tau: Double,
+  private[graft] def jaccardPairs(shIn: DataFrame, tau: Double,
                                   s: SparkSession, denseVocabMax: Int = 16384,
                                   denseBitsetBudgetLongs: Long = 8L << 20): DataFrame = {
+    // The shingle table feeds the token explode AND (sparse path) both
+    // sides of the verify join — without the cache the whole shingling
+    // subtree re-executes per consumer (pitfall: DataFrame reuse
+    // re-executes the subtree).
+    val sh = shIn.cache()
     val tokens = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
       .cache() // read 3×: vocabulary sizing, id assignment, bitset build
     val vocab = tokens.select("sh").distinct()
