@@ -549,13 +549,20 @@ object LlmData {
     // captured string is O(len) per element (O(len²)/doc). The length
     // filter also keeps the sub-two-char guard (no bigrams, as in the
     // oracle's empty generate_series).
+    // bigram key = packed codepoint pair (cp1·0x110000 + cp2), not a
+    // 2-char string: the key feeds three hash shuffles and a broadcast
+    // join, and long keys hash/compare without allocation. The packing
+    // is injective (codepoints < 0x110000), so grouping is unchanged.
+    // codepoints first (one string op per char), THEN the pair lambda
+    // runs pure long arithmetic — higher-order lambdas evaluate
+    // interpreted, so keeping string ops out of the inner one matters
     val bigrams = docsNorm(s, dir)
       .filter(length(col("norm_text")) >= 2)
-      .withColumn("c", split(col("norm_text"), ""))
+      .withColumn("c", expr("transform(split(norm_text, ''), ch -> CAST(ascii(ch) AS BIGINT))"))
       .select(col("doc_id"), col("lang"),
         explode(zip_with(slice(col("c"), lit(1), size(col("c")) - 1),
                          slice(col("c"), lit(2), size(col("c")) - 1),
-                         (a, b) => concat(a, b))).as("bg"))
+                         (a, b) => a * lit(1114112L) + b)).as("bg"))
       .cache() // read twice: model fit and per-doc scoring
     val model = bigrams.groupBy(col("lang").as("m_lang"), col("bg")).agg(count(lit(1)).as("cnt"))
       .cache() // read twice: lang totals and the broadcast scoring join
