@@ -133,7 +133,7 @@ object Lime {
       // functions.percentile (exact), col(f)-based — no SQL-string
       // interpolation, so quoted/exotic column names keep working
       percentile(col(f), array(ps.map(lit): _*)).as(s"${f}__q")
-    } else Nil)
+    } else quantileSketchCols(features, ps)) // fuse quantile job (A) into pass 1
     val r1 = df.agg(pass1.head, pass1.tail: _*).head()
     val n = r1.getAs[Long]("__n")
     val longSafe = n > 0 && features.forall { f =>
@@ -187,7 +187,7 @@ object Lime {
             s"fitStats: feature $f has no non-null values")
           qs.toVector.map(r6)
         }
-      else exactQuantiles(df, features, ps).map(_.map(r6))
+      else exactQuantilesFromSketch(df, features, ps, r1).map(_.map(r6))
 
     // Bin means/frequencies feed only the internal perturbation tables
     // (never an oracle-checked output), so they skip the decimal
@@ -253,24 +253,42 @@ object Lime {
     * bracket misses its target (outside the sketch's error contract;
     * kept as a correctness belt).
     */
-  private[graft] def exactQuantiles(df: DataFrame, features: Seq[String],
-                                    ps: Seq[Double]): Seq[Vector[Double]] = {
-    val acc = 10000
-    val margin = 3.0 / acc
+  private val QAcc = 10000
+
+  /** The sketch columns of job (A): per feature, the non-null count
+    * and the approx bracket edges. Exposed so callers that already run
+    * a whole-table aggregate (fitStats pass 1) can fuse job (A) into
+    * it and skip one scan.
+    */
+  private[graft] def quantileSketchCols(features: Seq[String],
+                                        ps: Seq[Double]): Seq[Column] = {
+    val margin = 3.0 / QAcc
     val lops = ps.map(p => math.max(0.0, p - margin))
     val hips = ps.map(p => math.min(1.0, p + margin))
-    val aggA = features.flatMap { f =>
-      Seq(count(col(f)).as(s"${f}__n"),
+    features.flatMap { f =>
+      Seq(count(col(f)).as(s"${f}__qn"),
         percentile_approx(col(f).cast("double"),
-          array((lops ++ hips).map(lit): _*), lit(acc)).as(s"${f}__b"))
+          array((lops ++ hips).map(lit): _*), lit(QAcc)).as(s"${f}__qb"))
     }
+  }
+
+  private[graft] def exactQuantiles(df: DataFrame, features: Seq[String],
+                                    ps: Seq[Double]): Seq[Vector[Double]] = {
+    val aggA = quantileSketchCols(features, ps)
     val rA = df.agg(aggA.head, aggA.tail: _*).head()
-    val nPer = features.map(f => f -> rA.getAs[Long](s"${f}__n")).toMap
+    exactQuantilesFromSketch(df, features, ps, rA)
+  }
+
+  /** Jobs (B) + driver read-off, given job (A)'s result row. */
+  private[graft] def exactQuantilesFromSketch(
+      df: DataFrame, features: Seq[String], ps: Seq[Double],
+      rA: org.apache.spark.sql.Row): Seq[Vector[Double]] = {
+    val nPer = features.map(f => f -> rA.getAs[Long](s"${f}__qn")).toMap
     features.foreach { f =>
       require(nPer(f) > 0, s"exactQuantiles: feature $f has no non-null values")
     }
     val brackets: Map[String, Seq[(Double, Double)]] = features.map { f =>
-      val b = rA.getAs[scala.collection.Seq[Double]](s"${f}__b")
+      val b = rA.getAs[scala.collection.Seq[Double]](s"${f}__qb")
       f -> ps.indices.map(i => (b(i), b(ps.length + i)))
     }.toMap
     val aggB = features.flatMap { f =>
