@@ -538,6 +538,43 @@ object LlmData {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary heavy hitters via Spark's DataSketches frequent-items
+    * family (`approx_top_k*`): the most frequent corpus tokens, in
+    * both one-shot and mergeable form. The mergeable branch builds one
+    * sketch state per source shard (`approx_top_k_accumulate`) and
+    * combines the states (`approx_top_k_combine`) — the 100 TB
+    * property being that per-shard sketch states are constant-size and
+    * merge without shuffling raw (token, count) pairs; a day×shard
+    * partitioned corpus aggregates with one tiny state per partition.
+    * No oracle (sketch state/tie order are impl-specific); the spec
+    * grades both branches against exact counts — estimates are exact
+    * while distinct(vocab) ≤ maxItemsTracked, the Misra-Gries bound.
+    */
+  def qAggApproxTopk(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val tracked = 8192
+    // read by both branches; without the cache the split+explode
+    // subtree re-executes per consumer
+    val words = docsNorm(s, dir)
+      .select(col("source"), explode(split(col("norm_text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .cache()
+    val direct = words
+      .agg(expr(s"approx_top_k_estimate(approx_top_k_accumulate(word, $tracked), $k)").as("est"))
+      .select(explode(col("est")).as("e"))
+      .select(col("e.item").as("word"), col("e.count").as("direct_cnt"))
+    val merged = words
+      .groupBy("source")
+      .agg(expr(s"approx_top_k_accumulate(word, $tracked)").as("st"))
+      .agg(expr(s"approx_top_k_estimate(approx_top_k_combine(st, $tracked), $k)").as("est"))
+      .select(explode(col("est")).as("e"))
+      .select(col("e.item").as("word"), col("e.count").as("merged_cnt"))
+    // full outer: count ties at the k-th rank may legitimately admit
+    // different items per branch; show both sides' views
+    direct.join(merged, Seq("word"), "full_outer")
+      .orderBy(desc_nulls_last("direct_cnt"), asc("word"))
+  }
+
   /** Char-bigram n-gram language-ID, self-trained on the corpus:
     * score(doc, lang) = Σ_bigram ln((cnt(lang,bg)+1)/(tot(lang)+4096)),
     * each term decimal-cast before summing for cross-engine
@@ -1007,6 +1044,7 @@ object LlmData {
     "q_dedup_winnow" -> (qDedupWinnow _),
     "q_mm_features" -> (qMmFeatures _),
     "q_pack_sequences" -> (qPackSequences _),
-    "q_quality_gopher" -> (qQualityGopher _)
+    "q_quality_gopher" -> (qQualityGopher _),
+    "q_agg_approx_topk" -> (qAggApproxTopk _)
   )
 }

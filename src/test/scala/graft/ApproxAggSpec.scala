@@ -56,6 +56,34 @@ class ApproxAggSpec extends SparkSpec {
     }
   }
 
+  test("approx_top_k: direct and merged branches both exact below the Misra-Gries capacity") {
+    val s = spark
+    // exact token counts the sketch must reproduce: with
+    // distinct(vocab) <= maxItemsTracked (8192) the frequent-items
+    // sketch stores every item, so estimates are exact counts and the
+    // top-k itemset can differ from exact only on count ties at rank k
+    val exact = Tables.documents(s, dir)
+      .select(explode(split(lower(trim(col("text"))), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.size <= 8192, s"fixture vocab ${exact.size} outgrew maxItemsTracked")
+    val rows = graft.operators.LlmData.qAggApproxTopk(s, dir).collect()
+    assert(rows.nonEmpty)
+    val kth = exact.values.toSeq.sorted(Ordering[Long].reverse).take(10).last
+    rows.foreach { r =>
+      val word = r.getString(0)
+      Seq(1, 2).foreach { i =>
+        if (!r.isNullAt(i))
+          assert(r.getLong(i) == exact(word),
+            s"$word: estimate ${r.getLong(i)} != exact ${exact(word)}")
+      }
+      // any returned item must genuinely belong at the top: its exact
+      // count is >= the k-th largest exact count
+      assert(exact(word) >= kth, s"$word (${exact(word)}) below the k-th count $kth")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact distinct") {
     val s = spark
     val exact = Tables.events(s, dir).groupBy("event_type")
