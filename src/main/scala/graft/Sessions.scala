@@ -14,8 +14,12 @@ import org.apache.spark.sql.SparkSession
   * reason on the SCAN side: the whole bench lineitem table is a
   * single ~11 MB parquet file, which at the default split size scans
   * as ONE task — every whole-table aggregation would run
-  * single-threaded. 1 MB splits spread the scan across cores; at real
-  * scale files outnumber cores and this setting is inert.
+  * single-threaded. Unlike the AQE knob above this one is NOT inert
+  * at scale (it would shred a multi-GB file into 1 MB tasks and
+  * multiply scheduler overhead ~128×): it is a harness-local override
+  * for this factory, which only the local mains/tests call — a
+  * cluster deployment configures its own session and keeps the
+  * 128 MB default.
   */
 object Sessions {
   def local(cpus: String): SparkSession = SparkSession.builder()

@@ -255,35 +255,40 @@ object Lime {
     */
   private val QAcc = 10000
 
-  /** The sketch columns of job (A): per feature, the non-null count
-    * and the approx bracket edges. Exposed so callers that already run
-    * a whole-table aggregate (fitStats pass 1) can fuse job (A) into
-    * it and skip one scan.
+  /** The sketch columns of job (A): per feature, the approx bracket
+    * edges. Exposed so callers that already run a whole-table
+    * aggregate (fitStats pass 1) can fuse job (A) into it and skip one
+    * scan. Non-null counts are NOT included — the read-off uses the
+    * caller's `${f}__nx` aggregates (fitStats pass 1 already has them;
+    * the standalone entry below adds its own) rather than duplicating
+    * a count column per feature in the fused pass.
     */
   private[graft] def quantileSketchCols(features: Seq[String],
                                         ps: Seq[Double]): Seq[Column] = {
     val margin = 3.0 / QAcc
     val lops = ps.map(p => math.max(0.0, p - margin))
     val hips = ps.map(p => math.min(1.0, p + margin))
-    features.flatMap { f =>
-      Seq(count(col(f)).as(s"${f}__qn"),
-        percentile_approx(col(f).cast("double"),
-          array((lops ++ hips).map(lit): _*), lit(QAcc)).as(s"${f}__qb"))
+    features.map { f =>
+      percentile_approx(col(f).cast("double"),
+        array((lops ++ hips).map(lit): _*), lit(QAcc)).as(s"${f}__qb")
     }
   }
 
   private[graft] def exactQuantiles(df: DataFrame, features: Seq[String],
                                     ps: Seq[Double]): Seq[Vector[Double]] = {
-    val aggA = quantileSketchCols(features, ps)
+    val aggA = features.map(f => count(col(f)).as(s"${f}__nx")) ++
+      quantileSketchCols(features, ps)
     val rA = df.agg(aggA.head, aggA.tail: _*).head()
     exactQuantilesFromSketch(df, features, ps, rA)
   }
 
-  /** Jobs (B) + driver read-off, given job (A)'s result row. */
+  /** Jobs (B) + driver read-off, given job (A)'s result row (which
+    * must carry `${f}__nx` non-null counts and `${f}__qb` brackets).
+    */
   private[graft] def exactQuantilesFromSketch(
       df: DataFrame, features: Seq[String], ps: Seq[Double],
       rA: org.apache.spark.sql.Row): Seq[Vector[Double]] = {
-    val nPer = features.map(f => f -> rA.getAs[Long](s"${f}__qn")).toMap
+    val nPer = features.map(f => f -> rA.getAs[Long](s"${f}__nx")).toMap
     features.foreach { f =>
       require(nPer(f) > 0, s"exactQuantiles: feature $f has no non-null values")
     }

@@ -135,8 +135,11 @@ object EventOps {
     */
   def qEvRetention(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir).select(col("user_id"), to_date(col("ts")).as("day"))
-    val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
-    ev.join(cohort, "user_id")
+    // cohort_day via an unbounded min window over user_id, not
+    // groupBy+join-back: one exchange of events instead of two plus a
+    // join — the shape the docstring promises
+    val wU = Window.partitionBy("user_id")
+    ev.withColumn("cohort_day", min(col("day")).over(wU))
       .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
       .filter(col("day_offset") <= 7)
       .groupBy("cohort_day", "day_offset")

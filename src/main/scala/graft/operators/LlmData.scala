@@ -134,8 +134,10 @@ object LlmData {
     // vocabulary over a huge corpus would still materialize N × V/64
     // longs on the driver twice. Budget default: 8M longs (64 MB).
     // Counted off the cached token table (populated by vocab.count)
-    // rather than sh, whose shingling subtree is not cached.
-    val nDocs = tokens.select("doc_id").distinct().count()
+    // rather than sh, whose shingling subtree is not cached. Counted
+    // ONLY once the vocab test passes — the sparse path (the 100 TB
+    // shape) must not pay a distinct-count job whose result it ignores.
+    def nDocs: Long = tokens.select("doc_id").distinct().count()
     val verified =
       if (v <= denseVocabMax &&
           nDocs * ((v + 63) / 64).toLong <= denseBitsetBudgetLongs) {
@@ -428,6 +430,10 @@ object LlmData {
   // ===== text analysis =====
 
   private val stopwords = Seq("the", "a")
+  // single source of truth for the oracle SQL too — extending
+  // `stopwords` must change both engines or the hash check drifts
+  private val stopwordsInList = stopwords.map(w => s"'$w'").mkString(", ")
+  private val stopwordsOrChain = stopwords.map(w => s"x = '$w'").mkString(" OR ")
 
   /** Token stats per language after stopword removal. */
   def qTextTokens(s: SparkSession, dir: String): DataFrame =
@@ -520,7 +526,7 @@ object LlmData {
   def qQualityGopher(s: SparkSession, dir: String): DataFrame = {
     // OR-chain instead of IN: the lambda-body subset DuckDB's
     // list_filter is guaranteed to share with Spark's filter()
-    val swPred = stopwords.map(w => s"x = '$w'").mkString(" OR ")
+    val swPred = stopwordsOrChain
     docsNorm(s, dir)
       .withColumn("w", expr("filter(split(norm_text, ' '), x -> x != '')"))
       .select(col("doc_id"), col("lang"),
@@ -611,6 +617,11 @@ object LlmData {
     // every occurrence. occ·term equals the occurrence-wise sum, so
     // scores (and the output) are unchanged.
     val docBg = bigrams.groupBy("doc_id", "lang", "bg").agg(count(lit(1)).as("occ"))
+    // degenerate corpus (no doc with >= 2 chars): no model, no rows
+    if (totals.isEmpty) {
+      import s.implicits._
+      return s.emptyDataset[(String, String, Long)].toDF("lang", "predicted", "n")
+    }
     // The model is PIVOTED to one count column per language (languages
     // and their totals are an O(langs) driver list), so scoring is ONE
     // broadcast join over the (doc, bigram) table with |langs| score
@@ -632,7 +643,11 @@ object LlmData {
     // argmax across the per-lang score columns; ties resolve to the
     // alphabetically first language (same as the previous
     // ORDER BY score DESC, m_lang tie-break)
-    val mx = greatest(totals.map(t => col(s"s_${t._1}")): _*)
+    // greatest() requires >= 2 args; a single-language corpus argmaxes
+    // to that language trivially
+    val mx =
+      if (totals.length == 1) col(s"s_${totals.head._1}")
+      else greatest(totals.map(t => col(s"s_${t._1}")): _*)
     val predicted = totals.map(_._1).foldRight(lit(null).cast("string"): Column) {
       case (l, acc) => when(col(s"s_$l") === mx, lit(l)).otherwise(acc)
     }
@@ -896,7 +911,7 @@ object LlmData {
         |  ROUND(CAST(SUM(n_words) AS BIGINT) / 512.0, 6) AS fill_ratio
         |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin,
     "q_quality_gopher" ->
-      """SELECT doc_id, lang, n_words, mean_word_len, max_word_len, stopword_frac,
+      s"""SELECT doc_id, lang, n_words, mean_word_len, max_word_len, stopword_frac,
         |  (n_words BETWEEN 10 AND 100000 AND mean_word_len BETWEEN 2.0 AND 12.0
         |   AND max_word_len <= 30) AS keep
         |FROM (
@@ -904,7 +919,7 @@ object LlmData {
         |    len(w) AS n_words,
         |    ROUND(length(replace(t, ' ', '')) / CAST(len(w) AS DOUBLE), 6) AS mean_word_len,
         |    list_max(list_transform(w, x -> length(x))) AS max_word_len,
-        |    ROUND(len(list_filter(w, x -> x = 'the' OR x = 'a')) / CAST(len(w) AS DOUBLE), 6) AS stopword_frac
+        |    ROUND(len(list_filter(w, x -> $stopwordsOrChain)) / CAST(len(w) AS DOUBLE), 6) AS stopword_frac
         |  FROM (
         |    SELECT doc_id, lang, lower(trim(text)) AS t,
         |      list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS w
@@ -966,11 +981,11 @@ object LlmData {
         |SELECT byl.label AS label, n_vecs, avg_norm, centroid_norm
         |FROM byl JOIN cen ON byl.label = cen.label ORDER BY byl.label""".stripMargin,
     "q_text_tokens" ->
-      """SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT word) AS n_distinct,
+      s"""SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT word) AS n_distinct,
         |  ROUND(CAST(SUM(CAST(LENGTH(word) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_len
         |FROM (
         |  SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents
-        |) WHERE word <> '' AND word NOT IN ('the', 'a')
+        |) WHERE word <> '' AND word NOT IN ($stopwordsInList)
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_text_tfidf" ->
       """WITH words AS (
