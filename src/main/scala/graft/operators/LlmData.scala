@@ -467,10 +467,16 @@ object LlmData {
     val words = docsNorm(s, dir)
       .select(col("doc_id"), col("source"), explode(split(col("norm_text"), " ")).as("word"))
       .filter(col("word") =!= "")
-      .cache() // read twice: document frequency and term frequency
+    // ONE shuffle of the raw word stream, to per-(doc, word) counts;
+    // both document frequency (rows per word — the pairs are already
+    // distinct, so no countDistinct expansion) and term frequency
+    // (Σ counts per source/word) then aggregate the much smaller pair
+    // table.
+    val dw = words.groupBy("doc_id", "source", "word").agg(count(lit(1)).as("c"))
+      .cache() // read twice: df and tf
     val n = documents(s, dir).agg(count(lit(1)).as("n_docs"))
-    val df_ = words.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
-    val tf = words.groupBy("source", "word").agg(count(lit(1)).as("tf"))
+    val df_ = dw.groupBy("word").agg(count(lit(1)).as("df"))
+    val tf = dw.groupBy("source", "word").agg(sum(col("c")).as("tf"))
     val w = Window.partitionBy("source").orderBy(col("score").desc, col("word"))
     tf.join(df_, "word").crossJoin(broadcast(n))
       .withColumn("score", round(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
@@ -606,17 +612,18 @@ object LlmData {
         explode(zip_with(slice(col("c"), lit(1), size(col("c")) - 1),
                          slice(col("c"), lit(2), size(col("c")) - 1),
                          (a, b) => a * lit(1114112L) + b)).as("bg"))
-      .cache() // read twice: model fit and per-doc scoring
-    val model = bigrams.groupBy(col("lang").as("m_lang"), col("bg")).agg(count(lit(1)).as("cnt"))
+    // Pre-aggregate per-doc bigram occurrence counts FIRST: the raw
+    // bigram stream shuffles once, and the model (per-lang counts),
+    // lang totals and scoring all derive from the much smaller
+    // (doc, lang, bigram) pair table. occ·term equals the
+    // occurrence-wise sum, so scores (and the output) are unchanged.
+    val docBg = bigrams.groupBy("doc_id", "lang", "bg").agg(count(lit(1)).as("occ"))
+      .cache() // read twice: model fit and the scoring join
+    val model = docBg.groupBy(col("lang").as("m_lang"), col("bg")).agg(sum(col("occ")).as("cnt"))
       .cache() // read twice: lang totals and the broadcast scoring join
     val totals = model.groupBy("m_lang").agg(sum(col("cnt")).as("tot"))
       .orderBy("m_lang").collect()
       .map(r => r.getString(0) -> r.getLong(1))
-    // Pre-aggregate per-doc bigram occurrence counts before scoring:
-    // the model join then runs over distinct (doc, bigram) pairs, not
-    // every occurrence. occ·term equals the occurrence-wise sum, so
-    // scores (and the output) are unchanged.
-    val docBg = bigrams.groupBy("doc_id", "lang", "bg").agg(count(lit(1)).as("occ"))
     // degenerate corpus (no doc with >= 2 chars): no model, no rows
     if (totals.isEmpty) {
       import s.implicits._
