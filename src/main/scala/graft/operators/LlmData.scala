@@ -128,16 +128,17 @@ object LlmData {
     val tokens = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
       .cache() // read 3×: vocabulary sizing, id assignment, bitset build
     val vocab = tokens.select("sh").distinct()
-    val v = vocab.count().toInt
     // The dense path collects + broadcasts the full docs × ⌈V/64⌉ long
     // bitset table, so it must be gated on BOTH dimensions: a small
     // vocabulary over a huge corpus would still materialize N × V/64
     // longs on the driver twice. Budget default: 8M longs (64 MB).
-    // Counted off the cached token table (populated by vocab.count)
-    // rather than sh, whose shingling subtree is not cached. Counted
-    // ONLY once the vocab test passes — the sparse path (the 100 TB
-    // shape) must not pay a distinct-count job whose result it ignores.
-    def nDocs: Long = tokens.select("doc_id").distinct().count()
+    // Both gate cardinalities come from ONE aggregate over the cached
+    // token table (populating the cache as a side effect) — not a job
+    // per count.
+    val gate = tokens.agg(
+      countDistinct(col("sh")).as("v"),
+      countDistinct(col("doc_id")).as("nd")).head()
+    val (v, nDocs) = (gate.getLong(0).toInt, gate.getLong(1))
     val verified =
       if (v <= denseVocabMax &&
           nDocs * ((v + 63) / 64).toLong <= denseBitsetBudgetLongs) {
