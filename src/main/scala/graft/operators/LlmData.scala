@@ -112,6 +112,49 @@ object LlmData {
       tau = 0.3, s)
   }
 
+  /** Duplicate clustering: connected components over the near-dup
+    * pair graph (transitive closure of q_dedup_jaccard), so a group of
+    * mutually-similar documents collapses to one cluster — the step
+    * between pair generation and "keep one representative per
+    * cluster" in an LLM dedup pipeline. cluster_id = min doc_id in
+    * the component.
+    *
+    * Scale shape: iterative min-label propagation — each round is one
+    * join + one aggregate over the EDGE list (never the corpus), and
+    * the driver holds only a converged/not flag; rounds = graph
+    * diameter, which for near-dup clusters is small (dup clusters are
+    * near-cliques). The alternating large-star/small-star variant
+    * (Kiveris et al.) drops rounds to O(log n) if a deep chain ever
+    * shows up. Deterministic: min() is merge-order-free.
+    */
+  def qDedupCluster(s: SparkSession, dir: String): DataFrame = {
+    val pairs = qDedupJaccard(s, dir).select("a_id", "b_id")
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .cache() // read every iteration
+    var comp = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+    var iter = 0
+    var done = false
+    while (!done && iter < 50) {
+      // best label reachable in one hop, merged with the current label
+      val viaNbr = edges.join(comp.withColumnRenamed("id", "nbr"), col("dst") === col("nbr"))
+        .select(col("src").as("id"), col("comp"))
+      val next = comp.unionByName(viaNbr)
+        .groupBy("id").agg(min(col("comp")).as("comp"))
+        .cache()
+      done = next.join(comp.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") < col("old")).isEmpty
+      comp = next
+      iter += 1
+    }
+    require(done, s"qDedupCluster: not converged after $iter rounds")
+    val wC = Window.partitionBy("cluster_id")
+    comp.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(wC))
+      .orderBy("doc_id")
+  }
+
   /** Exact Jaccard pair join over (doc_id, shingles, sz), strategy
     * picked by vocabulary size (see qDedupJaccard). `denseVocabMax` is
     * the crossover, exposed so tests can force either path and assert
@@ -835,6 +878,27 @@ object LlmData {
 
   // ===== oracle SQL =====
 
+  /** Shared CTE text producing the exact-Jaccard near-dup pairs —
+    * single source of truth for q_dedup_jaccard and the transitive
+    * closure built on it by q_dedup_cluster (the two cannot drift).
+    */
+  private val jaccardPairCtes =
+    """sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1])) AS shingles
+      |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents)
+      |), ex AS (
+      |  SELECT doc_id, unnest(shingles) AS sh, len(shingles) AS sz FROM sh
+      |), pairs AS (
+      |  SELECT a_id, b_id, jac FROM (
+      |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |      ROUND(COUNT(*) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)), 6) AS jac
+      |    FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |    GROUP BY a.doc_id, b.doc_id
+      |  ) WHERE jac >= 0.3
+      |)""".stripMargin
+
   /** Shared winnowing-fingerprint CTE (`fps`: doc_id, fp), built from
     * the same `Winnow` constants as the Spark implementation. The
     * ASCII sanitation mirrors the Spark side (regexp_replace with the
@@ -935,20 +999,23 @@ object LlmData {
         |  )
         |) ORDER BY doc_id""".stripMargin,
     "q_dedup_jaccard" ->
-      """WITH sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(generate_series(1, len(w) - 1),
-        |      i -> w[i] || ' ' || w[i+1])) AS shingles
-        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents)
-        |), ex AS (
-        |  SELECT doc_id, unnest(shingles) AS sh, len(shingles) AS sz FROM sh
+      s"""WITH $jaccardPairCtes
+        |SELECT a_id, b_id, jac FROM pairs ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE $jaccardPairCtes,
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs
+        |), reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+        |), comp AS (
+        |  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
         |)
-        |SELECT a_id, b_id, jac FROM (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |    ROUND(COUNT(*) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)), 6) AS jac
-        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id
-        |) WHERE jac >= 0.3 ORDER BY a_id, b_id""".stripMargin,
+        |SELECT doc_id, cluster_id,
+        |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM comp ORDER BY doc_id""".stripMargin,
     "q_dedup_embed" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         |SELECT a_id, b_id, cosine FROM (
@@ -1051,6 +1118,7 @@ object LlmData {
     "q_text_tokcount" -> (qTextTokcount _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
+    "q_dedup_cluster" -> (qDedupCluster _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embed" -> (qDedupEmbed _),

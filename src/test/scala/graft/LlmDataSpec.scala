@@ -21,6 +21,36 @@ class LlmDataSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall below 0.9 (found ${approx.size}/${exact.size})")
   }
 
+  test("dedup clusters are the connected components of the jaccard pair graph") {
+    val pairs = LlmData.qDedupJaccard(spark, dir).select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = LlmData.qDedupCluster(spark, dir).collect()
+    val cluster = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizes = rows.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // exactly the paired docs are clustered
+    assert(cluster.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    // every edge's endpoints share a component
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    // the label is the component's min id, and sizes count members
+    rows.foreach { r =>
+      val members = cluster.filter(_._2 == r.getLong(1)).keys
+      assert(members.min == r.getLong(1), s"cluster ${r.getLong(1)} label not min member")
+      assert(members.size.toLong == sizes(r.getLong(1)))
+    }
+    // reference closure: union-find over the same edges gives the same partition
+    val parent = scala.collection.mutable.Map(cluster.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    cluster.keys.foreach { k =>
+      val expect = cluster.keys.filter(j => find(j) == find(k)).min
+      assert(cluster(k) == expect, s"doc $k: cluster ${cluster(k)} != union-find $expect")
+    }
+  }
+
   test("simhash: near-identical docs collide, pairs deterministic under repartitioning") {
     val p1 = LlmData.qDedupSimhash(spark, dir).collect().toSeq
     spark.conf.set("spark.sql.shuffle.partitions", "7")
