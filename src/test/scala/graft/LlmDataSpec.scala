@@ -49,6 +49,14 @@ class LlmDataSpec extends SparkSpec {
       val expect = cluster.keys.filter(j => find(j) == find(k)).min
       assert(cluster(k) == expect, s"doc $k: cluster ${cluster(k)} != union-find $expect")
     }
+    // the distributed min-label-propagation path (forced by a zero
+    // driver-edge budget) must produce the identical partition
+    val distRows = LlmData.clusterPairs(
+      LlmData.qDedupJaccard(spark, dir).select("a_id", "b_id"), spark,
+      driverEdgeMax = 0).collect()
+    assert(distRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq,
+      "distributed and driver union-find paths disagree")
   }
 
   test("simhash: near-identical docs collide, pairs deterministic under repartitioning") {
