@@ -310,9 +310,10 @@ object Lime {
     // feature: melt (feature, value) pairs with an explode over
     // struct literals (no SQL-string interpolation, so quoted/exotic
     // column names keep working), then keep only values inside their
-    // OWN feature's brackets. The fan-out is ×|features| rows but the
-    // bracket filter is ~±0.03% selective per edge, so the aggregate
-    // input stays tiny.
+    // OWN feature's brackets. The fan-out is ×|features| rows but each
+    // bracket spans ~±(3/QAcc) of rank per edge (±0.15% at the
+    // current accuracy), so the aggregate input stays a small slice
+    // of the scan.
     val inBracket = {
       val melted = df.select(explode(array(features.map(f =>
         struct(lit(f).as("feature"), col(f).cast("double").as("v"))): _*)).as("fv"))

@@ -128,44 +128,54 @@ object LlmData {
     * physical strategy keys on ITS size, not the corpus's:
     *
     * - `edges ≤ driverEdgeMax` (the overwhelmingly common shape —
-    *   4M pairs ≈ 64 MB driver memory): collect the pairs and run
-    *   union-find with path compression on the driver. One collect,
-    *   zero iterative jobs; at local bench scale this is ~10× faster
-    *   than even two rounds of a distributed loop (each round of
-    *   join+agg+convergence-check costs ~3 s of AQE/scheduler
-    *   overhead regardless of data size).
-    * - larger: distributed min-label propagation — per round one
-    *   edge-list join + min-aggregate + convergence probe; rounds =
-    *   component diameter (near-dup clusters are near-cliques, so
-    *   small). The large-star/small-star variant (Kiveris et al.)
-    *   bounds rounds at O(log n) if a deep chain ever shows up.
+    *   1M pairs; the real JVM footprint per pair is a few hundred
+    *   bytes across the collected rows, the boxed union-find map and
+    *   the LocalRelation, so 1M keeps the path comfortably inside a
+    *   multi-GB driver): collect the pairs and run union-find with
+    *   path compression on the driver. One collect, zero iterative
+    *   jobs; at local bench scale this is ~10× faster than even two
+    *   rounds of a distributed loop (each round of join + agg +
+    *   convergence-check costs ~3 s of AQE/scheduler overhead
+    *   regardless of data size).
+    * - larger: distributed min-label propagation with a pointer-
+    *   halving step (each round also jumps to the label's own label),
+    *   so rounds are O(log diameter) — a deep chain component cannot
+    *   exhaust the round cap. Per round: one edge-list join, the
+    *   halving self-join, a min-aggregate and a convergence probe.
     *
     * Both paths are deterministic (min is merge-order-free) and
     * produce identical output; `driverEdgeMax` is exposed so the spec
     * can force the distributed path and assert equality.
     */
   private[graft] def clusterPairs(pairsIn: DataFrame, s: SparkSession,
-                                  driverEdgeMax: Long = 4L << 20): DataFrame = {
+                                  driverEdgeMax: Long = 1L << 20): DataFrame = {
     val pairs = pairsIn.cache() // read twice: count gate + closure
     val nEdges = pairs.count()
     if (nEdges <= driverEdgeMax) {
       val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
+      // iterative find: chase to the root, then compress — no
+      // recursion, so chain-shaped components cannot overflow the
+      // stack
       def find(x: Long): Long = {
-        var r = parent.getOrElseUpdate(x, x)
-        if (r != x) { r = find(r); parent(x) = r }
-        r
+        var root = x
+        while (parent.getOrElseUpdate(root, root) != root) root = parent(root)
+        var cur = x
+        while (parent(cur) != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+        root
       }
       es.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      val rows = parent.keys.toSeq.map(v => (v, find(v)))
+      // attach sizes on the driver too — all data is already here, so
+      // no reason to ship rows back just to window over them
+      val labeled = parent.keys.toSeq.map(v => (v, find(v)))
+      val sizes = labeled.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
       val session = s
       import session.implicits._
-      val comp = rows.toDF("doc_id", "cluster_id")
-      val wC = Window.partitionBy("cluster_id")
-      comp.withColumn("cluster_size", count(lit(1)).over(wC))
+      labeled.map { case (v, c) => (v, c, sizes(c)) }
+        .toDF("doc_id", "cluster_id", "cluster_size")
         .orderBy("doc_id")
     } else {
       val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
@@ -173,17 +183,30 @@ object LlmData {
         .cache() // read every iteration
       var comp = edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("comp"))
+      var prev: DataFrame = null
       var iter = 0
       var done = false
-      while (!done && iter < 50) {
+      while (!done && iter < 64) {
         // best label reachable in one hop, merged with the current label
         val viaNbr = edges.join(comp.withColumnRenamed("id", "nbr"), col("dst") === col("nbr"))
           .select(col("src").as("id"), col("comp"))
-        val next = comp.unionByName(viaNbr)
+        val prop = comp.unionByName(viaNbr)
           .groupBy("id").agg(min(col("comp")).as("comp"))
+        // pointer halving: also jump to the label's own label (labels
+        // are vertex ids of the same component, so the inner self-join
+        // always hits) — rounds become O(log diameter), so the cap is
+        // unreachable for any graph that fits in storage
+        val next = prop
+          .join(prop.select(col("id").as("lid"), col("comp").as("lcomp")), col("comp") === col("lid"))
+          .select(col("id"), least(col("comp"), col("lcomp")).as("comp"))
           .cache()
         done = next.join(comp.withColumnRenamed("comp", "old"), "id")
           .filter(col("comp") < col("old")).isEmpty
+        // next is materialized by the probe; the previous round's
+        // cached snapshot is dead — drop it so 60+ copies of comp do
+        // not pile up in storage memory over the loop
+        if (prev != null) prev.unpersist()
+        prev = next
         comp = next
         iter += 1
       }
@@ -552,14 +575,16 @@ object LlmData {
       .select(col("doc_id"), col("source"), explode(split(col("norm_text"), " ")).as("word"))
       .filter(col("word") =!= "")
     // ONE shuffle of the raw word stream, to per-(doc, word) counts;
-    // both document frequency (rows per word — the pairs are already
-    // distinct, so no countDistinct expansion) and term frequency
-    // (Σ counts per source/word) then aggregate the much smaller pair
-    // table.
+    // both document frequency and term frequency (Σ counts per
+    // source/word) then aggregate the much smaller pair table. df
+    // stays countDistinct(doc_id) — NOT rows-per-word, which would
+    // silently assume doc_id never repeats across sources (the oracle
+    // makes no such assumption); over the pre-aggregated pairs the
+    // distinct expansion is cheap.
     val dw = words.groupBy("doc_id", "source", "word").agg(count(lit(1)).as("c"))
       .cache() // read twice: df and tf
     val n = documents(s, dir).agg(count(lit(1)).as("n_docs"))
-    val df_ = dw.groupBy("word").agg(count(lit(1)).as("df"))
+    val df_ = dw.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
     val tf = dw.groupBy("source", "word").agg(sum(col("c")).as("tf"))
     val w = Window.partitionBy("source").orderBy(col("score").desc, col("word"))
     tf.join(df_, "word").crossJoin(broadcast(n))
