@@ -122,6 +122,33 @@ object LlmData {
   def qDedupCluster(s: SparkSession, dir: String): DataFrame =
     clusterPairs(qDedupJaccard(s, dir).select("a_id", "b_id"), s)
 
+  /** End-to-end dedup decision: the keep/drop verdict per document
+    * after BOTH passes — exact text dedup (keep the min doc_id of
+    * each normalized-text group) and near-dup clustering (keep only
+    * each cluster's min member). The two are not redundant: docs too
+    * short to shingle never enter the pair graph but can still be
+    * exact duplicates. reason: 'dup_text' (lost exact dedup),
+    * 'near_dup' (exact winner but not its cluster's representative),
+    * 'keep'.
+    *
+    * Scale shape: both inputs are the already-scale-shaped operators;
+    * the combination is two joins against the (small) winner-id and
+    * cluster tables — broadcastable at any realistic dup rate.
+    */
+  def qDedupApply(s: SparkSession, dir: String): DataFrame = {
+    val winners = qDedupExact(s, dir).select(col("doc_id"), lit(1).as("w"))
+    val clusters = qDedupCluster(s, dir).select(col("doc_id"), col("cluster_id"))
+    documents(s, dir).select("doc_id")
+      .join(winners, Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("w").isNull, "dup_text")
+          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"), "near_dup")
+          .otherwise("keep"))
+      .select(col("doc_id"), (col("reason") === "keep").as("keep"), col("reason"))
+      .orderBy("doc_id")
+  }
+
   /** Connected components of an (a_id, b_id) pair table, adaptive by
     * edge count — the pair graph is orders of magnitude smaller than
     * the corpus (only documents with a near-dup appear), so the
@@ -1066,6 +1093,34 @@ object LlmData {
     "q_dedup_jaccard" ->
       s"""WITH $jaccardPairCtes
         |SELECT a_id, b_id, jac FROM pairs ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_apply" ->
+      s"""WITH RECURSIVE $jaccardPairCtes,
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs
+        |), reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+        |), comp AS (
+        |  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+        |), winners AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn
+        |    FROM documents
+        |  ) WHERE rn = 1
+        |), verdict AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN w.doc_id IS NULL THEN 'dup_text'
+        |         WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> d.doc_id THEN 'near_dup'
+        |         ELSE 'keep' END AS reason
+        |  FROM documents d
+        |  LEFT JOIN winners w ON w.doc_id = d.doc_id
+        |  LEFT JOIN comp c ON c.doc_id = d.doc_id
+        |)
+        |SELECT doc_id, (reason = 'keep') AS keep, reason FROM verdict
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE $jaccardPairCtes,
         |edges AS (
@@ -1184,6 +1239,7 @@ object LlmData {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_cluster" -> (qDedupCluster _),
+    "q_dedup_apply" -> (qDedupApply _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embed" -> (qDedupEmbed _),
