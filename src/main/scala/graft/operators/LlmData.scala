@@ -723,31 +723,38 @@ object LlmData {
       .orderBy(desc_nulls_last("direct_cnt"), asc("word"))
   }
 
-  /** Char-bigram n-gram language-ID, self-trained on the corpus:
-    * score(doc, lang) = Σ_bigram ln((cnt(lang,bg)+1)/(tot(lang)+4096)),
-    * each term decimal-cast before summing for cross-engine
-    * determinism. Output is the per-lang confusion matrix.
+  /** Per-doc char-bigram stream shared by the language-ID and
+    * perplexity operators.
+    *
+    * char-array zip_with, not transform(sequence, i -> substring):
+    * same per-element-recompute trap as shingled() — substring over a
+    * captured string is O(len) per element (O(len²)/doc). The length
+    * filter also keeps the sub-two-char guard (no bigrams, as in the
+    * oracle's empty generate_series).
+    * bigram key = packed codepoint pair (cp1·0x110000 + cp2), not a
+    * 2-char string: the key feeds hash shuffles and a broadcast join,
+    * and long keys hash/compare without allocation. The packing is
+    * injective (codepoints < 0x110000), so grouping is unchanged.
+    * codepoints first (one string op per char), THEN the pair lambda
+    * runs pure long arithmetic — higher-order lambdas evaluate
+    * interpreted, so keeping string ops out of the inner one matters.
     */
-  def qTextLangid(s: SparkSession, dir: String): DataFrame = {
-    // char-array zip_with, not transform(sequence, i -> substring):
-    // same per-element-recompute trap as shingled() — substring over a
-    // captured string is O(len) per element (O(len²)/doc). The length
-    // filter also keeps the sub-two-char guard (no bigrams, as in the
-    // oracle's empty generate_series).
-    // bigram key = packed codepoint pair (cp1·0x110000 + cp2), not a
-    // 2-char string: the key feeds three hash shuffles and a broadcast
-    // join, and long keys hash/compare without allocation. The packing
-    // is injective (codepoints < 0x110000), so grouping is unchanged.
-    // codepoints first (one string op per char), THEN the pair lambda
-    // runs pure long arithmetic — higher-order lambdas evaluate
-    // interpreted, so keeping string ops out of the inner one matters
-    val bigrams = docsNorm(s, dir)
+  private def docBigrams(s: SparkSession, dir: String): DataFrame =
+    docsNorm(s, dir)
       .filter(length(col("norm_text")) >= 2)
       .withColumn("c", expr("transform(split(norm_text, ''), ch -> CAST(ascii(ch) AS BIGINT))"))
       .select(col("doc_id"), col("lang"),
         explode(zip_with(slice(col("c"), lit(1), size(col("c")) - 1),
                          slice(col("c"), lit(2), size(col("c")) - 1),
                          (a, b) => a * lit(1114112L) + b)).as("bg"))
+
+  /** Char-bigram n-gram language-ID, self-trained on the corpus:
+    * score(doc, lang) = Σ_bigram ln((cnt(lang,bg)+1)/(tot(lang)+4096)),
+    * each term decimal-cast before summing for cross-engine
+    * determinism. Output is the per-lang confusion matrix.
+    */
+  def qTextLangid(s: SparkSession, dir: String): DataFrame = {
+    val bigrams = docBigrams(s, dir)
     // Pre-aggregate per-doc bigram occurrence counts FIRST: the raw
     // bigram stream shuffles once, and the model (per-lang counts),
     // lang totals and scoring all derive from the much smaller
@@ -798,6 +805,42 @@ object LlmData {
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "predicted")
+  }
+
+  /** Bigram-LM perplexity quality scoring (the CCNet-style filter
+    * signal): each document's mean negative log-likelihood under its
+    * OWN language's self-trained add-one bigram model — fluent text
+    * scores low, gibberish high. Shares `docBigrams` and the langid
+    * model shape; the exactness firewall is the same nano-unit long
+    * trick (each log term quantized HALF_UP, summed as int64, one
+    * double division at the end), so the result is partition-order
+    * independent and engine-portable.
+    *
+    * Scale shape: one shuffle of the raw bigram stream to per-doc
+    * pair counts; the model and totals aggregate the pair table; the
+    * scoring join is a broadcast of the (lang, bigram) model.
+    */
+  def qTextPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val docBg = docBigrams(s, dir)
+      .groupBy("doc_id", "lang", "bg").agg(count(lit(1)).as("occ"))
+      .cache() // read twice: model fit and the scoring join
+    val model = docBg.groupBy(col("lang").as("m_lang"), col("bg").as("m_bg"))
+      .agg(sum(col("occ")).as("cnt"))
+      .cache() // read twice: lang totals and the scoring join
+    val totals = model.groupBy("m_lang").agg(sum(col("cnt")).as("tot"))
+      .select(col("m_lang").as("t_lang"), col("tot"))
+    val termN = round(log((col("cnt") + 1.0) / (col("tot") + 4096.0)) * 1e9).cast("long")
+    docBg
+      // inner joins: every (lang, bigram) of a doc is in its own
+      // lang's self-trained model by construction
+      .join(broadcast(model), col("lang") === col("m_lang") && col("bg") === col("m_bg"))
+      .join(broadcast(totals), col("lang") === col("t_lang"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("occ")).as("n_bigrams"),
+           sum(col("occ") * termN).as("s"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        round(-(col("s").cast("double") / 1e9) / col("n_bigrams"), 6).as("avg_nll"))
+      .orderBy("doc_id")
   }
 
   /** Deterministic document fingerprints: whole-text xxhash64 plus the
@@ -1207,6 +1250,29 @@ object LlmData {
         |  (n_chars BETWEEN 100 AND 450 AND lang IN ('en','es','de','fr') AND len(w) >= 20) AS passed
         |FROM (SELECT doc_id, lang, n_chars, string_split(lower(trim(text)), ' ') AS w FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "q_text_perplexity" ->
+      """WITH bigrams AS (
+        |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, length(t) - 1),
+        |    i -> substring(t, i, 2))) AS bg
+        |  FROM (SELECT doc_id, lang, lower(trim(text)) AS t FROM documents)
+        |), docbg AS (
+        |  SELECT doc_id, lang, bg, COUNT(*) AS occ FROM bigrams GROUP BY 1, 2, 3
+        |), model AS (
+        |  SELECT lang AS m_lang, bg AS m_bg, SUM(occ) AS cnt FROM docbg GROUP BY 1, 2
+        |), totals AS (
+        |  SELECT m_lang, SUM(cnt) AS tot FROM model GROUP BY 1
+        |), scored AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(SUM(d.occ) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(d.occ * CAST(ROUND(LN((m.cnt + 1.0) / (t.tot + 4096.0)) * 1000000000.0) AS BIGINT)) AS BIGINT) AS s
+        |  FROM docbg d
+        |  JOIN model m ON m.m_lang = d.lang AND m.m_bg = d.bg
+        |  JOIN totals t ON t.m_lang = d.lang
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_id, lang, n_bigrams,
+        |  ROUND(-(CAST(s AS DOUBLE) / 1000000000.0) / n_bigrams, 6) AS avg_nll
+        |FROM scored ORDER BY doc_id""".stripMargin,
     "q_text_langid" ->
       """WITH bigrams AS (
         |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, length(t) - 1),
@@ -1251,6 +1317,7 @@ object LlmData {
     "q_text_tfidf" -> (qTextTfidf _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_langid" -> (qTextLangid _),
+    "q_text_perplexity" -> (qTextPerplexity _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_text_winnow" -> (qTextWinnow _),
     "q_dedup_winnow" -> (qDedupWinnow _),
