@@ -72,6 +72,20 @@ object LlmData {
     * regardless of hash collisions.
     */
   def qDedupExact(s: SparkSession, dir: String): DataFrame = {
+    val (singles, ranked) = exactDupRanked(s, dir)
+    singles.select("doc_id", "lang", "source", "n_chars")
+      .unionByName(ranked.filter(col("rn") === 1)
+        .select("doc_id", "lang", "source", "n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** The exact-dedup machinery shared by qDedupExact and qDedupApply:
+    * docs whose normalized text is unique by hash (`singles`), and the
+    * multi-member groups ranked by doc_id within their verified text
+    * group (`ranked`, carrying `rn`) — rn 1 is the winner, rn > 1 the
+    * losers (the SMALL set at any realistic dup rate).
+    */
+  private def exactDupRanked(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val d = docsNorm(s, dir).withColumn("h", xxhash64(col("norm_text")))
     val wH = Window.partitionBy("h")
     val slim = d.select("doc_id", "lang", "source", "n_chars", "h")
@@ -79,13 +93,10 @@ object LlmData {
     val singles = slim.filter(col("grp") === 1)
     val multiIds = slim.filter(col("grp") > 1).select("doc_id")
     val wTxt = Window.partitionBy("norm_text").orderBy("doc_id")
-    val multiWinners = d
+    val ranked = d
       .join(broadcast(multiIds), Seq("doc_id"), "left_semi")
       .withColumn("rn", row_number().over(wTxt))
-      .filter(col("rn") === 1)
-    singles.select("doc_id", "lang", "source", "n_chars")
-      .unionByName(multiWinners.select("doc_id", "lang", "source", "n_chars"))
-      .orderBy("doc_id")
+    (singles, ranked)
   }
 
   /** Exact near-dup pairs: word-bigram shingles, Jaccard >= 0.3 via
@@ -131,18 +142,21 @@ object LlmData {
     * 'near_dup' (exact winner but not its cluster's representative),
     * 'keep'.
     *
-    * Scale shape: both inputs are the already-scale-shaped operators;
-    * the combination is two joins against the (small) winner-id and
-    * cluster tables — broadcastable at any realistic dup rate.
+    * Scale shape: the corpus joins only against the SMALL side of each
+    * pass — the exact-dup LOSER ids (not the corpus-sized winner set)
+    * and the cluster membership table, both broadcastable at any
+    * realistic dup rate, so the verdict costs two broadcast joins on
+    * top of the passes themselves.
     */
   def qDedupApply(s: SparkSession, dir: String): DataFrame = {
-    val winners = qDedupExact(s, dir).select(col("doc_id"), lit(1).as("w"))
+    val losers = exactDupRanked(s, dir)._2.filter(col("rn") > 1)
+      .select(col("doc_id"), lit(1).as("l"))
     val clusters = qDedupCluster(s, dir).select(col("doc_id"), col("cluster_id"))
     documents(s, dir).select("doc_id")
-      .join(winners, Seq("doc_id"), "left")
-      .join(clusters, Seq("doc_id"), "left")
+      .join(broadcast(losers), Seq("doc_id"), "left")
+      .join(broadcast(clusters), Seq("doc_id"), "left")
       .withColumn("reason",
-        when(col("w").isNull, "dup_text")
+        when(col("l").isNotNull, "dup_text")
           .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"), "near_dup")
           .otherwise("keep"))
       .select(col("doc_id"), (col("reason") === "keep").as("keep"), col("reason"))
@@ -748,22 +762,34 @@ object LlmData {
                          slice(col("c"), lit(2), size(col("c")) - 1),
                          (a, b) => a * lit(1114112L) + b)).as("bg"))
 
+  /** Per-doc bigram occurrence counts and the per-lang model derived
+    * from them — shared by language-ID and perplexity so the model
+    * definition (add-one smoothing base, count semantics) lives in
+    * exactly one place. ONE shuffle of the raw bigram stream; both
+    * tables cached (each is read by a fit and a scoring consumer).
+    */
+  private def bigramCounts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docBg = docBigrams(s, dir)
+      .groupBy("doc_id", "lang", "bg").agg(count(lit(1)).as("occ"))
+      .cache()
+    val model = docBg.groupBy(col("lang").as("m_lang"), col("bg").as("m_bg"))
+      .agg(sum(col("occ")).as("cnt"))
+      .cache()
+    (docBg, model)
+  }
+
   /** Char-bigram n-gram language-ID, self-trained on the corpus:
     * score(doc, lang) = Σ_bigram ln((cnt(lang,bg)+1)/(tot(lang)+4096)),
     * each term decimal-cast before summing for cross-engine
     * determinism. Output is the per-lang confusion matrix.
     */
   def qTextLangid(s: SparkSession, dir: String): DataFrame = {
-    val bigrams = docBigrams(s, dir)
     // Pre-aggregate per-doc bigram occurrence counts FIRST: the raw
     // bigram stream shuffles once, and the model (per-lang counts),
     // lang totals and scoring all derive from the much smaller
     // (doc, lang, bigram) pair table. occ·term equals the
     // occurrence-wise sum, so scores (and the output) are unchanged.
-    val docBg = bigrams.groupBy("doc_id", "lang", "bg").agg(count(lit(1)).as("occ"))
-      .cache() // read twice: model fit and the scoring join
-    val model = docBg.groupBy(col("lang").as("m_lang"), col("bg")).agg(sum(col("occ")).as("cnt"))
-      .cache() // read twice: lang totals and the broadcast scoring join
+    val (docBg, model) = bigramCounts(s, dir)
     val totals = model.groupBy("m_lang").agg(sum(col("cnt")).as("tot"))
       .orderBy("m_lang").collect()
       .map(r => r.getString(0) -> r.getLong(1))
@@ -780,7 +806,7 @@ object LlmData {
     // log term is quantized HALF_UP to nano-units and summed as int64
     // — exact, partition-order independent. Magnitudes: |term_n| ≤
     // ~1e10, occ ≤ doc length, Σ ≪ 2⁶³.
-    val modelWide = model.groupBy("bg")
+    val modelWide = model.groupBy(col("m_bg").as("bg"))
       .pivot("m_lang", totals.map(_._1)).agg(first(col("cnt")))
     def termN(lang: String, tot: Long): Column =
       round(log((coalesce(col(lang), lit(0L)) + 1.0) / (tot + 4096.0)) * 1e9).cast("long")
@@ -821,12 +847,7 @@ object LlmData {
     * scoring join is a broadcast of the (lang, bigram) model.
     */
   def qTextPerplexity(s: SparkSession, dir: String): DataFrame = {
-    val docBg = docBigrams(s, dir)
-      .groupBy("doc_id", "lang", "bg").agg(count(lit(1)).as("occ"))
-      .cache() // read twice: model fit and the scoring join
-    val model = docBg.groupBy(col("lang").as("m_lang"), col("bg").as("m_bg"))
-      .agg(sum(col("occ")).as("cnt"))
-      .cache() // read twice: lang totals and the scoring join
+    val (docBg, model) = bigramCounts(s, dir)
     val totals = model.groupBy("m_lang").agg(sum(col("cnt")).as("tot"))
       .select(col("m_lang").as("t_lang"), col("tot"))
     val termN = round(log((col("cnt") + 1.0) / (col("tot") + 4096.0)) * 1e9).cast("long")
@@ -1012,6 +1033,18 @@ object LlmData {
   }
 
   // ===== oracle SQL =====
+
+  /** Shared per-doc bigram CTE — single source of truth for the
+    * q_text_langid and q_text_perplexity oracles (mirrors the Spark
+    * side's shared `docBigrams`, so a change to the bigram definition
+    * cannot drift between the two oracle strings).
+    */
+  private val bigramCte =
+    """bigrams AS (
+      |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, length(t) - 1),
+      |    i -> substring(t, i, 2))) AS bg
+      |  FROM (SELECT doc_id, lang, lower(trim(text)) AS t FROM documents)
+      |)""".stripMargin
 
   /** Shared CTE text producing the exact-Jaccard near-dup pairs —
     * single source of truth for q_dedup_jaccard and the transitive
@@ -1251,11 +1284,7 @@ object LlmData {
         |FROM (SELECT doc_id, lang, n_chars, string_split(lower(trim(text)), ' ') AS w FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "q_text_perplexity" ->
-      """WITH bigrams AS (
-        |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, length(t) - 1),
-        |    i -> substring(t, i, 2))) AS bg
-        |  FROM (SELECT doc_id, lang, lower(trim(text)) AS t FROM documents)
-        |), docbg AS (
+      s"""WITH $bigramCte, docbg AS (
         |  SELECT doc_id, lang, bg, COUNT(*) AS occ FROM bigrams GROUP BY 1, 2, 3
         |), model AS (
         |  SELECT lang AS m_lang, bg AS m_bg, SUM(occ) AS cnt FROM docbg GROUP BY 1, 2
@@ -1274,11 +1303,7 @@ object LlmData {
         |  ROUND(-(CAST(s AS DOUBLE) / 1000000000.0) / n_bigrams, 6) AS avg_nll
         |FROM scored ORDER BY doc_id""".stripMargin,
     "q_text_langid" ->
-      """WITH bigrams AS (
-        |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, length(t) - 1),
-        |    i -> substring(t, i, 2))) AS bg
-        |  FROM (SELECT doc_id, lang, lower(trim(text)) AS t FROM documents)
-        |), model AS (
+      s"""WITH $bigramCte, model AS (
         |  SELECT lang AS m_lang, bg, COUNT(*) AS cnt FROM bigrams GROUP BY lang, bg
         |), totals AS (
         |  SELECT m_lang, SUM(cnt) AS tot FROM model GROUP BY m_lang
