@@ -700,6 +700,82 @@ object LlmData {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    * fraction of tokens taken by the single most frequent word and the
+    * fraction of duplicate word bigrams — high values mark
+    * boilerplate/degenerate text. Two paths over one normalized doc
+    * table: per-(doc, word) counts roll up to (n_words, top_cnt) via
+    * two partial-agg shuffles; bigram duplication is computed per ROW
+    * from the word array (zip_with over adjacent slices, same idiom as
+    * shingled()) — no shuffle at all on that branch. keep compares the
+    * ROUNDED fractions so both engines gate on identical values.
+    */
+  def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
+    // cached: the split/filter subtree feeds both the exploded word
+    // counts and the per-row bigram stats — without the cache each
+    // branch re-reads and re-splits the corpus
+    val base = docsNorm(s, dir)
+      .withColumn("ws", expr("filter(split(norm_text, ' '), x -> x != '')"))
+      .select("doc_id", "ws")
+      .cache()
+    val counts = base
+      .select(col("doc_id"), explode(col("ws")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_words"), max(col("c")).as("top_cnt"))
+    val bg = base
+      .withColumn("bg", when(size(col("ws")) < 2, expr("CAST(array() AS array<string>)"))
+        .otherwise(expr(
+          "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), (a, b) -> concat(a, ' ', b))")))
+      .select(col("doc_id"),
+        size(col("bg")).as("n_bg"), size(array_distinct(col("bg"))).as("n_bg_d"))
+    counts.join(bg, "doc_id")
+      .select(col("doc_id"), col("n_words"),
+        round(col("top_cnt") / col("n_words").cast("double"), 6).as("top_word_frac"),
+        when(col("n_bg") === 0, lit(0.0))
+          .otherwise(round(lit(1.0) - col("n_bg_d") / col("n_bg").cast("double"), 6))
+          .as("dup_bigram_frac"))
+      .withColumn("keep", col("top_word_frac") <= 0.1 && col("dup_bigram_frac") <= 0.05)
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark-contamination detection (the n-gram-overlap decontam
+    * pass every pretraining pipeline runs): documents from source
+    * 'src0' stand in for a held-out eval benchmark; every other
+    * document is scored by how many of its distinct word 5-grams occur
+    * anywhere in the benchmark. n-grams come from lead() windows over
+    * the per-doc position stream (one shuffle, partitioned by doc);
+    * the benchmark's distinct n-gram set is orders of magnitude
+    * smaller than the corpus stream and broadcasts to the scoring
+    * join. Docs shorter than 5 words have no 5-grams and drop out —
+    * the same rule in both engines.
+    */
+  def qTextContam(s: SparkSession, dir: String): DataFrame = {
+    val n = 5
+    val benchSource = "src0"
+    val w = docsNorm(s, dir)
+      .select(col("doc_id"), col("source"),
+        posexplode(expr("filter(split(norm_text, ' '), x -> x != '')")).as(Seq("pos", "word")))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val ngCol = concat(
+      col("word") +: (1 until n).flatMap(i =>
+        Seq(lit(" "), lead(col("word"), i).over(win))): _*)
+    // cached: read by the benchmark side and the candidate side — the
+    // explode + window + distinct subtree would otherwise run twice
+    val grams = w.withColumn("ng", ngCol)
+      .filter(col("ng").isNotNull) // concat propagates the short-tail nulls
+      .select("doc_id", "source", "ng").distinct()
+      .cache()
+    val bench = grams.filter(col("source") === benchSource)
+      .select("ng").distinct().withColumn("hit", lit(1))
+    grams.filter(col("source") =!= benchSource)
+      .join(broadcast(bench), Seq("ng"), "left")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_ngrams"), count(col("hit")).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") > 0)
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary heavy hitters via Spark's DataSketches frequent-items
     * family (`approx_top_k*`): the most frequent corpus tokens, in
     * both one-shot and mergeable form. The mergeable branch builds one
@@ -1283,6 +1359,56 @@ object LlmData {
         |  (n_chars BETWEEN 100 AND 450 AND lang IN ('en','es','de','fr') AND len(w) >= 20) AS passed
         |FROM (SELECT doc_id, lang, n_chars, string_split(lower(trim(text)), ' ') AS w FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "q_text_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS ws
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos FROM d
+        |), pw AS (
+        |  SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word
+        |), a AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, CAST(MAX(c) AS BIGINT) AS top_cnt
+        |  FROM pw GROUP BY doc_id
+        |), w2 AS (
+        |  SELECT doc_id, word, lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM w
+        |), b AS (
+        |  SELECT doc_id, COUNT(nxt) AS n_bg,
+        |    COUNT(DISTINCT CASE WHEN nxt IS NOT NULL THEN word || ' ' || nxt END) AS n_bg_d
+        |  FROM w2 GROUP BY doc_id
+        |), fr AS (
+        |  SELECT a.doc_id AS doc_id, n_words,
+        |    ROUND(top_cnt / CAST(n_words AS DOUBLE), 6) AS top_word_frac,
+        |    CASE WHEN n_bg = 0 THEN 0.0
+        |         ELSE ROUND(1.0 - n_bg_d / CAST(n_bg AS DOUBLE), 6) END AS dup_bigram_frac
+        |  FROM a JOIN b ON a.doc_id = b.doc_id
+        |)
+        |SELECT doc_id, n_words, top_word_frac, dup_bigram_frac,
+        |  (top_word_frac <= 0.1 AND dup_bigram_frac <= 0.05) AS keep
+        |FROM fr ORDER BY doc_id""".stripMargin,
+    "q_text_contam" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS ws
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, source, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos FROM d
+        |), g0 AS (
+        |  SELECT doc_id, source,
+        |    word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win
+        |         || ' ' || lead(word, 3) OVER win || ' ' || lead(word, 4) OVER win AS ng
+        |  FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        |), g AS (
+        |  SELECT DISTINCT doc_id, source, ng FROM g0 WHERE ng IS NOT NULL
+        |), bench AS (
+        |  SELECT DISTINCT ng FROM g WHERE source = 'src0'
+        |)
+        |SELECT c.doc_id AS doc_id, c.source AS source,
+        |  COUNT(*) AS n_ngrams, COUNT(b.ng) AS n_shared,
+        |  (COUNT(b.ng) > 0) AS contaminated
+        |FROM g c LEFT JOIN bench b ON c.ng = b.ng
+        |WHERE c.source <> 'src0'
+        |GROUP BY c.doc_id, c.source
+        |ORDER BY doc_id""".stripMargin,
     "q_text_perplexity" ->
       s"""WITH $bigramCte, docbg AS (
         |  SELECT doc_id, lang, bg, COUNT(*) AS occ FROM bigrams GROUP BY 1, 2, 3
@@ -1349,6 +1475,8 @@ object LlmData {
     "q_mm_features" -> (qMmFeatures _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_quality_gopher" -> (qQualityGopher _),
+    "q_text_repetition" -> (qTextRepetition _),
+    "q_text_contam" -> (qTextContam _),
     "q_agg_approx_topk" -> (qAggApproxTopk _)
   )
 }

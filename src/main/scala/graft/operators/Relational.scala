@@ -478,6 +478,77 @@ object Relational {
       .select("c_custkey", "c_name", "c_acctbal", "n_name", "revenue")
   }
 
+  /** TPC-H Q4 shape: order-priority checking — per-priority count of
+    * first-half-1996 orders with at least one line shipped more than
+    * 90 days after the order date (the harness schema has no
+    * commitdate/receiptdate, so "late" is shipdate vs orderdate). The
+    * EXISTS becomes a left-semi join whose condition references both
+    * sides (orderkey equi + date residual).
+    */
+  def qTpchQ4(s: SparkSession, dir: String): DataFrame = {
+    val ord = orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = lineitem(s, dir).select("l_orderkey", "l_shipdate")
+    ord.join(li, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > date_add(col("o_orderdate"), 90), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q6 shape: the revenue-forecast scan-aggregate — one year of
+    * shipments, a discount band, small quantities, no joins. The whole
+    * query is a single pushed-down parquet scan + partial/final agg;
+    * at 100 TB it is bounded by scan bandwidth alone.
+    */
+  def qTpchQ6(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+              col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24)
+      .agg(outD(sum(d2(col("l_extendedprice")) * d2(col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q14 shape: promotion revenue share for one month — the
+    * conditional-aggregate-ratio pattern (CASE inside SUM over a
+    * broadcast dim join).
+    */
+  def qTpchQ14(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .select(col("l_partkey"),
+        (d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount")))).as("rev"))
+    li.join(broadcast(part(s, dir).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) *
+          outD(sum(when(col("p_type").like("PROMO%"), col("rev")).otherwise(d2(lit(0))))) /
+          outD(sum(col("rev"))), 6).as("promo_share"),
+        outD(sum(col("rev"))).as("total_revenue"))
+  }
+
+  /** TPC-H Q18 shape: large-volume customers — orders whose total
+    * quantity exceeds 160, with customer attribution, top 100. The
+    * HAVING pre-aggregates lineitem before the orders join, so only
+    * qualifying orderkeys reach the join at scale.
+    */
+  def qTpchQ18(s: SparkSession, dir: String): DataFrame = {
+    val big = lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(outD(sum(d2(col("l_quantity")))).as("total_qty"))
+      .filter(col("total_qty") > 160)
+    big.join(orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, dir).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(100)
+      .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+  }
+
   // ===== §2.5 window functions =====
 
   def qWinRank(s: SparkSession, dir: String): DataFrame = {
@@ -773,6 +844,38 @@ object Relational {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q_tpch_q14" ->
+      """SELECT
+        |  ROUND(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS promo_share,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+    "q_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 160
+        |)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
     "q_scan_parquet" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q_scan_prune" ->
@@ -1127,8 +1230,12 @@ object Relational {
     "q_agg_hist" -> (qAggHist _),
     "q_agg_salted" -> (qAggSalted _),
     "q_tpch_q3" -> (qTpchQ3 _),
+    "q_tpch_q4" -> (qTpchQ4 _),
     "q_tpch_q5" -> (qTpchQ5 _),
+    "q_tpch_q6" -> (qTpchQ6 _),
     "q_tpch_q10" -> (qTpchQ10 _),
+    "q_tpch_q14" -> (qTpchQ14 _),
+    "q_tpch_q18" -> (qTpchQ18 _),
     "q_win_rank" -> (qWinRank _),
     "q_win_topk_group" -> (qWinTopkGroup _),
     "q_win_movavg" -> (qWinMovavg _),
