@@ -776,6 +776,49 @@ object LlmData {
       .orderBy("doc_id")
   }
 
+  /** CSV round-trip (SURVEY §2.1 secondary source): documents → quoted
+    * CSV shards → read back with an explicit schema → per-lang
+    * aggregate, hash-checked against the parquet originals. Grades the
+    * reader/writer pair's losslessness (quoting/escaping, multiLine
+    * quoted newlines) end to end. total_text_len re-derives lengths
+    * from the round-tripped text itself, so silent truncation or quote
+    * damage fails the hash. The writer shards per partition; the
+    * multiLine reader is per-file single-split, so file count = write
+    * parallelism carries the scale story.
+    */
+  def qSrcCsv(s: SparkSession, dir: String): DataFrame = {
+    val tmp = System.getProperty("java.io.tmpdir") + "/graft_src_csv_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val docs = documents(s, dir)
+    graft.sources.TextSources.writeCsv(docs, tmp)
+    graft.sources.TextSources.readCsv(s, tmp, docs.schema)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(length(col("text"))).as("total_text_len"))
+      .orderBy("lang")
+  }
+
+  /** JSON-lines round-trip (SURVEY §2.1 secondary source): same
+    * contract as qSrcCsv over the splittable JSONL form, aggregated
+    * per source.
+    */
+  def qSrcJsonl(s: SparkSession, dir: String): DataFrame = {
+    val tmp = System.getProperty("java.io.tmpdir") + "/graft_src_jsonl_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val docs = documents(s, dir)
+    graft.sources.TextSources.writeJsonl(docs, tmp)
+    graft.sources.TextSources.readJsonl(s, tmp, docs.schema)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        sum(length(col("text"))).as("total_text_len"))
+      .orderBy("source")
+  }
+
   /** Vocabulary heavy hitters via Spark's DataSketches frequent-items
     * family (`approx_top_k*`): the most frequent corpus tokens, in
     * both one-shot and mergeable form. The mergeable branch builds one
@@ -1359,6 +1402,18 @@ object LlmData {
         |  (n_chars BETWEEN 100 AND 450 AND lang IN ('en','es','de','fr') AND len(w) >= 20) AS passed
         |FROM (SELECT doc_id, lang, n_chars, string_split(lower(trim(text)), ' ') AS w FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "q_src_csv" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  COUNT(DISTINCT source) AS n_sources,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_text_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_src_jsonl" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_text_len
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_text_repetition" ->
       """WITH d AS (
         |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS ws
@@ -1477,6 +1532,8 @@ object LlmData {
     "q_quality_gopher" -> (qQualityGopher _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_text_contam" -> (qTextContam _),
+    "q_src_csv" -> (qSrcCsv _),
+    "q_src_jsonl" -> (qSrcJsonl _),
     "q_agg_approx_topk" -> (qAggApproxTopk _)
   )
 }

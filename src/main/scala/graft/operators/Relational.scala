@@ -549,6 +549,26 @@ object Relational {
       .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
   }
 
+  /** TPC-H Q15 shape: top supplier(s) — suppliers whose quarterly
+    * revenue equals the maximum. The max is a window over the
+    * already-aggregated per-supplier table (supplier-cardinality, tiny
+    * at any corpus scale), not a second scan; ties all surface, as in
+    * the spec's correlated-subquery form.
+    */
+  def qTpchQ15(s: SparkSession, dir: String): DataFrame = {
+    val rev = lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(outD(sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount"))))).as("total_rev"))
+    rev.withColumn("mx", max(col("total_rev")).over(Window.partitionBy()))
+      .filter(col("total_rev") === col("mx"))
+      .join(broadcast(supplier(s, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "total_rev")
+      .orderBy("s_suppkey")
+  }
+
   // ===== §2.5 window functions =====
 
   def qWinRank(s: SparkSession, dir: String): DataFrame = {
@@ -876,6 +896,18 @@ object Relational {
         |FROM big JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
     "q_scan_parquet" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q_scan_prune" ->
@@ -1235,6 +1267,7 @@ object Relational {
     "q_tpch_q6" -> (qTpchQ6 _),
     "q_tpch_q10" -> (qTpchQ10 _),
     "q_tpch_q14" -> (qTpchQ14 _),
+    "q_tpch_q15" -> (qTpchQ15 _),
     "q_tpch_q18" -> (qTpchQ18 _),
     "q_win_rank" -> (qWinRank _),
     "q_win_topk_group" -> (qWinTopkGroup _),
