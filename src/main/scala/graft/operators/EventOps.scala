@@ -147,6 +147,62 @@ object EventOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Trailing-window anomaly detection on the daily event-volume
+    * series: per event type, each day's decimal-exact value sum is
+    * z-scored against its trailing 7-day window (inclusive); |z| >= 2
+    * flags the anomaly. Frame sums stay exact decimal, so mean/std are
+    * partition-order-independent; the closing z arithmetic is per-row
+    * double math over the ROUNDED mean/std (identical scalar
+    * expressions in both engines). Only full 7-day windows score
+    * (rn >= 7). The window partitions by event_type — at 100 TB the
+    * daily pre-aggregate is O(types × days), so the per-type series
+    * windows are trivially small however large the raw stream is.
+    */
+  def qEvAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"), sum(d2(col("value"))).as("vd"))
+      .withColumn("vd2", col("vd") * col("vd"))
+    val seq_ = Window.partitionBy("event_type").orderBy("day")
+    val frame = seq_.rowsBetween(-6, 0)
+    daily
+      .withColumn("rn", row_number().over(seq_))
+      .withColumn("cnt", count(lit(1)).over(frame))
+      .withColumn("s1", sum(col("vd")).over(frame).cast("double"))
+      .withColumn("s2", sum(col("vd2")).over(frame).cast("double"))
+      .filter(col("rn") >= 7)
+      .withColumn("v", col("vd").cast("double"))
+      .withColumn("mean7", round(col("s1") / col("cnt"), 6))
+      .withColumn("std7", round(sqrt(greatest(
+        (col("s2") - col("s1") * col("s1") / col("cnt")) / (col("cnt") - 1), lit(0.0))), 6))
+      .withColumn("z", round((col("v") - col("mean7")) / greatest(col("std7"), lit(1e-9)), 6))
+      .select(col("event_type"), col("day"), col("n_events"), col("v"),
+        col("mean7"), col("std7"), col("z"), (abs(col("z")) >= 2).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Per-user event-type Shannon entropy (behavioral-diversity
+    * signal). The log terms go through the nano-unit long firewall
+    * (ln rounded to 1e-9, summed as exact longs), so the cross-row
+    * sum is partition-order-independent; n per user comes from an
+    * unbounded window over the per-(user, type) counts — the same
+    * single-exchange shape as qEvRetention.
+    */
+  def qEvEntropy(s: SparkSession, dir: String): DataFrame = {
+    val counts = events(s, dir)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+    val wU = Window.partitionBy("user_id")
+    counts
+      .withColumn("n", sum(col("c")).over(wU))
+      .withColumn("term", col("c") *
+        round(log(col("c").cast("double") / col("n")) * lit(1e9)).cast("long"))
+      .groupBy("user_id")
+      .agg(max(col("n")).as("n_events"), count(lit(1)).as("n_types"),
+        round(-(sum(col("term")) / lit(1e9)) / max(col("n")), 6).as("entropy"))
+      .orderBy("user_id")
+  }
+
   val oracle: Map[String, String] = Map(
     "q_ev_retention" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
@@ -156,6 +212,44 @@ object EventOps {
         |FROM ev JOIN c ON ev.user_id = c.user_id
         |WHERE date_diff('day', c.cohort_day, ev.day) <= 7
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    "q_ev_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n_events,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS vd
+        |  FROM events GROUP BY 1, 2
+        |), fr AS (
+        |  SELECT event_type, day, n_events, CAST(vd AS DOUBLE) AS v,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    COUNT(*) OVER f AS cnt,
+        |    CAST(SUM(vd) OVER f AS DOUBLE) AS s1,
+        |    CAST(SUM(vd * vd) OVER f AS DOUBLE) AS s2
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day),
+        |         f AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |), ms AS (
+        |  SELECT event_type, day, n_events, v,
+        |    ROUND(s1 / cnt, 6) AS mean7,
+        |    ROUND(SQRT(GREATEST((s2 - s1 * s1 / cnt) / (cnt - 1), 0.0)), 6) AS std7
+        |  FROM fr WHERE rn >= 7
+        |), z AS (
+        |  SELECT event_type, day, n_events, v, mean7, std7,
+        |    ROUND((v - mean7) / GREATEST(std7, 1e-9), 6) AS z
+        |  FROM ms
+        |)
+        |SELECT event_type, day, n_events, v, mean7, std7, z, (ABS(z) >= 2) AS is_anomaly
+        |FROM z ORDER BY event_type, day""".stripMargin,
+    "q_ev_entropy" ->
+      """WITH counts AS (
+        |  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT user_id, c,
+        |    SUM(c) OVER (PARTITION BY user_id) AS n,
+        |    c * CAST(ROUND(LN(c / CAST(SUM(c) OVER (PARTITION BY user_id) AS DOUBLE)) * 1000000000.0) AS BIGINT) AS term
+        |  FROM counts
+        |)
+        |SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_events, COUNT(*) AS n_types,
+        |  ROUND(-(CAST(SUM(term) AS BIGINT) / 1000000000.0) / MAX(n), 6) AS entropy
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_ev_tumble" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -234,6 +328,8 @@ object EventOps {
     "q_ev_late_watermark" -> (qEvLateWatermark _),
     "q_ev_funnel" -> (qEvFunnel _),
     "q_ev_dedup_stream" -> (qEvDedupStream _),
-    "q_ev_retention" -> (qEvRetention _)
+    "q_ev_retention" -> (qEvRetention _),
+    "q_ev_anomaly" -> (qEvAnomaly _),
+    "q_ev_entropy" -> (qEvEntropy _)
   )
 }
