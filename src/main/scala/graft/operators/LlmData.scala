@@ -457,6 +457,27 @@ object LlmData {
       .orderBy("a_id", "b_id")
   }
 
+  /** SemDeDup-style semantic dedup verdict (Abbas et al. 2023, re-
+    * expressed exactly): the embedding-cosine near-dup pair graph
+    * (>= 0.4, exact — qDedupEmbed) is clustered into connected
+    * components via the same adaptive clusterPairs machinery as the
+    * text pass, and each vector survives only as its cluster's min-id
+    * representative. Unclustered vectors are their own singleton
+    * cluster. The membership table is pair-graph-sized (only vectors
+    * WITH a near-dup appear), hence broadcastable at any realistic
+    * dup rate — the corpus-side cost is one broadcast join.
+    */
+  def qDedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val clusters = clusterPairs(qDedupEmbed(s, dir).select("a_id", "b_id"), s)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("cluster_size"))
+    embeddings(s, dir).select("vec_id", "label")
+      .join(broadcast(clusters), Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("vec_id")))
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      .withColumn("keep", col("cluster_id") === col("vec_id"))
+      .orderBy("vec_id")
+  }
+
   // ===== similarity search =====
 
   /** Embedding dimension of the harness `embeddings` table (FIXTURES.md). */
@@ -1331,6 +1352,34 @@ object LlmData {
         |SELECT doc_id, cluster_id,
         |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM comp ORDER BY doc_id""".stripMargin,
+    "q_dedup_semantic" ->
+      """WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |      ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine
+        |    FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  ) WHERE cosine >= 0.4
+        |), edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs
+        |), reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+        |), comp AS (
+        |  SELECT id AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+        |), sz AS (
+        |  SELECT cluster_id AS c, COUNT(*) AS n FROM comp GROUP BY cluster_id
+        |)
+        |SELECT emb.vec_id AS vec_id, emb.label AS label,
+        |  COALESCE(comp.cluster_id, emb.vec_id) AS cluster_id,
+        |  COALESCE(sz.n, 1) AS cluster_size,
+        |  (COALESCE(comp.cluster_id, emb.vec_id) = emb.vec_id) AS keep
+        |FROM embeddings emb
+        |LEFT JOIN comp ON comp.vec_id = emb.vec_id
+        |LEFT JOIN sz ON sz.c = COALESCE(comp.cluster_id, emb.vec_id)
+        |ORDER BY vec_id""".stripMargin,
     "q_dedup_embed" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         |SELECT a_id, b_id, cosine FROM (
@@ -1515,6 +1564,7 @@ object LlmData {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embed" -> (qDedupEmbed _),
+    "q_dedup_semantic" -> (qDedupSemantic _),
     "q_sim_topk_cosine" -> (qSimTopkCosine _),
     "q_sim_lsh_ann" -> (qSimLshAnn _),
     "q_sim_ivf_ann" -> (qSimIvfAnn _),
