@@ -203,6 +203,27 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Event-type transition matrix (first-order Markov view of user
+    * behavior): consecutive event pairs within each user's timeline
+    * (ordered by ts with event_id as the deterministic tiebreak),
+    * counted per (from, to) with row-normalized probabilities. One
+    * exchange on user_id for the sequence window; the transition
+    * matrix itself is O(types²) however large the stream is, so the
+    * normalizing window is trivially small.
+    */
+  def qEvMarkov(s: SparkSession, dir: String): DataFrame = {
+    val wU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tr = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(wU))
+      .filter(col("to_type").isNotNull)
+    tr.groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob", round(col("n") /
+        sum(col("n")).over(Window.partitionBy("from_type")).cast("double"), 6))
+      .orderBy("from_type", "to_type")
+  }
+
   val oracle: Map[String, String] = Map(
     "q_ev_retention" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
@@ -212,6 +233,18 @@ object EventOps {
         |FROM ev JOIN c ON ev.user_id = c.user_id
         |WHERE date_diff('day', c.cohort_day, ev.day) <= 7
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    "q_ev_markov" ->
+      """WITH tr AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events
+        |), c AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n FROM tr
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n,
+        |  ROUND(n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS prob
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
     "q_ev_anomaly" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n_events,
@@ -330,6 +363,7 @@ object EventOps {
     "q_ev_dedup_stream" -> (qEvDedupStream _),
     "q_ev_retention" -> (qEvRetention _),
     "q_ev_anomaly" -> (qEvAnomaly _),
-    "q_ev_entropy" -> (qEvEntropy _)
+    "q_ev_entropy" -> (qEvEntropy _),
+    "q_ev_markov" -> (qEvMarkov _)
   )
 }

@@ -549,6 +549,71 @@ object Relational {
       .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
   }
 
+  /** TPC-H Q7 shape: volume shipping between two nations — revenue per
+    * (supplier nation, customer nation, year) for the ordered pairs of
+    * NATION_1/NATION_2 over 1996–1997. The nation filter is applied to
+    * the supplier/customer dimension sides BEFORE the fact joins, so
+    * only qualifying keys reach them; the asymmetric-pair predicate
+    * then excludes same-nation flows.
+    */
+  def qTpchQ7(s: SparkSession, dir: String): DataFrame = {
+    val picked = nation(s, dir).filter(col("n_name").isin("NATION_1", "NATION_2"))
+    val supp = supplier(s, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(picked.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val cust = customer(s, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(picked.select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("nk2"))
+      .select("c_custkey", "cust_nation")
+    val li = lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"), year(col("l_shipdate")).as("l_year"),
+        (d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount")))).as("rev"))
+    li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(outD(sum(col("rev"))).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8 shape: national market share — NATION_3's share of
+    * EUROPE-customer revenue per year. The share is a ratio of two
+    * decimal-exact sums, computed in double only at the end.
+    */
+  def qTpchQ8(s: SparkSession, dir: String): DataFrame = {
+    val euroNations = nation(s, dir)
+      .join(broadcast(region(s, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val cust = customer(s, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(euroNations), col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .select("c_custkey")
+    val supp = supplier(s, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(nation(s, dir).select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .select("s_suppkey", "supp_nation")
+    val ord = orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("o_year"))
+    val li = lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"),
+      (d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount")))).as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("o_year")
+      .agg(round(
+          outD(sum(when(col("supp_nation") === "NATION_3", col("rev")).otherwise(d2(lit(0))))) /
+          outD(sum(col("rev"))), 6).as("mkt_share"),
+        outD(sum(col("rev"))).as("total_revenue"))
+      .orderBy("o_year")
+  }
+
   /** TPC-H Q15 shape: top supplier(s) — suppliers whose quarterly
     * revenue equals the maximum. The max is a window over the
     * already-aggregated per-supplier table (supplier-cardinality, tiny
@@ -896,6 +961,39 @@ object Relational {
         |FROM big JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  YEAR(l_shipdate) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_tpch_q8" ->
+      """SELECT YEAR(o_orderdate) AS o_year,
+        |  ROUND(CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS mkt_share,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND o_custkey IN (
+        |    SELECT c_custkey FROM customer
+        |    JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |    JOIN region ON cn.n_regionkey = r_regionkey
+        |    WHERE r_name = 'EUROPE')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_tpch_q15" ->
       """WITH rev AS (
         |  SELECT l_suppkey,
@@ -1266,6 +1364,8 @@ object Relational {
     "q_tpch_q5" -> (qTpchQ5 _),
     "q_tpch_q6" -> (qTpchQ6 _),
     "q_tpch_q10" -> (qTpchQ10 _),
+    "q_tpch_q7" -> (qTpchQ7 _),
+    "q_tpch_q8" -> (qTpchQ8 _),
     "q_tpch_q14" -> (qTpchQ14 _),
     "q_tpch_q15" -> (qTpchQ15 _),
     "q_tpch_q18" -> (qTpchQ18 _),
