@@ -49,11 +49,25 @@ object LlmData {
     docsNorm(s, dir)
       .withColumn("w", split(col("norm_text"), " "))
       .withColumn("shingles", when(size(col("w")) < 2, array().cast("array<string>"))
-        .otherwise(array_distinct(
-          zip_with(slice(col("w"), lit(1), size(col("w")) - 1),
-                   slice(col("w"), lit(2), size(col("w")) - 1),
-                   (a, b) => concat(a, lit(" "), b)))))
+        .otherwise(array_distinct(bigramsOf(col("w")))))
       .select("doc_id", "shingles")
+
+  /** The shared whitespace tokenizer (non-empty tokens of norm_text).
+    * Single source of truth for every word-level operator — the
+    * oracles' `list_filter(string_split(lower(trim(text)), ' '), ...)`
+    * must stay in lockstep with this expression.
+    */
+  private val wordsExpr = "filter(split(norm_text, ' '), x -> x != '')"
+
+  /** Adjacent word pairs of a word array as "a b" strings (the shared
+    * zip_with-over-slices idiom — see the shingled() docstring for why
+    * not transform(sequence...)). Empty/1-word arrays yield an empty
+    * slice range, hence no pairs.
+    */
+  private def bigramsOf(w: Column): Column =
+    zip_with(slice(w, lit(1), size(w) - 1),
+             slice(w, lit(2), size(w) - 1),
+             (a, b) => concat(a, lit(" "), b))
 
   // ===== dedup =====
 
@@ -625,7 +639,7 @@ object LlmData {
   def qTextTokcount(s: SparkSession, dir: String): DataFrame =
     docsNorm(s, dir)
       .select(col("doc_id"),
-        size(expr("filter(split(norm_text, ' '), x -> x != '')")).as("ws_tokens"),
+        size(expr(wordsExpr)).as("ws_tokens"),
         expr("regexp_count(norm_text, '[a-z]+|[0-9]+|[^a-z0-9 ]')").cast("long").as("bpe_tokens"))
       .orderBy("doc_id")
 
@@ -682,7 +696,7 @@ object LlmData {
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docsNorm(s, dir)
-      .withColumn("n_words", size(expr("filter(split(norm_text, ' '), x -> x != '')")))
+      .withColumn("n_words", size(expr(wordsExpr)))
       .withColumn("bin", floor((sum(col("n_words")).over(w) - col("n_words")) / lit(capacity.toDouble)))
       .groupBy("source", "bin")
       .agg(count(lit(1)).as("n_docs"),
@@ -705,7 +719,7 @@ object LlmData {
     // list_filter is guaranteed to share with Spark's filter()
     val swPred = stopwordsOrChain
     docsNorm(s, dir)
-      .withColumn("w", expr("filter(split(norm_text, ' '), x -> x != '')"))
+      .withColumn("w", expr(wordsExpr))
       .select(col("doc_id"), col("lang"),
         size(col("w")).as("n_words"),
         // Σ word lengths == chars left after removing every space
@@ -736,7 +750,7 @@ object LlmData {
     // counts and the per-row bigram stats — without the cache each
     // branch re-reads and re-splits the corpus
     val base = docsNorm(s, dir)
-      .withColumn("ws", expr("filter(split(norm_text, ' '), x -> x != '')"))
+      .withColumn("ws", expr(wordsExpr))
       .select("doc_id", "ws")
       .cache()
     val counts = base
@@ -745,9 +759,8 @@ object LlmData {
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_words"), max(col("c")).as("top_cnt"))
     val bg = base
-      .withColumn("bg", when(size(col("ws")) < 2, expr("CAST(array() AS array<string>)"))
-        .otherwise(expr(
-          "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), (a, b) -> concat(a, ' ', b))")))
+      .withColumn("bg", when(size(col("ws")) < 2, array().cast("array<string>"))
+        .otherwise(bigramsOf(col("ws"))))
       .select(col("doc_id"),
         size(col("bg")).as("n_bg"), size(array_distinct(col("bg"))).as("n_bg_d"))
     counts.join(bg, "doc_id")
@@ -776,7 +789,7 @@ object LlmData {
     val benchSource = "src0"
     val w = docsNorm(s, dir)
       .select(col("doc_id"), col("source"),
-        posexplode(expr("filter(split(norm_text, ' '), x -> x != '')")).as(Seq("pos", "word")))
+        posexplode(expr(wordsExpr)).as(Seq("pos", "word")))
     val win = Window.partitionBy("doc_id").orderBy("pos")
     val ngCol = concat(
       col("word") +: (1 until n).flatMap(i =>
@@ -807,9 +820,19 @@ object LlmData {
     * multiLine reader is per-file single-split, so file count = write
     * parallelism carries the scale story.
     */
-  def qSrcCsv(s: SparkSession, dir: String): DataFrame = {
-    val tmp = System.getProperty("java.io.tmpdir") + "/graft_src_csv_" +
+  /** Per-JVM round-trip scratch dir: the pid suffix keeps concurrent
+    * runs (e.g. a Bench and a Verify on the same sf dir) from
+    * clobbering each other's shard files mid-read; within one JVM the
+    * overwrite-then-read sequence is serialized per query run.
+    */
+  private def roundTripDir(kind: String, dir: String): String =
+    System.getProperty("java.io.tmpdir") + s"/graft_src_${kind}_" +
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+        .replaceAll("[^A-Za-z0-9]", "_") + "_" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  def qSrcCsv(s: SparkSession, dir: String): DataFrame = {
+    val tmp = roundTripDir("csv", dir)
     val docs = documents(s, dir)
     graft.sources.TextSources.writeCsv(docs, tmp)
     graft.sources.TextSources.readCsv(s, tmp, docs.schema)
@@ -826,8 +849,7 @@ object LlmData {
     * per source.
     */
   def qSrcJsonl(s: SparkSession, dir: String): DataFrame = {
-    val tmp = System.getProperty("java.io.tmpdir") + "/graft_src_jsonl_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tmp = roundTripDir("jsonl", dir)
     val docs = documents(s, dir)
     graft.sources.TextSources.writeJsonl(docs, tmp)
     graft.sources.TextSources.readJsonl(s, tmp, docs.schema)
@@ -1190,6 +1212,25 @@ object LlmData {
     * single source of truth for q_dedup_jaccard and the transitive
     * closure built on it by q_dedup_cluster (the two cannot drift).
     */
+  /** Recursive connected-components closure over a `pairs(a_id, b_id)`
+    * CTE — edges (both directions), reach (transitive closure), comp
+    * (min-label per node, as `node_id`). Shared by every clustering
+    * oracle (text jaccard + embedding cosine) so the closure
+    * semantics can never drift between them; mirrors the Spark-side
+    * shared `clusterPairs`.
+    */
+  private val ccCtes =
+    """edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM pairs
+      |  UNION ALL SELECT b_id, a_id FROM pairs
+      |), reach AS (
+      |  SELECT src AS id, src AS r FROM edges
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+      |), comp AS (
+      |  SELECT id AS node_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+      |)""".stripMargin
+
   private val jaccardPairCtes =
     """sh AS (
       |  SELECT doc_id,
@@ -1311,16 +1352,7 @@ object LlmData {
         |SELECT a_id, b_id, jac FROM pairs ORDER BY a_id, b_id""".stripMargin,
     "q_dedup_apply" ->
       s"""WITH RECURSIVE $jaccardPairCtes,
-        |edges AS (
-        |  SELECT a_id AS src, b_id AS dst FROM pairs
-        |  UNION ALL SELECT b_id, a_id FROM pairs
-        |), reach AS (
-        |  SELECT src AS id, src AS r FROM edges
-        |  UNION
-        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
-        |), comp AS (
-        |  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
-        |), winners AS (
+        |$ccCtes, winners AS (
         |  SELECT doc_id FROM (
         |    SELECT doc_id,
         |      ROW_NUMBER() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn
@@ -1333,43 +1365,25 @@ object LlmData {
         |         ELSE 'keep' END AS reason
         |  FROM documents d
         |  LEFT JOIN winners w ON w.doc_id = d.doc_id
-        |  LEFT JOIN comp c ON c.doc_id = d.doc_id
+        |  LEFT JOIN comp c ON c.node_id = d.doc_id
         |)
         |SELECT doc_id, (reason = 'keep') AS keep, reason FROM verdict
         |ORDER BY doc_id""".stripMargin,
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE $jaccardPairCtes,
-        |edges AS (
-        |  SELECT a_id AS src, b_id AS dst FROM pairs
-        |  UNION ALL SELECT b_id, a_id FROM pairs
-        |), reach AS (
-        |  SELECT src AS id, src AS r FROM edges
-        |  UNION
-        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
-        |), comp AS (
-        |  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
-        |)
-        |SELECT doc_id, cluster_id,
+        |$ccCtes
+        |SELECT node_id AS doc_id, cluster_id,
         |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM comp ORDER BY doc_id""".stripMargin,
     "q_dedup_semantic" ->
-      """WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      s"""WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |pairs AS (
         |  SELECT a_id, b_id FROM (
         |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |      ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine
         |    FROM v a JOIN v b ON a.vec_id < b.vec_id
         |  ) WHERE cosine >= 0.4
-        |), edges AS (
-        |  SELECT a_id AS src, b_id AS dst FROM pairs
-        |  UNION ALL SELECT b_id, a_id FROM pairs
-        |), reach AS (
-        |  SELECT src AS id, src AS r FROM edges
-        |  UNION
-        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
-        |), comp AS (
-        |  SELECT id AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY id
-        |), sz AS (
+        |), $ccCtes, sz AS (
         |  SELECT cluster_id AS c, COUNT(*) AS n FROM comp GROUP BY cluster_id
         |)
         |SELECT emb.vec_id AS vec_id, emb.label AS label,
@@ -1377,7 +1391,7 @@ object LlmData {
         |  COALESCE(sz.n, 1) AS cluster_size,
         |  (COALESCE(comp.cluster_id, emb.vec_id) = emb.vec_id) AS keep
         |FROM embeddings emb
-        |LEFT JOIN comp ON comp.vec_id = emb.vec_id
+        |LEFT JOIN comp ON comp.node_id = emb.vec_id
         |LEFT JOIN sz ON sz.c = COALESCE(comp.cluster_id, emb.vec_id)
         |ORDER BY vec_id""".stripMargin,
     "q_dedup_embed" ->

@@ -491,8 +491,11 @@ object Relational {
               col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
       .select("o_orderkey", "o_orderdate", "o_orderpriority")
     val li = lineitem(s, dir).select("l_orderkey", "l_shipdate")
+    // timestamp + interval, NOT date_add (which would truncate the
+    // order timestamp to a date and diverge from the oracle's
+    // `o_orderdate + INTERVAL 90 DAY` on any time-of-day component)
     ord.join(li, col("l_orderkey") === col("o_orderkey") &&
-        col("l_shipdate") > date_add(col("o_orderdate"), 90), "left_semi")
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), "left_semi")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")

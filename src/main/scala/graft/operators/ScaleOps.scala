@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Scale recipes referenced in SURVEY.md §7.5: explicit skew salting
   * (for when AQE's skew-join split cannot apply — e.g. aggregations
   * into high-cardinality maps, or non-AQE engines downstream) and
-  * bucketed co-located joins (BucketingSpec).
+  * bucketed co-located joins (ScaleOpsSpec).
   */
 object ScaleOps {
 

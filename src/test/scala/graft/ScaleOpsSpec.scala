@@ -99,6 +99,20 @@ class ScaleOpsSpec extends SparkSpec {
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
       assert(joined.count() == lineitem.count())
+      // a same-key aggregate above the bucketed join also needs no
+      // exchange, and results match the plain parquet join
+      val bucketedAgg = s.table("b_lineitem")
+        .join(s.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("qty"), max(col("o_totalprice")).as("top"))
+      val aggPlan = bucketedAgg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"),
+        s"same-key aggregate over bucketed join still shuffles:\n$aggPlan")
+      val plain = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("qty"), max(col("o_totalprice")).as("top"))
+      assert(bucketedAgg.orderBy("l_orderkey").collect().map(_.toString).toSeq ==
+        plain.orderBy("l_orderkey").collect().map(_.toString).toSeq)
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
