@@ -637,6 +637,72 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  /** TPC-H Q21 shape: suppliers who kept orders waiting — for
+    * F-status orders with lines from 2+ suppliers, the supplier who
+    * was the ONLY one to ship late (> 60 days after the order date),
+    * counted per supplier, top 20. The triple EXISTS/NOT-EXISTS of the
+    * spec is re-expressed as ONE aggregation per order (distinct
+    * suppliers, distinct late suppliers) joined back to the per-
+    * (order, supplier) late flags — one orderkey shuffle instead of
+    * three self-joins, same result set.
+    */
+  def qTpchQ21(s: SparkSession, dir: String): DataFrame = {
+    val ordF = orders(s, dir).filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val li = lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(ordF, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+    val perOrder = li.groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("nsupp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("nlate"))
+      .filter(col("nsupp") >= 2 && col("nlate") === 1)
+    val perPair = li.groupBy(col("l_orderkey").as("p_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("has_late"))
+      .filter(col("has_late"))
+    perPair.join(perOrder, col("p_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier(s, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+      .select("s_name", "numwait")
+  }
+
+  /** Exact higher statistical moments per group — mean, variance,
+    * skewness, kurtosis of l_quantity per returnflag — from exact
+    * decimal power sums (Σx, Σx², Σx³, Σx⁴), so the cross-row
+    * arithmetic is partition-order-independent and the only double
+    * math is the per-group closing formula (identical in both
+    * engines). The same one-pass shape streams at any scale.
+    */
+  def qAggMoments(s: SparkSession, dir: String): DataFrame = {
+    // DECIMAL(8,2), not the usual (18,2): the 4th power must stay
+    // inside the 38-digit cap ((8,2)^4 → (35,8)) or Spark truncates
+    // the product scale and the sums stop being exact. l_quantity is
+    // 1..50 (FIXTURES.md), far inside (8,2).
+    val x = col("l_quantity").cast("decimal(8,2)")
+    lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("s1"),
+        sum(x * x).cast("double").as("s2"),
+        sum(x * x * x).cast("double").as("s3"),
+        sum(x * x * x * x).cast("double").as("s4"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("s1") / col("n"), 6).as("mean"),
+        round(col("s2") / col("n") - pow(col("s1") / col("n"), 2), 6).as("variance"),
+        round((col("s3") / col("n") - lit(3) * (col("s1") / col("n")) * (col("s2") / col("n")) +
+          lit(2) * pow(col("s1") / col("n"), 3)) /
+          pow(col("s2") / col("n") - pow(col("s1") / col("n"), 2), 1.5), 6).as("skewness"),
+        round((col("s4") / col("n") - lit(4) * (col("s1") / col("n")) * (col("s3") / col("n")) +
+          lit(6) * pow(col("s1") / col("n"), 2) * (col("s2") / col("n")) -
+          lit(3) * pow(col("s1") / col("n"), 4)) /
+          pow(col("s2") / col("n") - pow(col("s1") / col("n"), 2), 2) - lit(3), 6).as("kurtosis"))
+      .orderBy("l_returnflag")
+  }
+
   // ===== §2.5 window functions =====
 
   def qWinRank(s: SparkSession, dir: String): DataFrame = {
@@ -1009,6 +1075,47 @@ object Relational {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch_q21" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |), per_order AS (
+        |  SELECT l_orderkey,
+        |    COUNT(DISTINCT l_suppkey) AS nsupp,
+        |    COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS nlate
+        |  FROM li GROUP BY 1
+        |  HAVING COUNT(DISTINCT l_suppkey) >= 2
+        |     AND COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) = 1
+        |), per_pair AS (
+        |  SELECT l_orderkey, l_suppkey FROM li GROUP BY 1, 2 HAVING MAX(late)
+        |)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM per_pair
+        |JOIN per_order USING (l_orderkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q_agg_moments" ->
+      """WITH p AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS DECIMAL(8,2)) AS x FROM lineitem
+        |), sums AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS s1,
+        |    CAST(SUM(x * x) AS DOUBLE) AS s2,
+        |    CAST(SUM(x * x * x) AS DOUBLE) AS s3,
+        |    CAST(SUM(x * x * x * x) AS DOUBLE) AS s4
+        |  FROM p GROUP BY 1
+        |)
+        |SELECT l_returnflag, n,
+        |  ROUND(s1 / n, 6) AS mean,
+        |  ROUND(s2 / n - POW(s1 / n, 2), 6) AS variance,
+        |  ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * POW(s1 / n, 3))
+        |    / POW(s2 / n - POW(s1 / n, 2), 1.5), 6) AS skewness,
+        |  ROUND((s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * POW(s1 / n, 2) * (s2 / n)
+        |    - 3 * POW(s1 / n, 4)) / POW(s2 / n - POW(s1 / n, 2), 2) - 3, 6) AS kurtosis
+        |FROM sums ORDER BY l_returnflag""".stripMargin,
     "q_scan_parquet" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q_scan_prune" ->
@@ -1371,6 +1478,8 @@ object Relational {
     "q_tpch_q8" -> (qTpchQ8 _),
     "q_tpch_q14" -> (qTpchQ14 _),
     "q_tpch_q15" -> (qTpchQ15 _),
+    "q_tpch_q21" -> (qTpchQ21 _),
+    "q_agg_moments" -> (qAggMoments _),
     "q_tpch_q18" -> (qTpchQ18 _),
     "q_win_rank" -> (qWinRank _),
     "q_win_topk_group" -> (qWinTopkGroup _),
