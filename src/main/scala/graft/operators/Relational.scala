@@ -653,14 +653,20 @@ object Relational {
       .join(ordF, col("l_orderkey") === col("o_orderkey"))
       .withColumn("late",
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-    val perOrder = li.groupBy("l_orderkey")
-      .agg(countDistinct(col("l_suppkey")).as("nsupp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("nlate"))
-      .filter(col("nsupp") >= 2 && col("nlate") === 1)
-    val perPair = li.groupBy(col("l_orderkey").as("p_orderkey"), col("l_suppkey"))
+    // ONE aggregation of the raw stream to per-(order, supplier) late
+    // flags, cached: the per-order census (distinct suppliers ≡ rows
+    // of the pair table, so no countDistinct expansion) and the
+    // late-pair join side both read it — the alternative re-scans and
+    // re-joins lineitem⋈orders once per consumer.
+    val perPair = li.groupBy("l_orderkey", "l_suppkey")
       .agg(max(col("late")).as("has_late"))
-      .filter(col("has_late"))
-    perPair.join(perOrder, col("p_orderkey") === col("l_orderkey"), "left_semi")
+      .cache()
+    val perOrder = perPair.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("nsupp"),
+        count(when(col("has_late"), lit(1))).as("nlate"))
+      .filter(col("nsupp") >= 2 && col("nlate") === 1)
+    perPair.filter(col("has_late"))
+      .join(perOrder, Seq("l_orderkey"), "left_semi")
       .groupBy("l_suppkey")
       .agg(count(lit(1)).as("numwait"))
       .join(broadcast(supplier(s, dir).select("s_suppkey", "s_name")),
