@@ -862,6 +862,28 @@ object LlmData {
       .orderBy("source")
   }
 
+  /** Overlapping document chunking (the pre-embedding window split
+    * every RAG/embedding pipeline runs): 64-word chunks on a 48-word
+    * stride (16 words of overlap), so every word lands in a chunk and
+    * boundary context is preserved. Chunk count = 1 + ⌈(n−C)/S⌉ for
+    * n > C else 1; the explode is narrow (no shuffle until the output
+    * sort), so the operator streams at any corpus scale.
+    */
+  def qTextChunk(s: SparkSession, dir: String): DataFrame = {
+    val C = 64
+    val S = 48
+    docsNorm(s, dir)
+      .withColumn("ws", expr(wordsExpr))
+      .filter(size(col("ws")) > 0)
+      .withColumn("chunk_id", explode(expr(
+        s"sequence(0, int(greatest(ceil((size(ws) - $C) / CAST($S AS DOUBLE)), 0)))")))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * S + 1).as("start_word"),
+        expr(s"size(slice(ws, chunk_id * $S + 1, $C))").as("n_chunk_words"),
+        expr(s"array_join(slice(ws, chunk_id * $S + 1, $C), ' ')").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Vocabulary heavy hitters via Spark's DataSketches frequent-items
     * family (`approx_top_k*`): the most frequent corpus tokens, in
     * both one-shot and mergeable form. The mergeable branch builds one
@@ -1465,6 +1487,21 @@ object LlmData {
         |  (n_chars BETWEEN 100 AND 450 AND lang IN ('en','es','de','fr') AND len(w) >= 20) AS passed
         |FROM (SELECT doc_id, lang, n_chars, string_split(lower(trim(text)), ' ') AS w FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "q_text_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS ws
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, ws,
+        |    unnest(generate_series(0,
+        |      GREATEST(CAST(CEIL((len(ws) - 64) / 48.0) AS INT), 0))) AS chunk_id
+        |  FROM d WHERE len(ws) > 0
+        |)
+        |SELECT doc_id, chunk_id,
+        |  chunk_id * 48 + 1 AS start_word,
+        |  len(list_slice(ws, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS n_chunk_words,
+        |  array_to_string(list_slice(ws, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q_src_csv" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
@@ -1596,6 +1633,7 @@ object LlmData {
     "q_quality_gopher" -> (qQualityGopher _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_text_contam" -> (qTextContam _),
+    "q_text_chunk" -> (qTextChunk _),
     "q_src_csv" -> (qSrcCsv _),
     "q_src_jsonl" -> (qSrcJsonl _),
     "q_agg_approx_topk" -> (qAggApproxTopk _)
