@@ -866,8 +866,9 @@ object LlmData {
     * every RAG/embedding pipeline runs): 64-word chunks on a 48-word
     * stride (16 words of overlap), so every word lands in a chunk and
     * boundary context is preserved. Chunk count = 1 + ⌈(n−C)/S⌉ for
-    * n > C else 1; the explode is narrow (no shuffle until the output
-    * sort), so the operator streams at any corpus scale.
+    * n > C else 1; after docsNorm's split-spread repartition the
+    * explode is narrow (no further shuffle before the output sort),
+    * so the operator streams at any corpus scale.
     */
   def qTextChunk(s: SparkSession, dir: String): DataFrame = {
     val C = 64

@@ -687,7 +687,9 @@ object Relational {
     // DECIMAL(8,2), not the usual (18,2): the 4th power must stay
     // inside the 38-digit cap ((8,2)^4 → (35,8)) or Spark truncates
     // the product scale and the sums stop being exact. l_quantity is
-    // 1..50 (FIXTURES.md), far inside (8,2).
+    // 1.0..50.0 in the fixtures (range recorded in FIXTURES.md), far
+    // inside (8,2); a value past 999999.99 would NULL the cast here
+    // while DuckDB errors, so the range note is load-bearing.
     val x = col("l_quantity").cast("decimal(8,2)")
     lineitem(s, dir)
       .groupBy("l_returnflag")
@@ -1101,7 +1103,7 @@ object Relational {
         |FROM per_pair
         |JOIN per_order USING (l_orderkey)
         |JOIN supplier ON l_suppkey = s_suppkey
-        |GROUP BY s_name
+        |GROUP BY s_suppkey, s_name
         |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "q_agg_moments" ->
       """WITH p AS (
