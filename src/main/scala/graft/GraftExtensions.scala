@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BitsetIntersectCount, DotProductF64}
+import graft.functions.{BitsetIntersectCount, DotProductF64, PackedCharBigrams}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so `SELECT dot_f64(a, b)` works from
@@ -22,5 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BitsetIntersectCount].getName, "bitset_intersect_count"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         BitsetIntersectCount(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("packed_char_bigrams"),
+      new ExpressionInfo(classOf[PackedCharBigrams].getName, "packed_char_bigrams"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PackedCharBigrams(children(0))))
   }
 }

@@ -103,10 +103,78 @@ case class BitsetIntersectCount(left: Expression, right: Expression) extends Bin
     copy(left = l, right = r)
 }
 
+/** Packed char-bigram extraction: string → array<bigint> of
+  * consecutive codepoint pairs (cp1·0x110000 + cp2) — the langid /
+  * perplexity hot path. Replaces the interpreted
+  * transform(split(...)) + zip_with chain (two higher-order lambdas
+  * per row, one string op per element) with one codegen'd codepoint
+  * walk; the packing is identical, so every downstream grouping is
+  * unchanged. Codepoint iteration matches DuckDB's character
+  * semantics on BMP text (the harness corpus; surrogate pairs would
+  * diverge from Spark's split('')-by-Java-char behavior, not ours).
+  */
+case class PackedCharBigrams(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "packed_char_bigrams"
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${t.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val js = input.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    var i = 0
+    var prev = -1
+    while (i < js.length) {
+      val cp = js.codePointAt(i)
+      if (prev >= 0) out += prev * 1114112L + cp
+      prev = cp
+      i += Character.charCount(cp)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val js = ctx.freshName("js")
+      val n = ctx.freshName("n")
+      val arr = ctx.freshName("arr")
+      val idx = ctx.freshName("idx")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      val prev = ctx.freshName("prev")
+      s"""
+         |String $js = $s.toString();
+         |int $n = $js.codePointCount(0, $js.length());
+         |long[] $arr = new long[$n < 2 ? 0 : $n - 1];
+         |int $idx = 0;
+         |int $i = 0;
+         |int $prev = -1;
+         |while ($i < $js.length()) {
+         |  int $cp = $js.codePointAt($i);
+         |  if ($prev >= 0) { $arr[$idx++] = $prev * 1114112L + $cp; }
+         |  $prev = $cp;
+         |  $i += Character.charCount($cp);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PackedCharBigrams =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   def dotF64(a: Column, b: Column): Column =
     GraftColumnShim.column(DotProductF64(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
 
   def bitsetIntersectCount(a: Column, b: Column): Column =
     GraftColumnShim.column(BitsetIntersectCount(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
+
+  def packedCharBigrams(s: Column): Column =
+    GraftColumnShim.column(PackedCharBigrams(GraftColumnShim.expression(s)))
 }

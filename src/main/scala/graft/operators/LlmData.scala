@@ -925,27 +925,22 @@ object LlmData {
   /** Per-doc char-bigram stream shared by the language-ID and
     * perplexity operators.
     *
-    * char-array zip_with, not transform(sequence, i -> substring):
-    * same per-element-recompute trap as shingled() — substring over a
-    * captured string is O(len) per element (O(len²)/doc). The length
-    * filter also keeps the sub-two-char guard (no bigrams, as in the
-    * oracle's empty generate_series).
     * bigram key = packed codepoint pair (cp1·0x110000 + cp2), not a
     * 2-char string: the key feeds hash shuffles and a broadcast join,
     * and long keys hash/compare without allocation. The packing is
-    * injective (codepoints < 0x110000), so grouping is unchanged.
-    * codepoints first (one string op per char), THEN the pair lambda
-    * runs pure long arithmetic — higher-order lambdas evaluate
-    * interpreted, so keeping string ops out of the inner one matters.
+    * injective (codepoints < 0x110000), so grouping is unchanged vs
+    * the oracle's substring bigrams (bijective key spaces). Extraction
+    * is the codegen'd PackedCharBigrams expression — one JITed
+    * codepoint walk per row, replacing the earlier interpreted
+    * transform + zip_with lambda chain (ExtensionsSpec pins the
+    * equivalence). The length filter keeps the sub-two-char guard (no
+    * bigrams, as in the oracle's empty generate_series).
     */
   private def docBigrams(s: SparkSession, dir: String): DataFrame =
     docsNorm(s, dir)
       .filter(length(col("norm_text")) >= 2)
-      .withColumn("c", expr("transform(split(norm_text, ''), ch -> CAST(ascii(ch) AS BIGINT))"))
       .select(col("doc_id"), col("lang"),
-        explode(zip_with(slice(col("c"), lit(1), size(col("c")) - 1),
-                         slice(col("c"), lit(2), size(col("c")) - 1),
-                         (a, b) => a * lit(1114112L) + b)).as("bg"))
+        explode(graft.functions.VectorExprs.packedCharBigrams(col("norm_text"))).as("bg"))
 
   /** Per-doc bigram occurrence counts and the per-lang model derived
     * from them — shared by language-ID and perplexity so the model

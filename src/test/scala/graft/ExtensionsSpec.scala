@@ -23,4 +23,30 @@ class ExtensionsSpec extends SparkSpec {
     // 7&5 = 0b101 (2 bits), 1&3 = 0b1 (1 bit)
     assert(r.getInt(0) == 3)
   }
+
+  test("packed_char_bigrams matches the higher-order transform/zip_with form") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("norm_text", lower(trim(col("text"))))
+      .filter(length(col("norm_text")) >= 2)
+    val viaExpr = docs.select(col("doc_id"),
+      graft.functions.VectorExprs.packedCharBigrams(col("norm_text")).as("bgs"))
+    val viaLambdas = docs
+      .withColumn("c", expr("transform(split(norm_text, ''), ch -> CAST(ascii(ch) AS BIGINT))"))
+      .select(col("doc_id"),
+        zip_with(slice(col("c"), lit(1), size(col("c")) - 1),
+                 slice(col("c"), lit(2), size(col("c")) - 1),
+                 (a, b) => a * lit(1114112L) + b).as("bgs"))
+    val a = viaExpr.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val b = viaLambdas.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"mismatch at doc ${x._1}") }
+  }
+
+  test("packed_char_bigrams: empty and single-char strings yield no bigrams") {
+    val r = spark.sql(
+      "SELECT packed_char_bigrams(''), packed_char_bigrams('x'), packed_char_bigrams('ab')").head()
+    assert(r.getSeq[Long](0).isEmpty && r.getSeq[Long](1).isEmpty)
+    assert(r.getSeq[Long](2) == Seq('a'.toLong * 1114112L + 'b'.toLong))
+  }
 }
