@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BitsetIntersectCount, DotProductF64, PackedCharBigrams}
+import graft.functions.{BitsetIntersectCount, DotProductF64, PackedCharBigrams, WordBigramShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so `SELECT dot_f64(a, b)` works from
@@ -27,5 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PackedCharBigrams].getName, "packed_char_bigrams"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         PackedCharBigrams(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("word_bigram_shingles"),
+      new ExpressionInfo(classOf[WordBigramShingles].getName, "word_bigram_shingles"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordBigramShingles(children(0))))
   }
 }

@@ -168,6 +168,66 @@ case class PackedCharBigrams(child: Expression)
     copy(child = newChild)
 }
 
+/** Distinct word-bigram shingles: string → array<string> of adjacent
+  * "a b" word pairs, first-occurrence order, split on single spaces
+  * with empty tokens KEPT (exactly Spark's split(s, " ") + zip_with +
+  * array_distinct chain it replaces — ExtensionsSpec pins the
+  * equivalence). The per-row work runs in one compiled kernel
+  * (static call from generated code) instead of three interpreted
+  * higher-order lambdas; feeds the exact-jaccard / MinHash / winnow
+  * shingle tables.
+  */
+case class WordBigramShingles(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.StringType
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_bigram_shingles"
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${t.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.wordBigramShingles(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextKernels.wordBigramShingles($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordBigramShingles =
+    copy(child = newChild)
+}
+
+/** Compiled per-row text kernels called from generated code (the
+  * static-invoke escape hatch: logic stays in Scala, the call site
+  * stays inside whole-stage codegen).
+  */
+object TextKernels {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def wordBigramShingles(s: UTF8String): ArrayData = {
+    // limit -1: KEEP trailing empty tokens, matching Spark's
+    // split(s, " ") (limit defaults to -1) on which the oracles'
+    // string_split also agrees
+    val words = s.toString.split(" ", -1)
+    if (words.length < 2) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < words.length - 1) {
+      seen.add(words(i) + " " + words(i + 1))
+      i += 1
+    }
+    val arr = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
 object VectorExprs {
   def dotF64(a: Column, b: Column): Column =
     GraftColumnShim.column(DotProductF64(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
@@ -177,4 +237,7 @@ object VectorExprs {
 
   def packedCharBigrams(s: Column): Column =
     GraftColumnShim.column(PackedCharBigrams(GraftColumnShim.expression(s)))
+
+  def wordBigramShingles(s: Column): Column =
+    GraftColumnShim.column(WordBigramShingles(GraftColumnShim.expression(s)))
 }

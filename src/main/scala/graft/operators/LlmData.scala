@@ -35,22 +35,15 @@ object LlmData {
       .withColumn("norm_text", lower(trim(col("text"))))
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
 
-  /** Distinct word-bigram shingle set per document.
-    *
-    * zip_with over two slices, NOT transform(sequence(1, n-1),
-    * i -> concat(w[i-1], ' ', w[i])): zip_with's array inputs are
-    * evaluated once per row, while a captured `w` inside a transform
-    * lambda re-evaluates the whole split per element (O(words²)/doc).
-    * (Also keeps the sub-two-word guard: slice of an empty range is
-    * empty, but the `when` stays for the explicit empty-set contract —
-    * Spark's sequence(1, 0) DESCENDS, so the transform form needed it.)
+  /** Distinct word-bigram shingle set per document — one compiled
+    * WordBigramShingles kernel per row (ExtensionsSpec pins its
+    * equivalence to the split + zip_with + array_distinct chain it
+    * replaced, including kept-empty-token and sub-two-word behavior).
     */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     docsNorm(s, dir)
-      .withColumn("w", split(col("norm_text"), " "))
-      .withColumn("shingles", when(size(col("w")) < 2, array().cast("array<string>"))
-        .otherwise(array_distinct(bigramsOf(col("w")))))
-      .select("doc_id", "shingles")
+      .select(col("doc_id"),
+        graft.functions.VectorExprs.wordBigramShingles(col("norm_text")).as("shingles"))
 
   /** The shared whitespace tokenizer (non-empty tokens of norm_text).
     * Single source of truth for every word-level operator — the

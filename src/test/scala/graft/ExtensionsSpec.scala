@@ -43,6 +43,32 @@ class ExtensionsSpec extends SparkSpec {
     a.zip(b).foreach { case (x, y) => assert(x == y, s"mismatch at doc ${x._1}") }
   }
 
+  test("word_bigram_shingles matches the split/zip_with/array_distinct form") {
+    import org.apache.spark.sql.functions._
+    // fixture corpus + hand-picked edges: repeated bigrams, internal
+    // double spaces (kept empty tokens), single word, empty string
+    val s = spark
+    import s.implicits._
+    val extra = Seq("a b a b", "a  b", "lone", "", "x  ", " y").toDF("norm_text")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("norm_text", lower(trim(col("text"))))
+      .select("norm_text")
+      .unionByName(extra)
+    val viaExpr = docs.select(
+      graft.functions.VectorExprs.wordBigramShingles(col("norm_text")).as("sh"))
+    val viaLambdas = docs
+      .withColumn("w", split(col("norm_text"), " "))
+      .select(when(size(col("w")) < 2, array().cast("array<string>"))
+        .otherwise(array_distinct(
+          zip_with(slice(col("w"), lit(1), size(col("w")) - 1),
+                   slice(col("w"), lit(2), size(col("w")) - 1),
+                   (a, b) => concat(a, lit(" "), b)))).as("sh"))
+    val a = viaExpr.collect().map(_.getSeq[String](0))
+    val b = viaLambdas.collect().map(_.getSeq[String](0))
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"mismatch: $x vs $y") }
+  }
+
   test("packed_char_bigrams: empty and single-char strings yield no bigrams") {
     val r = spark.sql(
       "SELECT packed_char_bigrams(''), packed_char_bigrams('x'), packed_char_bigrams('ab')").head()
