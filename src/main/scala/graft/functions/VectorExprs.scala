@@ -200,6 +200,33 @@ case class WordBigramShingles(child: Expression)
     copy(child = newChild)
 }
 
+/** Distinct winnowing anchors of an ASCII-sanitized string — see
+  * TextKernels.winnowFingerprints. Replaces the interpreted
+  * per-position polynomial transform + cascaded zip_with minima.
+  */
+case class WinnowFingerprints(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.StringType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${t.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.winnowFingerprints(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextKernels.winnowFingerprints($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 /** Compiled per-row text kernels called from generated code (the
   * static-invoke escape hatch: logic stays in Scala, the call site
   * stays inside whole-stage codegen).
@@ -207,6 +234,49 @@ case class WordBigramShingles(child: Expression)
 object TextKernels {
   import org.apache.spark.sql.catalyst.util.GenericArrayData
   import org.apache.spark.unsafe.types.UTF8String
+
+  // Winnowing parameters — MUST match graft.operators.LlmData.Winnow
+  // (which also feeds the DuckDB oracle SQL); ExtensionsSpec pins the
+  // kernel against the expression chain built from Winnow's values,
+  // so a drift fails the suite loudly.
+  private val WinK = 8
+  private val WinW = 4
+  private val WinM = 1000000007L
+  private val WinPows: Array[Long] = Array.iterate(1L, WinK)(p => p * 256L % WinM).reverse
+
+  /** Distinct w-window minima of the Karp-Rabin k-gram rolling hashes
+    * of an ASCII-sanitized string (the SIGMOD'03 winnowing anchor
+    * set), first-occurrence order. Same residue arithmetic as the
+    * oracle SQL: h = (Σⱼ c·B^j' mod M) mod M.
+    */
+  def winnowFingerprints(s: UTF8String): ArrayData = {
+    val js = s.toString
+    val nf = js.length - (WinK - 1)
+    if (nf < WinW) return new GenericArrayData(Array.empty[Any])
+    val fps = new Array[Long](nf)
+    var p = 0
+    while (p < nf) {
+      var h = 0L
+      var j = 0
+      while (j < WinK) { h += js.charAt(p + j).toLong * WinPows(j) % WinM; j += 1 }
+      fps(p) = h % WinM
+      p += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i <= nf - WinW) {
+      var mn = fps(i)
+      var k = 1
+      while (k < WinW) { if (fps(i + k) < mn) mn = fps(i + k); k += 1 }
+      seen.add(mn)
+      i += 1
+    }
+    val arr = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j2 = 0
+    while (it.hasNext) { arr(j2) = it.next().longValue(); j2 += 1 }
+    new GenericArrayData(arr)
+  }
 
   def wordBigramShingles(s: UTF8String): ArrayData = {
     // limit -1: KEEP trailing empty tokens, matching Spark's
@@ -240,4 +310,7 @@ object VectorExprs {
 
   def wordBigramShingles(s: Column): Column =
     GraftColumnShim.column(WordBigramShingles(GraftColumnShim.expression(s)))
+
+  def winnowFingerprints(s: Column): Column =
+    GraftColumnShim.column(WinnowFingerprints(GraftColumnShim.expression(s)))
 }

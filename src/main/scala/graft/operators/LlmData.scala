@@ -1076,31 +1076,16 @@ object LlmData {
     */
   def qTextWinnow(s: SparkSession, dir: String): DataFrame = {
     import Winnow._
-    // Entirely array-land per doc — NO position explode: exploding
-    // (doc_id, cs, p) copies the char array into every one of the
-    // ~len position rows (GBs of Generate output at bench scale).
-    // The repartition after `cs` is the usual CollapseProject barrier
-    // so the position lambda reads a materialized attribute.
-    val d = docsNorm(s, dir)
+    // One compiled WinnowFingerprints kernel per row replaces the
+    // earlier interpreted per-position polynomial transform + cascaded
+    // zip_with minima (ExtensionsSpec pins the kernel against that
+    // expression chain, so the oracle arithmetic cannot drift). Still
+    // entirely array-land per doc — no position explode.
+    docsNorm(s, dir)
       .withColumn("at", regexp_replace(col("norm_text"), "[^\\x00-\\x7f]", "?"))
       .filter(length(col("at")) >= K + W - 1)
-      .withColumn("cs", expr("transform(split(at, ''), x -> ascii(x))"))
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-    // fps(p) for p = 1..len-K+1, then the min of each W=4 consecutive
-    // hashes as two cascaded pairwise-min zip_withs:
-    // m1(i) = min(fp(i), fp(i+1)); win(i) = min(m1(i), m1(i+2)).
-    // zip_with/slice inputs evaluate once per ROW, so the fps
-    // expression is evaluated a constant number of times per doc —
-    // never per element (lambda-capture discipline).
-    def pairMin(a: Column, len: Column, gap: Int): Column =
-      zip_with(slice(a, lit(1), len), slice(a, lit(1 + gap), len), (x, y) => least(x, y))
-    d.select(col("doc_id"), col("cs"))
-      .withColumn("fps", expr(
-        s"""transform(sequence(1, size(cs) - ${K - 1}), p ->
-           |  (${(0 until K).map(j => s"CAST(element_at(cs, p + $j) AS BIGINT) * ${pows(j)} % $M").mkString(" + ")}) % $M)""".stripMargin))
-      .withColumn("m1", pairMin(col("fps"), size(col("fps")) - 1, 1))
-      .withColumn("win", pairMin(col("m1"), size(col("m1")) - 2, 2))
-      .select(col("doc_id"), explode(array_distinct(col("win"))).as("fp"))
+      .select(col("doc_id"),
+        explode(graft.functions.VectorExprs.winnowFingerprints(col("at"))).as("fp"))
       .orderBy("doc_id", "fp")
   }
 

@@ -69,6 +69,36 @@ class ExtensionsSpec extends SparkSpec {
     a.zip(b).foreach { case (x, y) => assert(x == y, s"mismatch: $x vs $y") }
   }
 
+  test("winnow_fingerprints matches the polynomial-transform/zip_with-minima chain") {
+    import org.apache.spark.sql.functions._
+    // the pre-kernel expression chain, rebuilt with the same K=8 W=4
+    // M=1000000007 B=256 parameters the kernel (and the DuckDB oracle
+    // CTE) uses — preflight pins kernel↔oracle, this pins the rolling
+    // arithmetic itself
+    val K = 8; val W = 4; val M = 1000000007L
+    val pows = Array.iterate(1L, K)(p => p * 256L % M).reverse
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("norm_text", lower(trim(col("text"))))
+      .withColumn("at", regexp_replace(col("norm_text"), "[^\\x00-\\x7f]", "?"))
+      .filter(length(col("at")) >= K + W - 1)
+    def pairMin(a: org.apache.spark.sql.Column, len: org.apache.spark.sql.Column, gap: Int) =
+      zip_with(slice(a, lit(1), len), slice(a, lit(1 + gap), len), (x, y) => least(x, y))
+    val viaLambdas = docs
+      .withColumn("cs", expr("transform(split(at, ''), x -> ascii(x))"))
+      .withColumn("fps", expr(
+        s"""transform(sequence(1, size(cs) - ${K - 1}), p ->
+           |  (${(0 until K).map(j => s"CAST(element_at(cs, p + $j) AS BIGINT) * ${pows(j)} % $M").mkString(" + ")}) % $M)""".stripMargin))
+      .withColumn("m1", pairMin(col("fps"), size(col("fps")) - 1, 1))
+      .withColumn("win", pairMin(col("m1"), size(col("m1")) - 2, 2))
+      .select(col("doc_id"), array_distinct(col("win")).as("fp"))
+    val viaKernel = docs.select(col("doc_id"),
+      graft.functions.VectorExprs.winnowFingerprints(col("at")).as("fp"))
+    val a = viaKernel.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val b = viaLambdas.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"mismatch at doc ${x._1}") }
+  }
+
   test("packed_char_bigrams: empty and single-char strings yield no bigrams") {
     val r = spark.sql(
       "SELECT packed_char_bigrams(''), packed_char_bigrams('x'), packed_char_bigrams('ab')").head()
