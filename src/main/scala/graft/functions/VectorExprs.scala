@@ -227,6 +227,34 @@ case class WinnowFingerprints(child: Expression)
     copy(child = newChild)
 }
 
+/** All 32 min-hash values of a shingle array — see
+  * TextKernels.minhashSignature. Output element type is nullable:
+  * empty shingle sets produce null minima like the
+  * array_min(transform(...)) form it replaces.
+  */
+case class MinhashSignature(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.StringType
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash_signature"
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<string> argument, got ${t.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.minhashSignature(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextKernels.minhashSignature($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
+    copy(child = newChild)
+}
+
 /** Compiled per-row text kernels called from generated code (the
   * static-invoke escape hatch: logic stays in Scala, the call site
   * stays inside whole-stage codegen).
@@ -278,6 +306,44 @@ object TextKernels {
     new GenericArrayData(arr)
   }
 
+  // MinHash parameters — MUST match qDedupMinhash's 32-perm scheme
+  // (prefix "mh<i>:"); ExtensionsSpec pins this kernel against the
+  // array(array_min(transform(...xxhash64...))) expression it replaces.
+  private val MhK = 32
+  private val MhPrefixes: Array[Array[Byte]] =
+    Array.tabulate(MhK)(i => s"mh$i:".getBytes("UTF-8"))
+
+  /** All 32 min-hash values of a shingle array in one pass: for each
+    * permutation i, min over shingles of xxhash64('mh<i>:' || shingle)
+    * (Spark's XxHash64, seed 42, over the concatenated UTF-8 bytes).
+    * Empty shingle arrays yield 32 nulls, exactly like
+    * array_min(transform([], ...)).
+    */
+  def minhashSignature(shingles: ArrayData): ArrayData = {
+    val n = shingles.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](MhK)) // nulls
+    val mins = Array.fill(MhK)(Long.MaxValue)
+    var buf = new Array[Byte](64)
+    var i = 0
+    while (i < n) {
+      val sh = shingles.getUTF8String(i).getBytes
+      var j = 0
+      while (j < MhK) {
+        val p = MhPrefixes(j)
+        val len = p.length + sh.length
+        if (buf.length < len) buf = new Array[Byte](len * 2)
+        System.arraycopy(p, 0, buf, 0, p.length)
+        System.arraycopy(sh, 0, buf, p.length, sh.length)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(x => x: Any))
+  }
+
   def wordBigramShingles(s: UTF8String): ArrayData = {
     // limit -1: KEEP trailing empty tokens, matching Spark's
     // split(s, " ") (limit defaults to -1) on which the oracles'
@@ -313,4 +379,7 @@ object VectorExprs {
 
   def winnowFingerprints(s: Column): Column =
     GraftColumnShim.column(WinnowFingerprints(GraftColumnShim.expression(s)))
+
+  def minhashSignature(shingles: Column): Column =
+    GraftColumnShim.column(MinhashSignature(GraftColumnShim.expression(shingles)))
 }

@@ -390,9 +390,11 @@ object LlmData {
     */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir)
-    val sig = sh.withColumn("sig", array(
-      (0 until 32).map(i => array_min(expr(
-        s"transform(shingles, x -> xxhash64('mh$i:' || x))"))): _*))
+    // one compiled pass over the shingles for all 32 permutation
+    // minima (ExtensionsSpec pins it against the 32-transform
+    // expression form it replaces)
+    val sig = sh.withColumn("sig",
+      graft.functions.VectorExprs.minhashSignature(col("shingles")))
       .cache() // per-doc signatures: read by both sides of the band join
     val banded = sig.select(col("doc_id"), col("shingles"),
       posexplode(expr("transform(sequence(0, 7), b -> xxhash64(b, slice(sig, b * 4 + 1, 4)))")))

@@ -99,6 +99,26 @@ class ExtensionsSpec extends SparkSpec {
     a.zip(b).foreach { case (x, y) => assert(x == y, s"mismatch at doc ${x._1}") }
   }
 
+  test("minhash_signature matches the 32-transform array_min form") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("norm_text", lower(trim(col("text"))))
+      .select("norm_text")
+      .unionByName(Seq("one two three two one", "solo", "").toDF("norm_text"))
+      .select(graft.functions.VectorExprs.wordBigramShingles(col("norm_text")).as("shingles"))
+    val viaKernel = docs.select(
+      graft.functions.VectorExprs.minhashSignature(col("shingles")).as("sig"))
+    val viaLambdas = docs.select(array(
+      (0 until 32).map(i => array_min(expr(
+        s"transform(shingles, x -> xxhash64('mh$i:' || x))"))): _*).as("sig"))
+    val a = viaKernel.collect().map(_.getSeq[Any](0))
+    val b = viaLambdas.collect().map(_.getSeq[Any](0))
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"mismatch: $x vs $y") }
+  }
+
   test("packed_char_bigrams: empty and single-char strings yield no bigrams") {
     val r = spark.sql(
       "SELECT packed_char_bigrams(''), packed_char_bigrams('x'), packed_char_bigrams('ab')").head()
