@@ -255,6 +255,30 @@ case class MinhashSignature(child: Expression)
     copy(child = newChild)
 }
 
+/** 64-bit SimHash of a normalized text — see TextKernels.simhash64. */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.StringType
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${t.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.simhash64(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextKernels.simhash64($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 /** Compiled per-row text kernels called from generated code (the
   * static-invoke escape hatch: logic stays in Scala, the call site
   * stays inside whole-stage codegen).
@@ -344,6 +368,40 @@ object TextKernels {
     new GenericArrayData(mins.map(x => x: Any))
   }
 
+  /** 64-bit SimHash of a normalized text: per non-empty
+    * space-separated word occurrence, xxhash64(word) (Spark XXH64,
+    * seed 42) votes +1/−1 per bit; bit set iff its vote sum is
+    * strictly positive. One per-row pass — replaces the word explode
+    * + 64-column vote aggregate (and its shuffle).
+    */
+  def simhash64(s: UTF8String): Long = {
+    val js = s.toString
+    val votes = new Array[Int](64)
+    var start = 0
+    var i = 0
+    val n = js.length
+    while (i <= n) {
+      if (i == n || js.charAt(i) == ' ') {
+        if (i > start) {
+          val wb = js.substring(start, i).getBytes("UTF-8")
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(wb, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, wb.length, 42L)
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+            j += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sim |= 1L << j; j += 1 }
+    sim
+  }
+
   def wordBigramShingles(s: UTF8String): ArrayData = {
     // limit -1: KEEP trailing empty tokens, matching Spark's
     // split(s, " ") (limit defaults to -1) on which the oracles'
@@ -382,4 +440,7 @@ object VectorExprs {
 
   def minhashSignature(shingles: Column): Column =
     GraftColumnShim.column(MinhashSignature(GraftColumnShim.expression(shingles)))
+
+  def simhash64(s: Column): Column =
+    GraftColumnShim.column(SimHash64(GraftColumnShim.expression(s)))
 }

@@ -416,19 +416,15 @@ object LlmData {
     * distance <= 16.
     */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val words = docsNorm(s, dir)
-      .select(col("doc_id"), explode(split(col("norm_text"), " ")).as("word"))
-      .filter(col("word") =!= "")
-      .withColumn("h", xxhash64(col("word")))
-    // 64 vote sums as plain aggregation columns over the word stream —
-    // no 64× bit explode (that shape shuffles words×64 rows), one
-    // hash-agg pass, identical votes. The simhash reassembles from the
-    // per-bit columns (distinct powers of two, so + is OR).
-    val voteCols = (0 until 64).map(j =>
-      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"v$j"))
-    val votes = words.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-    val sims = votes.select(col("doc_id"),
-      (0 until 64).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _).as("simhash"))
+    // One compiled SimHash64 kernel per ROW — no word explode, no
+    // 64-column vote aggregate, no shuffle before the band join
+    // (ExtensionsSpec pins the kernel against that vote pipeline).
+    // The norm_text filter reproduces the old pipeline's absence of
+    // zero-word docs (norm_text is pre-trimmed, so empty ⇔ no words).
+    val sims = docsNorm(s, dir)
+      .filter(col("norm_text") =!= "")
+      .select(col("doc_id"),
+        graft.functions.VectorExprs.simhash64(col("norm_text")).as("simhash"))
       .cache() // per-doc 64-bit hash: read by both sides of the band join
     val chunks = sims.select(col("doc_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535)")))

@@ -119,6 +119,32 @@ class ExtensionsSpec extends SparkSpec {
     a.zip(b).foreach { case (x, y) => assert(x == y, s"mismatch: $x vs $y") }
   }
 
+  test("simhash64 matches the explode + 64-column vote aggregate") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("norm_text", lower(trim(col("text"))))
+      .select("doc_id", "norm_text")
+      .unionByName(Seq((90001L, "tie tie"), (90002L, "a  b "), (90003L, "solo"))
+        .toDF("doc_id", "norm_text"))
+      .filter(col("norm_text") =!= "")
+    val viaKernel = docs.select(col("doc_id"),
+      graft.functions.VectorExprs.simhash64(col("norm_text")).as("simhash"))
+    val words = docs
+      .select(col("doc_id"), explode(split(col("norm_text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .withColumn("h", xxhash64(col("word")))
+    val voteCols = (0 until 64).map(j =>
+      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"v$j"))
+    val viaAgg = words.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _).as("simhash"))
+    val a = viaKernel.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = viaAgg.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("packed_char_bigrams: empty and single-char strings yield no bigrams") {
     val r = spark.sql(
       "SELECT packed_char_bigrams(''), packed_char_bigrams('x'), packed_char_bigrams('ab')").head()
