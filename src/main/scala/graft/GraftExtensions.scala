@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BitsetIntersectCount, DotProductF64, PackedCharBigrams, WordBigramShingles}
+import graft.functions.{BitsetIntersectCount, DotProductF64, MinhashSignature, PackedCharBigrams, SimHash64, WinnowFingerprints, WordBigramShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so `SELECT dot_f64(a, b)` works from
@@ -32,5 +32,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordBigramShingles].getName, "word_bigram_shingles"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WordBigramShingles(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WinnowFingerprints(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_signature"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinhashSignature(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash64(children(0))))
   }
 }
