@@ -375,17 +375,21 @@ object TextKernels {
     * + 64-column vote aggregate (and its shuffle).
     */
   def simhash64(s: UTF8String): Long = {
-    val js = s.toString
+    // one UTF-8 buffer per row, words hashed as in-place slices: a
+    // 0x20 byte never occurs inside a multi-byte UTF-8 sequence, so
+    // byte-level splitting equals character-level splitting and each
+    // slice's bytes equal word.getBytes("UTF-8") — zero per-word
+    // allocation (cf. the MinhashSignature buffer-reuse note)
+    val bytes = s.getBytes
     val votes = new Array[Int](64)
     var start = 0
     var i = 0
-    val n = js.length
+    val n = bytes.length
     while (i <= n) {
-      if (i == n || js.charAt(i) == ' ') {
+      if (i == n || bytes(i) == ' '.toByte) {
         if (i > start) {
-          val wb = js.substring(start, i).getBytes("UTF-8")
-          val h = org.apache.spark.sql.catalyst.expressions.XXH64
-            .hashUnsafeBytes(wb, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, wb.length, 42L)
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start, i - start, 42L)
           var j = 0
           while (j < 64) {
             if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1

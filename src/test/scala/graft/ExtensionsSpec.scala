@@ -145,6 +145,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("winnow_fingerprints / minhash_signature / simhash64 callable from SQL") {
+    val r = spark.sql(
+      """SELECT size(winnow_fingerprints('abcdefghijklmnop')) AS w,
+        |       size(minhash_signature(array('a b', 'b c'))) AS m,
+        |       simhash64('hello world') AS s""".stripMargin).head()
+    assert(r.getInt(0) > 0)      // 16 chars -> at least one anchor
+    assert(r.getInt(1) == 32)    // always 32 permutation minima
+    // same value as the Column-API kernel on the same input
+    import org.apache.spark.sql.functions._
+    val s2 = spark.range(1).select(
+      graft.functions.VectorExprs.simhash64(lit("hello world")).as("s")).head().getLong(0)
+    assert(r.getLong(2) == s2)
+  }
+
+  test("registered functions reject wrong arity at analysis time") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT simhash64('a', 7)").head()
+    }
+    assert(e.getMessage.contains("simhash64"), e.getMessage)
+    val e0 = intercept[Exception] {
+      spark.sql("SELECT winnow_fingerprints()").head()
+    }
+    assert(e0.getMessage.contains("winnow_fingerprints"), e0.getMessage)
+  }
+
   test("packed_char_bigrams: empty and single-char strings yield no bigrams") {
     val r = spark.sql(
       "SELECT packed_char_bigrams(''), packed_char_bigrams('x'), packed_char_bigrams('ab')").head()
