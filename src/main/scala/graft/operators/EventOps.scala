@@ -224,6 +224,23 @@ object EventOps {
       .orderBy("from_type", "to_type")
   }
 
+  /** Hour-of-day seasonality profile per event type: event counts and
+    * decimal-exact value sums folded onto the 24-hour clock, with each
+    * type's share-of-day from its own window. The profile is O(types ×
+    * 24) whatever the stream size — one partial+final aggregation.
+    */
+  def qEvHourly(s: SparkSession, dir: String): DataFrame = {
+    val byHour = events(s, dir)
+      .groupBy(col("event_type"), hour(col("ts")).as("hour_of_day"))
+      .agg(count(lit(1)).as("n_events"), sum(d2(col("value"))).as("vd"))
+    byHour
+      .withColumn("share", round(col("n_events") /
+        sum(col("n_events")).over(Window.partitionBy("event_type")).cast("double"), 6))
+      .select(col("event_type"), col("hour_of_day"), col("n_events"),
+        col("vd").cast("double").as("sum_value"), col("share"))
+      .orderBy("event_type", "hour_of_day")
+  }
+
   val oracle: Map[String, String] = Map(
     "q_ev_retention" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
@@ -233,6 +250,16 @@ object EventOps {
         |FROM ev JOIN c ON ev.user_id = c.user_id
         |WHERE date_diff('day', c.cohort_day, ev.day) <= 7
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    "q_ev_hourly" ->
+      """WITH h AS (
+        |  SELECT event_type, EXTRACT(HOUR FROM ts) AS hour_of_day,
+        |    COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(18,2))) AS vd
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, hour_of_day, n_events,
+        |  CAST(vd AS DOUBLE) AS sum_value,
+        |  ROUND(n_events / CAST(SUM(n_events) OVER (PARTITION BY event_type) AS DOUBLE), 6) AS share
+        |FROM h ORDER BY event_type, hour_of_day""".stripMargin,
     "q_ev_markov" ->
       """WITH tr AS (
         |  SELECT event_type AS from_type,
@@ -364,6 +391,7 @@ object EventOps {
     "q_ev_retention" -> (qEvRetention _),
     "q_ev_anomaly" -> (qEvAnomaly _),
     "q_ev_entropy" -> (qEvEntropy _),
-    "q_ev_markov" -> (qEvMarkov _)
+    "q_ev_markov" -> (qEvMarkov _),
+    "q_ev_hourly" -> (qEvHourly _)
   )
 }
