@@ -279,6 +279,85 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** All `tables` hyperplane-LSH band signatures of a dense double
+  * vector in one pass — see VecKernels.hyperplaneSigs. The plane set
+  * is derived deterministically from (seed, tables, bits, dim), so the
+  * expression is a pure function of its input column: same signatures
+  * on every executor, every run, every partition layout.
+  */
+case class HyperplaneSigs(child: Expression, seed: Long, tables: Int, bits: Int, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "hyperplane_sigs"
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<double> argument, got ${t.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    VecKernels.hyperplaneSigs(input.asInstanceOf[ArrayData], seed, tables, bits, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.VecKernels.hyperplaneSigs($s, ${seed}L, $tables, $bits, $dim);")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigs =
+    copy(child = newChild)
+}
+
+/** Compiled vector kernels called from generated code. */
+object VecKernels {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  // Plane sets are small (tables*bits*dim doubles) and reused across
+  // every row of a stage, so they are memoized per parameter tuple.
+  // java.util.Random's nextGaussian algorithm is specified by its
+  // javadoc, hence stable across JVM vendors/versions — the planes are
+  // reproducible build-to-build.
+  @volatile private var planeCache: Map[(Long, Int, Int, Int), Array[Double]] = Map.empty
+
+  private[functions] def planes(seed: Long, tables: Int, bits: Int, dim: Int): Array[Double] =
+    planeCache.getOrElse((seed, tables, bits, dim), {
+      val rnd = new java.util.Random(seed)
+      val arr = Array.fill(tables * bits * dim)(rnd.nextGaussian())
+      synchronized { planeCache += (seed, tables, bits, dim) -> arr }
+      arr
+    })
+
+  /** For each of `tables` bands, the packed `bits` sign bits of the
+    * vector's dot products with that band's Gaussian hyperplanes
+    * (bit i set ⇔ v·h_i > 0). One flat loop over tables*bits*dim
+    * multiplies per row; no allocation beyond the result array.
+    * Vectors shorter than `dim` use only their own length (trailing
+    * plane coordinates are ignored); null elements are unsupported
+    * (harness vectors are dense, as with dot_f64).
+    */
+  def hyperplaneSigs(v: ArrayData, seed: Long, tables: Int, bits: Int, dim: Int): ArrayData = {
+    val p = planes(seed, tables, bits, dim)
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Any](tables)
+    var t = 0
+    var off = 0
+    while (t < tables) {
+      var sig = 0
+      var b = 0
+      while (b < bits) {
+        var d = 0.0
+        var i = 0
+        while (i < n) { d += v.getDouble(i) * p(off + i); i += 1 }
+        if (d > 0) sig |= 1 << b
+        off += dim
+        b += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Compiled per-row text kernels called from generated code (the
   * static-invoke escape hatch: logic stays in Scala, the call site
   * stays inside whole-stage codegen).
@@ -447,4 +526,7 @@ object VectorExprs {
 
   def simhash64(s: Column): Column =
     GraftColumnShim.column(SimHash64(GraftColumnShim.expression(s)))
+
+  def hyperplaneSigs(v: Column, seed: Long, tables: Int, bits: Int, dim: Int): Column =
+    GraftColumnShim.column(HyperplaneSigs(GraftColumnShim.expression(v), seed, tables, bits, dim))
 }

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.LlmData
+import org.apache.spark.sql.functions.col
+
+/** Pins the LSH-banded embedding near-dup scale path (the branch
+  * qDedupEmbed takes above EmbExactGate) pair-for-pair equal to the
+  * exact all-pairs contract path on the fixture corpus, plus layout
+  * determinism of the banded join.
+  *
+  * Fixture-path band parameters: the sf0.001 qualifying pairs sit at
+  * cosine ≈ 0.4–0.5 (per-hyperplane collision p ≈ 0.63), so full
+  * fixture recall needs 4-bit bands (p⁴ ≈ 0.158) and 64 tables
+  * (miss ≈ e^{-64·0.158} ≈ 4e-5 per pair). The production 16-bit/128-
+  * table parameters are tuned for the ≥0.9-cosine near-dup regime
+  * instead — see the EmbScaleBits scaladoc for the math.
+  */
+class DedupEmbedSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+    df.select("a_id", "b_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+
+  test("LSH-banded path equals exact all-pairs output pair-for-pair") {
+    val exact = pairs(LlmData.qDedupEmbed(spark, dir)) // fixture n=500 ≤ gate → exact path
+    assert(exact.nonEmpty, "fixture should contain qualifying cosine pairs")
+    val emb = LlmData.embWithNorms(spark, dir)
+    val lsh = pairs(LlmData.embNearDupLsh(emb, 0.4, bits = 4, tables = 64, seed = LlmData.EmbLshSeed))
+    assert(lsh == exact,
+      s"LSH path diverged: missing=${exact.diff(lsh)} extra=${lsh.diff(exact)}")
+  }
+
+  test("banded join is deterministic under partition layout changes") {
+    val emb = LlmData.embWithNorms(spark, dir)
+    val p1 = pairs(LlmData.embNearDupLsh(emb, 0.4, bits = 4, tables = 64, seed = LlmData.EmbLshSeed))
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    val p2 = try pairs(LlmData.embNearDupLsh(
+      emb.repartition(3), 0.4, bits = 4, tables = 64, seed = LlmData.EmbLshSeed))
+    finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    assert(p1 == p2, "LSH pairs changed under different partitioning")
+  }
+
+  test("production band parameters find planted near-identical pairs") {
+    // The fixture's qualifying pairs are all borderline (≈0.4–0.5), so
+    // the production-regime guarantee is exercised on planted
+    // near-identical vectors instead: at cosine ≈ 0.999 the per-band
+    // collision probability is p¹⁶ ≈ 0.77, so 128 tables miss a pair
+    // with probability (0.23)¹²⁸ ≈ 0 — every planted pair must appear.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.sqrt
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextGaussian())
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]()
+    for (i <- 0 until 20) {
+      val base = vec()
+      val dup = base.zip(vec()).map { case (x, e) => x + 0.05 * e }
+      rows += ((2L * i, base)); rows += ((2L * i + 1, dup))
+    }
+    for (j <- 0 until 160) rows += ((1000L + j, vec()))
+    val emb = rows.toSeq.toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(graft.functions.VectorExprs.dotF64(col("v"), col("v"))))
+    val found = LlmData.embNearDupLsh(
+        emb, 0.9, LlmData.EmbScaleBits, LlmData.EmbScaleTables, LlmData.EmbLshSeed)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (i <- 0 until 20)
+      assert(found.contains((2L * i, 2L * i + 1)), s"planted pair $i missed")
+  }
+}
