@@ -676,6 +676,243 @@ object Relational {
       .select("s_name", "numwait")
   }
 
+  /** TPC-H Q17 shape: small-quantity-order revenue — the correlated
+    * aggregate subquery (quantity below half the part's own average)
+    * decorrelated into ONE per-part aggregate joined back to the
+    * filtered fact on the same key, so both sides of the join share
+    * the l_partkey shuffle. The boundary predicate is decimal-exact
+    * (qty·2·cnt < Σqty) instead of a double average, because a
+    * hard `<` threshold on a float mean could flip between engines
+    * with summation order. (Harness schema has no p_container, so
+    * the part filter is p_type + p_size.)
+    */
+  def qTpchQ17(s: SparkSession, dir: String): DataFrame = {
+    val pq = lineitem(s, dir).groupBy(col("l_partkey").as("pk"))
+      .agg(sum(d2(col("l_quantity"))).as("sq"), count(lit(1)).as("cq"))
+    val smallParts = part(s, dir)
+      .filter(col("p_type") === "SMALL" && col("p_size") <= 15)
+      .select("p_partkey")
+    lineitem(s, dir)
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+      .join(pq, col("l_partkey") === col("pk"))
+      .filter(d2(col("l_quantity")) * lit(2) * col("cq") < col("sq"))
+      .agg((outD(sum(d2(col("l_extendedprice")))) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q20 shape: nested IN against an aggregate-derived set —
+    * suppliers who dominated (shipped more than half the 1996 volume
+    * of) some widget part. The spec's partsupp.availqty comparison
+    * has no harness table, so the "excess stock" condition becomes a
+    * dominant-share condition with the same nested-IN decorrelation:
+    * per-(supplier, part) sums, a per-part total via a window over the
+    * ALREADY-aggregated pair table (no second fact scan), and a semi
+    * join into supplier. All comparisons decimal-exact (2·sq > tq).
+    */
+  def qTpchQ20(s: SparkSession, dir: String): DataFrame = {
+    val widgets = part(s, dir).filter(col("p_name").like("%widget")).select("p_partkey")
+    val sp = lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(widgets), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(d2(col("l_quantity"))).as("sq"))
+    val dominant = sp
+      .withColumn("tq", sum(col("sq")).over(Window.partitionBy("l_partkey")))
+      .filter(col("sq") * 2 > col("tq"))
+      .select("l_suppkey").distinct()
+    supplier(s, dir)
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    * join with an extra join-side predicate (so zero-order customers
+    * survive with count 0), then a count-of-counts re-aggregation.
+    * First groupBy is per-customer (custkey shuffle); the second input
+    * is customer-cardinality, so the distribution agg is cheap.
+    */
+  def qTpchQ13(s: SparkSession, dir: String): DataFrame = {
+    val ord = orders(s, dir).filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .select("o_orderkey", "o_custkey")
+    customer(s, dir).select("c_custkey")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q22 shape: global sales opportunity — customers from a
+    * nation-key list with above-average positive balance and no recent
+    * orders: scalar aggregate subquery (broadcast single row) + anti
+    * join. The average test is decimal-exact (bal·cnt > Σbal), not a
+    * float-mean comparison. (No c_phone in the harness schema, so the
+    * country-code list is a c_nationkey list and the output code IS
+    * the nation key.)
+    */
+  def qTpchQ22(s: SparkSession, dir: String): DataFrame = {
+    val nks = Seq(1, 5, 9, 13, 17, 21)
+    val cust = customer(s, dir).filter(col("c_nationkey").isin(nks: _*))
+    val pos = cust.filter(col("c_acctbal") > 0.0)
+      .agg(sum(d2(col("c_acctbal"))).as("sbal"), count(lit(1)).as("cnt"))
+    val recent = orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey")
+    cust.crossJoin(broadcast(pos))
+      .filter(d2(col("c_acctbal")) * col("cnt") > col("sbal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"), outD(sum(d2(col("c_acctbal")))).as("totacctbal"))
+      .select(col("c_nationkey").as("cntrycode"), col("numcust"), col("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
+  /** TPC-H Q9 shape: product-type profit by nation and year — the
+    * 5-table star join with an arithmetic measure. The harness has no
+    * partsupp.supplycost, so cost is the synthetic p_retailprice ×
+    * quantity (same join/aggregate shape, decimal-exact measure).
+    * Part and supplier dims broadcast; the only big shuffle is
+    * lineitem⋈orders on orderkey.
+    */
+  def qTpchQ9(s: SparkSession, dir: String): DataFrame = {
+    val widgetParts = part(s, dir).filter(col("p_name").like("%widget%"))
+      .select("p_partkey", "p_retailprice")
+    val supp = supplier(s, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(nation(s, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val profit = d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount"))) -
+      d2(col("p_retailprice")) * col("l_quantity").cast("int")
+    lineitem(s, dir)
+      .join(broadcast(widgetParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(orders(s, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("o_year", year(col("o_orderdate")))
+      .groupBy("nation", "o_year")
+      .agg(outD(sum(profit)).as("sum_profit"))
+      .orderBy("nation", "o_year")
+  }
+
+  /** TPC-H Q2 shape: minimum-cost supplier per part — the correlated
+    * MIN subquery decorrelated as a window-min over the per-(part,
+    * supplier) aggregate (supplier "cost" = min line price, since the
+    * harness has no partsupp). Ties all surface, as in the spec's
+    * correlated form; dims broadcast onto the aggregated (small) side.
+    */
+  def qTpchQ2(s: SparkSession, dir: String): DataFrame = {
+    val cost = lineitem(s, dir)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(d2(col("l_extendedprice"))).as("scost"))
+    val minCost = cost
+      .withColumn("mcost", min(col("scost")).over(Window.partitionBy("l_partkey")))
+      .filter(col("scost") === col("mcost"))
+    val parts = part(s, dir).filter(col("p_size") >= 30 && col("p_type") === "LARGE")
+      .select("p_partkey", "p_name")
+    val supp = supplier(s, dir).select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+      .join(broadcast(nation(s, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+    minCost.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+        col("p_name"), outD(col("scost")).as("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q11 shape: important stock identification — per-part value
+    * from a nation group's suppliers, kept if above 2× the mean part
+    * value (scale-invariant analogue of the spec's fixed fraction,
+    * which would go empty as N grows). Group-total via one broadcast
+    * scalar row; threshold decimal-exact (v·cnt > 2·Σv). The per-part
+    * table is cached: it feeds both the scalar total and the filter.
+    */
+  def qTpchQ11(s: SparkSession, dir: String): DataFrame = {
+    val picked = nation(s, dir)
+      .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+    val supp = supplier(s, dir)
+      .join(broadcast(picked), col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .select("s_suppkey")
+    val value = lineitem(s, dir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey")
+      .agg(sum(d2(col("l_extendedprice"))).as("v"))
+      .cache()
+    val tot = value.agg(sum(col("v")).as("tv"), count(lit(1)).as("cnt"))
+    value.crossJoin(broadcast(tot))
+      .filter(col("v") * col("cnt") > col("tv") * 2)
+      .select(col("l_partkey").as("p_key"), outD(col("v")).as("part_value"))
+      .orderBy(col("part_value").desc, col("p_key"))
+  }
+
+  /** TPC-H Q12 shape: late-line priority census — fact⋈fact join with
+    * a date residual (shipped > 60 days after ordering; the harness
+    * has no receiptdate/shipmode, so "late shipment" classes by
+    * l_linestatus), CASE-counted by order priority. Counts only, so
+    * the result is engine-exact by construction.
+    */
+  def qTpchQ12(s: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_shipdate", "l_linestatus")
+      .join(orders(s, dir).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("l_linestatus")
+      .agg(count(when(hi, lit(1))).as("high_line_count"),
+        count(when(!hi, lit(1))).as("low_line_count"))
+      .select(col("l_linestatus").as("linestatus"),
+        col("high_line_count"), col("low_line_count"))
+      .orderBy("linestatus")
+  }
+
+  /** TPC-H Q16 shape: supplier count by part attributes — NOT-IN
+    * exclusion subquery (suppliers below a balance floor) as an anti
+    * join, then COUNT(DISTINCT supplier) per (brand, type, size).
+    * The supplier-part relation comes from lineitem (no partsupp);
+    * both dims broadcast, one distinct-agg shuffle.
+    */
+  def qTpchQ16(s: SparkSession, dir: String): DataFrame = {
+    val excluded = supplier(s, dir).filter(col("s_acctbal") < 1000.0).select("s_suppkey")
+    val parts = part(s, dir)
+      .filter(col("p_brand") =!= "Brand#1" && !col("p_type").like("PROMO%") &&
+        col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    lineitem(s, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q19 shape: discounted revenue under a disjunction of
+    * brand/size/quantity bands — the OR-of-ANDs predicate that
+    * exercises CNF conversion: the join stays a single broadcast hash
+    * join on partkey, with the residual disjunction evaluated inside
+    * the join's codegen, not as three unions.
+    */
+  def qTpchQ19(s: SparkSession, dir: String): DataFrame = {
+    val p = part(s, dir).select("p_partkey", "p_brand", "p_size")
+    val pred =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30))
+    lineitem(s, dir).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(pred)
+      .agg(outD(sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount"))))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** Exact higher statistical moments per group — mean, variance,
     * skewness, kurtosis of l_quantity per returnflag — from exact
     * decimal power sums (Σx, Σx², Σx³, Σx⁴), so the cross-row
@@ -1105,6 +1342,105 @@ object Relational {
         |JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_suppkey, s_name
         |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q_tpch_q17" ->
+      """WITH pq AS (
+        |  SELECT l_partkey AS pk, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq, COUNT(*) AS cq
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey JOIN pq ON pk = l_partkey
+        |WHERE p_type = 'SMALL' AND p_size <= 15
+        |  AND CAST(l_quantity AS DECIMAL(18,2)) * 2 * cq < sq""".stripMargin,
+    "q_tpch_q20" ->
+      """WITH sp AS (
+        |  SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%widget'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2
+        |), pt AS (SELECT l_partkey, SUM(sq) AS tq FROM sp GROUP BY 1)
+        |SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM sp JOIN pt USING (l_partkey) WHERE sq * 2 > tq)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch_q13" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c_custkey
+        |) GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch_q22" ->
+      """WITH pos AS (
+        |  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sbal, COUNT(*) AS cnt
+        |  FROM customer WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 5, 9, 13, 17, 21)
+        |)
+        |SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, pos
+        |WHERE c_nationkey IN (1, 5, 9, 13, 17, 21)
+        |  AND CAST(c_acctbal AS DECIMAL(18,2)) * cnt > sbal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tpch_q9" ->
+      """SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |    - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS INT)) AS DOUBLE) AS sum_profit
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_tpch_q2" ->
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey, MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS scost
+        |  FROM lineitem GROUP BY 1, 2
+        |), mn AS (SELECT l_partkey, MIN(scost) AS mcost FROM cost GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, CAST(scost AS DOUBLE) AS supply_cost
+        |FROM part JOIN cost ON p_partkey = cost.l_partkey
+        |JOIN mn ON mn.l_partkey = p_partkey AND scost = mcost
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_size >= 30 AND p_type = 'LARGE'
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+    "q_tpch_q11" ->
+      """WITH val AS (
+        |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS v
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3') GROUP BY 1
+        |), tot AS (SELECT SUM(v) AS tv, COUNT(*) AS cnt FROM val)
+        |SELECT l_partkey AS p_key, CAST(v AS DOUBLE) AS part_value
+        |FROM val, tot WHERE v * cnt > tv * 2
+        |ORDER BY part_value DESC, p_key""".stripMargin,
+    "q_tpch_q12" ->
+      """SELECT l_linestatus AS linestatus,
+        |  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+        |  COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
+        |GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q_agg_moments" ->
       """WITH p AS (
         |  SELECT l_returnflag, CAST(l_quantity AS DECIMAL(8,2)) AS x FROM lineitem
@@ -1487,6 +1823,16 @@ object Relational {
     "q_tpch_q14" -> (qTpchQ14 _),
     "q_tpch_q15" -> (qTpchQ15 _),
     "q_tpch_q21" -> (qTpchQ21 _),
+    "q_tpch_q17" -> (qTpchQ17 _),
+    "q_tpch_q20" -> (qTpchQ20 _),
+    "q_tpch_q13" -> (qTpchQ13 _),
+    "q_tpch_q22" -> (qTpchQ22 _),
+    "q_tpch_q9" -> (qTpchQ9 _),
+    "q_tpch_q2" -> (qTpchQ2 _),
+    "q_tpch_q11" -> (qTpchQ11 _),
+    "q_tpch_q12" -> (qTpchQ12 _),
+    "q_tpch_q16" -> (qTpchQ16 _),
+    "q_tpch_q19" -> (qTpchQ19 _),
     "q_agg_moments" -> (qAggMoments _),
     "q_tpch_q18" -> (qTpchQ18 _),
     "q_win_rank" -> (qWinRank _),
