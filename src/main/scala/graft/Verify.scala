@@ -16,6 +16,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // builders may cache() shared intermediates (see SparkEntry
+      // scaladoc); dropping them per query keeps this 127-query sweep
+      // from accumulating cached relations for the whole session
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -420,15 +420,21 @@ object TextKernels {
     * permutation i, min over shingles of xxhash64('mh<i>:' || shingle)
     * (Spark's XxHash64, seed 42, over the concatenated UTF-8 bytes).
     * Empty shingle arrays yield 32 nulls, exactly like
-    * array_min(transform([], ...)).
+    * array_min(transform([], ...)); null ELEMENTS are skipped, exactly
+    * like the chain (xxhash64(null) = null, which array_min ignores) —
+    * the function is SQL-registered, so arbitrary user arrays with
+    * null entries must not throw.
     */
   def minhashSignature(shingles: ArrayData): ArrayData = {
     val n = shingles.numElements()
-    if (n == 0) return new GenericArrayData(new Array[Any](MhK)) // nulls
     val mins = Array.fill(MhK)(Long.MaxValue)
     var buf = new Array[Byte](64)
+    var sawValue = false
     var i = 0
     while (i < n) {
+      if (shingles.isNullAt(i)) { i += 1 }
+      else {
+      sawValue = true
       val sh = shingles.getUTF8String(i).getBytes
       var j = 0
       while (j < MhK) {
@@ -443,7 +449,9 @@ object TextKernels {
         j += 1
       }
       i += 1
+      }
     }
+    if (!sawValue) return new GenericArrayData(new Array[Any](MhK)) // nulls
     new GenericArrayData(mins.map(x => x: Any))
   }
 

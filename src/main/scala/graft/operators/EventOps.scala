@@ -159,10 +159,18 @@ object EventOps {
     * windows are trivially small however large the raw stream is.
     */
   def qEvAnomaly(s: SparkSession, dir: String): DataFrame = {
+    // The square re-narrows the (28,2) sum to (18,2) first so vd² is
+    // (37,4) — inside BOTH engines' 38-digit width. Unnarrowed, Spark
+    // silently caps (57,4)→(38,4) while DuckDB promotes to DOUBLE:
+    // exact at fixture magnitudes but divergent near the |z|>=2
+    // boundary for astronomically large daily sums. Now a daily sum
+    // past 10^16 NULLs (Spark) / errors (DuckDB) loudly instead —
+    // same honest-bound pattern as q_agg_moments' DECIMAL(8,2) note.
     val daily = events(s, dir)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("n_events"), sum(d2(col("value"))).as("vd"))
-      .withColumn("vd2", col("vd") * col("vd"))
+      .withColumn("vd18", col("vd").cast("decimal(18,2)"))
+      .withColumn("vd2", col("vd18") * col("vd18"))
     val seq_ = Window.partitionBy("event_type").orderBy("day")
     val frame = seq_.rowsBetween(-6, 0)
     daily
@@ -282,7 +290,7 @@ object EventOps {
         |    ROW_NUMBER() OVER w AS rn,
         |    COUNT(*) OVER f AS cnt,
         |    CAST(SUM(vd) OVER f AS DOUBLE) AS s1,
-        |    CAST(SUM(vd * vd) OVER f AS DOUBLE) AS s2
+        |    CAST(SUM(CAST(vd AS DECIMAL(18,2)) * CAST(vd AS DECIMAL(18,2))) OVER f AS DOUBLE) AS s2
         |  FROM daily
         |  WINDOW w AS (PARTITION BY event_type ORDER BY day),
         |         f AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)

@@ -176,4 +176,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getSeq[Long](0).isEmpty && r.getSeq[Long](1).isEmpty)
     assert(r.getSeq[Long](2) == Seq('a'.toLong * 1114112L + 'b'.toLong))
   }
+
+  test("packed_char_bigrams: supplementary-plane codepoints are single units") {
+    // pins the DOCUMENTED kernel semantics (codePointAt walk, one unit
+    // per astral char) rather than chain equality — the pre-kernel
+    // split('') chain iterated UTF-16 chars and would emit surrogate
+    // halves here; the kernel's divergence on non-BMP input is
+    // intentional and matches DuckDB's character semantics
+    val clef = 0x1D11E // 𝄞 MUSICAL SYMBOL G CLEF (above the BMP)
+    val r = spark.sql("SELECT packed_char_bigrams('a𝄞b')").head()
+    assert(r.getSeq[Long](0) ==
+      Seq('a'.toLong * 1114112L + clef, clef.toLong * 1114112L + 'b'.toLong))
+  }
+
+  test("minhash_signature: null array elements are skipped like the xxhash chain") {
+    val r = spark.sql(
+      "SELECT minhash_signature(array('ab cd', CAST(NULL AS STRING), 'ef gh'))," +
+      "       minhash_signature(array('ab cd', 'ef gh'))," +
+      "       minhash_signature(array(CAST(NULL AS STRING)))").head()
+    assert(r.getSeq[java.lang.Long](0) == r.getSeq[java.lang.Long](1),
+      "null element should not change the signature")
+    assert(r.getSeq[java.lang.Long](2).forall(_ == null),
+      "all-null array should yield the 32-null signature")
+  }
 }
