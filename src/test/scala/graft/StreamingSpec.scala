@@ -120,6 +120,95 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session twin: beyond-watermark late event cannot merge closed sessions") {
+    val s = spark
+    import s.implicits._
+    val stream = MemoryStream[Ev](s)
+    val df = stream.toDF()
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val q = EventStreams.session(df).writeStream
+      .format("memory").queryName("late_session_out").outputMode("append").start()
+    try {
+      // batch 1: user 1 bursts at minute 0 and minute 50 — 40 min
+      // apart, so two distinct 30-min-gap sessions. The minute-200
+      // event drives the watermark to 190, far past both session ends.
+      stream.addData(Seq(Ev(1, ts(0), 1, "click"), Ev(2, ts(50), 1, "click"),
+        Ev(3, ts(200), 9, "click")))
+      q.processAllAvailable()
+      // batch 2: a minute-20 straggler. If accepted it would bridge
+      // the 0- and 50-minute bursts into ONE merged session (it is
+      // within 30 min of both); 170 min behind the watermark it must
+      // be dropped — the batch-side contract (q_ev_late_watermark):
+      // events older than the watermark are FINAL, never mutated.
+      stream.addData(Seq(Ev(4, ts(20), 1, "click"), Ev(5, ts(210), 9, "click")))
+      q.processAllAvailable()
+      stream.addData(Seq(Ev(6, ts(400), 9, "click"))) // push watermark; flush closures
+      q.processAllAvailable()
+      val u1 = s.sql(
+        "SELECT n_events FROM late_session_out WHERE user_id = 1 ORDER BY session_start")
+        .as[Long].collect().toSeq
+      assert(u1 == Seq(1L, 1L),
+        s"late event merged or extended a closed session: $u1")
+    } finally q.stop()
+  }
+
+  test("funnel twin: out-of-order arrival within and across batches still completes") {
+    val s = spark
+    import s.implicits._
+    val stream = MemoryStream[Ev](s)
+    val df = stream.toDF()
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val q = EventStreams.funnel(df).writeStream
+      .format("memory").queryName("ooo_funnel_out").outputMode("append").start()
+    try {
+      // user 1: the whole funnel arrives in ONE batch in REVERSED
+      // arrival order — the handler sorts by event time, so ordered-
+      // by-event-time completion must still be detected
+      stream.addData(Seq(Ev(3, ts(3), 1, "purchase"), Ev(2, ts(2), 1, "click"),
+        Ev(1, ts(1), 1, "signup")))
+      q.processAllAvailable()
+      // user 2: signup+purchase arrive first, the bridging click only
+      // in the NEXT batch (still within watermark) — state must carry
+      // the signup across batches, and the purchase must NOT complete
+      // the funnel retroactively (purchase at t4 > click at t5 fails
+      // the ordering, so user 2 never completes)
+      stream.addData(Seq(Ev(4, ts(2), 2, "signup"), Ev(5, ts(4), 2, "purchase")))
+      q.processAllAvailable()
+      stream.addData(Seq(Ev(6, ts(5), 2, "click")))
+      q.processAllAvailable()
+      // user 3: same cross-batch split but in funnel order — completes
+      stream.addData(Seq(Ev(7, ts(2), 3, "signup"), Ev(8, ts(4), 3, "click")))
+      q.processAllAvailable()
+      stream.addData(Seq(Ev(9, ts(6), 3, "purchase")))
+      q.processAllAvailable()
+      val users = s.sql("SELECT user_id FROM ooo_funnel_out ORDER BY user_id")
+        .as[Long].collect().toSeq
+      assert(users == Seq(1L, 3L), s"expected users 1 and 3 to complete, got $users")
+    } finally q.stop()
+  }
+
+  test("dedup twin: cross-batch duplicate within watermark is dropped") {
+    val s = spark
+    import s.implicits._
+    val stream = MemoryStream[Ev](s)
+    val df = stream.toDF()
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val q = EventStreams.dedup(df).writeStream
+      .format("memory").queryName("xbatch_dedup_out").outputMode("append").start()
+    try {
+      stream.addData(Seq(Ev(1, ts(1), 1, "click")))
+      q.processAllAvailable()
+      // batch 2: same (user, type) key 1 min later — inside the 10-min
+      // watermark, so state still holds the key → dropped; a new type
+      // for the same user passes
+      stream.addData(Seq(Ev(2, ts(2), 1, "click"), Ev(3, ts(3), 1, "view")))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT event_id FROM xbatch_dedup_out ORDER BY event_id")
+        .as[Long].collect().toSeq
+      assert(rows == Seq(1L, 3L), s"cross-batch duplicate leaked: $rows")
+    } finally q.stop()
+  }
+
   test("session twin groups by 30-minute gaps") {
     val s = spark
     import s.implicits._
