@@ -1260,25 +1260,78 @@ object LlmData {
     val src = docsNorm(s, dir)
       .select(col("doc_id"), col("norm_text").cast("binary").as("payload"),
         struct(col("lang"), col("source"), col("n_chars")).as(("meta")))
+    mmFeatures(src, MmDecoder.StubText, s).orderBy("doc_id")
+  }
+
+  /** A modality decoder: opaque payload bytes (+ typed metadata) →
+    * fixed-width feature row. The operator's plumbing — binary
+    * column, per-partition batch iteration, stable flat schema — is
+    * decoder-agnostic; swapping the real image/audio codec in means
+    * implementing THIS interface, not touching the operator. The
+    * decode signature is per-row, but it is invoked inside
+    * mapPartitions, so an implementation can hold per-partition
+    * native resources (codec contexts, ONNX sessions) in lazy fields.
+    */
+  trait MmDecoder extends Serializable {
+    /** (width, height, f0, f1, f2, f3) — fixed arity so the output
+      * schema is identical for every decoder (the verifier's pandas
+      * row sort cannot handle array cells).
+      */
+    def decode(payload: Array[Byte], nChars: Long): (Long, Long, Double, Double, Double, Double)
+  }
+
+  object MmDecoder {
+    /** The declared STUB (SURVEY §2.8): stands in for image/audio
+      * decode — this container has no codec libraries. Deterministic
+      * fake dimensions + rolling-hash "features" from the bytes.
+      */
+    object StubText extends MmDecoder {
+      def decode(payload: Array[Byte], nChars: Long): (Long, Long, Double, Double, Double, Double) = {
+        val fakeWidth = (payload.length % 64) + 1
+        val fakeHeight = (nChars % 64) + 1
+        def feat(i: Int): Double =
+          payload.slice(i * 8, i * 8 + 8).foldLeft(0L)((a, b) => a * 31 + (b & 0xff)).toDouble
+        (fakeWidth.toLong, fakeHeight, feat(0), feat(1), feat(2), feat(3))
+      }
+    }
+
+    /** Second deterministic implementation (byte histogram moments) —
+      * exists so the spec can prove the plumbing is decoder-agnostic:
+      * same schema, same partitioning, different features.
+      */
+    object ByteStats extends MmDecoder {
+      def decode(payload: Array[Byte], nChars: Long): (Long, Long, Double, Double, Double, Double) = {
+        val n = math.max(payload.length, 1)
+        var s0 = 0L; var s2 = 0L
+        var mn = 255; var mx = 0
+        payload.foreach { b =>
+          val v = b & 0xff
+          s0 += v; s2 += v.toLong * v
+          if (v < mn) mn = v; if (v > mx) mx = v
+        }
+        (payload.length.toLong, nChars,
+          s0.toDouble / n, s2.toDouble / n, mn.toDouble, mx.toDouble)
+      }
+    }
+  }
+
+  /** Decoder-agnostic multimodal feature extraction: src must carry
+    * (doc_id, payload binary, meta struct with n_chars). One
+    * mapPartitions pass; the decoder runs inside the partition
+    * iterator so batch-local resources amortize.
+    */
+  private[graft] def mmFeatures(src: DataFrame, decoder: MmDecoder, s: SparkSession): DataFrame = {
     val session = s
     import session.implicits._
     src.select(col("doc_id"), col("payload"), col("meta.n_chars").as("n_chars"))
       .as[(Long, Array[Byte], Long)]
       .mapPartitions { it =>
         it.map { case (id, payload, nChars) =>
-          // STUB decoder: stands in for image/audio decode. Emits a
-          // deterministic fixed-width "feature vector" from the bytes.
-          val fakeWidth = (payload.length % 64) + 1
-          val fakeHeight = (nChars % 64) + 1
-          def feat(i: Int): Double =
-            payload.slice(i * 8, i * 8 + 8).foldLeft(0L)((a, b) => a * 31 + (b & 0xff)).toDouble
-          // feature vector flattened to fixed scalar columns — the
-          // verifier's pandas row sort cannot handle array cells
-          (id, fakeWidth.toLong, fakeHeight, feat(0), feat(1), feat(2), feat(3))
+          val (w, h, f0, f1, f2, f3) = decoder.decode(payload, nChars)
+          (id, w, h, f0, f1, f2, f3)
         }
       }
       .toDF("doc_id", "width", "height", "f0", "f1", "f2", "f3")
-      .orderBy("doc_id")
   }
 
   // ===== oracle SQL =====

@@ -150,4 +150,28 @@ class LlmDataSpec extends SparkSpec {
     val again = LlmData.qMmFeatures(spark, dir).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("multimodal plumbing is decoder-agnostic: two decoders, same pipeline") {
+    import org.apache.spark.sql.functions.{lower, struct, trim}
+    val src = Tables.documents(spark, dir)
+      .withColumn("norm_text", lower(trim(col("text"))))
+      .select(col("doc_id"), col("norm_text").cast("binary").as("payload"),
+        struct(col("lang"), col("source"), col("n_chars")).as("meta"))
+    val stub = LlmData.mmFeatures(src, LlmData.MmDecoder.StubText, spark)
+      .orderBy("doc_id").collect()
+    val stats = LlmData.mmFeatures(src, LlmData.MmDecoder.ByteStats, spark)
+      .orderBy("doc_id").collect()
+    // identical plumbing: same schema, same doc set, both deterministic
+    assert(stub.head.schema == stats.head.schema)
+    assert(stub.map(_.getLong(0)).toSeq == stats.map(_.getLong(0)).toSeq)
+    // genuinely different decoders ran (not one impl aliased twice)
+    assert(stub.map(_.toString).toSeq != stats.map(_.toString).toSeq)
+    // ByteStats invariants hold through the pipeline: mean byte within
+    // [min, max], width = payload length > 0 for non-empty docs
+    stats.foreach { r =>
+      val (f0, mn, mx) = (r.getDouble(3), r.getDouble(5), r.getDouble(6))
+      assert(r.getLong(1) >= 0 && (r.getLong(1) == 0 || (f0 >= mn && f0 <= mx)),
+        s"byte-stat invariant broken: $r")
+    }
+  }
 }
