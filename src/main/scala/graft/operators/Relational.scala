@@ -141,6 +141,32 @@ object Relational {
       .orderBy("a_id", "b_id")
   }
 
+  /** Skew-salted variant of qJoinThetaRange's self-join for a hot
+    * user_id — the salting recipe of qAggSalted applied to a JOIN:
+    * the left side gets a deterministic per-ROW salt (hash of its
+    * event_id), the right side is replicated once per salt value, and
+    * the join key becomes (user_id, salt). A key with n rows then
+    * lands as n/S left rows per partition instead of n (the output
+    * pair count is unchanged — that is inherent to the query — but no
+    * single task holds the whole hot key's build side, which is what
+    * OOMs/stragglers at scale; AQE's skew-join split is the automatic
+    * form of the same rewrite). Results are identical to the unsalted
+    * join — PropertySpec proves both equality and the per-key spread
+    * on a synthetic hot key.
+    */
+  private[graft] def thetaRangeSalted(e: DataFrame, salts: Int): DataFrame = {
+    val a = e.select(col("event_id").as("a_id"), col("user_id").as("a_user"), col("ts").as("a_ts"))
+      .withColumn("salt", pmod(xxhash64(col("a_id")), lit(salts)).cast("int"))
+    val b = e.select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    a.join(b, col("a_user") === col("b_user") &&
+              a("salt") === b("salt") &&
+              col("b_ts") > col("a_ts") &&
+              col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
+      .select(col("a_id"), col("b_id"),
+              (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+  }
+
   /** As-of join via the union+last-non-null trick: one shuffle on
     * user_id, no join blowup — the 100 TB-scalable as-of shape. */
   def qJoinAsof(s: SparkSession, dir: String): DataFrame = {

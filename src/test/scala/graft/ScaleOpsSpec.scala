@@ -18,6 +18,42 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted.map(_.toString).toSeq == plain.map(_.toString).toSeq)
   }
 
+  test("thetaRangeSalted: hot-key self-join matches unsalted, spreads the hot key") {
+    val s = spark
+    import s.implicits._
+    // synthetic skew: user 1 owns 300 of 420 events (every theta-join
+    // partition strategy that hashes only user_id puts all 300 in ONE
+    // task); 1-minute spacing keeps the 5-min range condition selective
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val hot = (0 until 300).map(i => (i.toLong, 1L, new java.sql.Timestamp(base + i * 60000L)))
+    val cold = (0 until 120).map(i => (1000L + i, 2L + (i % 40), new java.sql.Timestamp(base + i * 90000L)))
+    val e = (hot ++ cold).toDF("event_id", "user_id", "ts")
+    val salts = 8
+    // unsalted reference via the same predicate, inline (qJoinThetaRange reads parquet)
+    val a = e.select(col("event_id").as("a_id"), col("user_id").as("a_user"), col("ts").as("a_ts"))
+    val b = e.select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+    val unsalted = a.join(b, col("a_user") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
+      .select(col("a_id"), col("b_id"),
+        (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+      .collect().map(_.toString).sorted.toSeq
+    val salted = graft.operators.Relational.thetaRangeSalted(e, salts)
+      .collect().map(_.toString).sorted.toSeq
+    assert(unsalted.nonEmpty && salted == unsalted,
+      s"salted result diverged (${salted.length} vs ${unsalted.length} rows)")
+    // bounded partitions: the hot key's left side now hashes across
+    // (user, salt) sub-keys — no sub-key holds more than ~2× the fair
+    // 1/salts share, so no task rebuilds the whole hot key
+    val spread = e.filter(col("user_id") === 1)
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(salts)).cast("int"))
+      .groupBy("salt").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(spread.size == salts, s"hot key only reached ${spread.size}/$salts salts")
+    val fair = 300.0 / salts
+    assert(spread.values.max <= (2 * fair).ceil.toLong,
+      s"salted sub-key still skewed: $spread")
+  }
+
   test("saltedCount matches groupBy count") {
     val events = Tables.events(spark, dir)
     val plain = events.groupBy("user_id").agg(count(lit(1)).as("cnt"))
