@@ -969,6 +969,75 @@ object LlmData {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Adjacent word triples of a word array as "a b c" strings — the
+    * trigram extension of bigramsOf's zip_with-over-slices idiom
+    * (sequence() is avoided for the same reason: Spark's sequence
+    * steps BACKWARD when start > stop, so short arrays would blow up
+    * instead of yielding zero trigrams). Arrays of fewer than 3 words
+    * produce empty slices, hence no triples.
+    */
+  private def trigramsOf(w: Column): Column = {
+    val len = greatest(size(w) - 2, lit(0))
+    zip_with(
+      zip_with(slice(w, lit(1), len), slice(w, lit(2), len),
+        (a, b) => concat(a, lit(" "), b)),
+      slice(w, lit(3), len),
+      (ab, c) => concat(ab, lit(" "), c))
+  }
+
+  /** Corpus-order n-gram novelty: per document, the fraction of its
+    * distinct word-trigrams NOT already present in any earlier
+    * (lower-doc_id) document — the dedup-pressure / boilerplate
+    * signal a crawl pipeline tracks per snapshot (a collapsing
+    * novelty curve means the crawl is re-reading itself). Docs with
+    * no trigram (< 3 words) count as fully novel.
+    *
+    * Scale shape: distinct (doc, trigram) pairs shuffle once on the
+    * trigram; the first-seen table is ONE more aggregation on that
+    * same key (exchange reused), and the verdict join is co-
+    * partitioned with it. The final per-doc rollup and corpus left
+    * join shuffle on doc_id. Nothing is ever broadcast-unbounded:
+    * every stage keys on trigram or doc_id.
+    */
+  def qTextNovelty(s: SparkSession, dir: String): DataFrame = {
+    val w = docsNorm(s, dir).select(col("doc_id"), expr(wordsExpr).as("w"))
+    val tri = w.select(col("doc_id"), explode(trigramsOf(col("w"))).as("tg")).distinct()
+    val first = tri.groupBy("tg").agg(min(col("doc_id")).as("first_doc"))
+    val per = tri.join(first, "tg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"),
+        count(when(col("first_doc") < col("doc_id"), lit(1))).as("n_repeat"))
+    documents(s, dir).select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("n_repeat"), lit(0L)).as("n_repeat"))
+      .withColumn("novelty", round(when(col("n_tri") === 0, lit(1.0))
+        .otherwise(lit(1.0) - col("n_repeat") * lit(1.0) / col("n_tri")), 6))
+      .orderBy("doc_id")
+  }
+
+  /** Source mixing weights: per-source token counts, observed token
+    * share, and the per-document resampling weight that flattens the
+    * corpus to a uniform source mix (weight = target/observed share,
+    * upsampling capped at 5× — the static data-mixture reweighting
+    * step of training-corpus assembly). All shares derive from exact
+    * long token counts; doubles appear only in the final identical-
+    * in-both-engines ratio. One aggregation + a broadcast scalar row.
+    */
+  def qMixWeights(s: SparkSession, dir: String): DataFrame = {
+    val per = docsNorm(s, dir)
+      .select(col("source"), size(expr(wordsExpr)).as("ntok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).cast("long").as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("t"), count(lit(1)).as("nsrc"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") * lit(1.0) / col("t"), 6).as("tok_share"),
+        round(least(col("t") * lit(1.0) / (col("nsrc") * col("n_tokens")), lit(5.0)), 6).as("weight"))
+      .orderBy("source")
+  }
+
   /** Vocabulary heavy hitters via Spark's DataSketches frequent-items
     * family (`approx_top_k*`): the most frequent corpus tokens, in
     * both one-shot and mergeable form. The mergeable branch builds one
@@ -1620,6 +1689,35 @@ object LlmData {
         |  len(list_slice(ws, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS n_chunk_words,
         |  array_to_string(list_slice(ws, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_text_novelty" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS w
+        |  FROM documents
+        |), tri AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tg
+        |  FROM w
+        |), fst AS (SELECT tg, MIN(doc_id) AS first_doc FROM tri GROUP BY 1),
+        |per AS (
+        |  SELECT t.doc_id, COUNT(*) AS n_tri,
+        |    COUNT(CASE WHEN f.first_doc < t.doc_id THEN 1 END) AS n_repeat
+        |  FROM tri t JOIN fst f USING (tg) GROUP BY 1
+        |)
+        |SELECT d.doc_id, COALESCE(n_tri, 0) AS n_tri, COALESCE(n_repeat, 0) AS n_repeat,
+        |  ROUND(CASE WHEN COALESCE(n_tri, 0) = 0 THEN 1.0
+        |        ELSE 1.0 - n_repeat * 1.0 / n_tri END, 6) AS novelty
+        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "q_mix_weights" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1
+        |), tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t, COUNT(*) AS nsrc FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  ROUND(n_tokens * 1.0 / t, 6) AS tok_share,
+        |  ROUND(LEAST(t * 1.0 / (nsrc * n_tokens), 5.0), 6) AS weight
+        |FROM per, tot ORDER BY source""".stripMargin,
     "q_src_csv" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
@@ -1752,6 +1850,8 @@ object LlmData {
     "q_text_repetition" -> (qTextRepetition _),
     "q_text_contam" -> (qTextContam _),
     "q_text_chunk" -> (qTextChunk _),
+    "q_text_novelty" -> (qTextNovelty _),
+    "q_mix_weights" -> (qMixWeights _),
     "q_src_csv" -> (qSrcCsv _),
     "q_src_jsonl" -> (qSrcJsonl _),
     "q_agg_approx_topk" -> (qAggApproxTopk _)
