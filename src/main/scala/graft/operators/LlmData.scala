@@ -992,18 +992,21 @@ object LlmData {
     * novelty curve means the crawl is re-reading itself). Docs with
     * no trigram (< 3 words) count as fully novel.
     *
-    * Scale shape: distinct (doc, trigram) pairs shuffle once on the
-    * trigram; the first-seen table is ONE more aggregation on that
-    * same key (exchange reused), and the verdict join is co-
-    * partitioned with it. The final per-doc rollup and corpus left
-    * join shuffle on doc_id. Nothing is ever broadcast-unbounded:
+    * Scale shape: per-doc dedup happens IN-ROW (array_distinct before
+    * the explode — no distinct shuffle), the cross-doc first-seen
+    * doc_id is a window-min over the single exploded trigram stream
+    * (ONE exchange on the trigram, one documents scan total — a
+    * groupBy-then-join-back formulation re-executes the whole explode
+    * subtree for the second consumer), and the per-doc rollup + corpus
+    * left join shuffle on doc_id. Nothing is ever broadcast-unbounded:
     * every stage keys on trigram or doc_id.
     */
   def qTextNovelty(s: SparkSession, dir: String): DataFrame = {
     val w = docsNorm(s, dir).select(col("doc_id"), expr(wordsExpr).as("w"))
-    val tri = w.select(col("doc_id"), explode(trigramsOf(col("w"))).as("tg")).distinct()
-    val first = tri.groupBy("tg").agg(min(col("doc_id")).as("first_doc"))
-    val per = tri.join(first, "tg")
+    val tri = w.select(col("doc_id"),
+      explode(array_distinct(trigramsOf(col("w")))).as("tg"))
+    val per = tri
+      .withColumn("first_doc", min(col("doc_id")).over(Window.partitionBy("tg")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tri"),
         count(when(col("first_doc") < col("doc_id"), lit(1))).as("n_repeat"))
