@@ -675,6 +675,71 @@ object LlmData {
       .orderBy("probe_id", "rnk")
   }
 
+  /** Two-level IVF ANN (`q_sim_ivf2_ann`) — the documented escalation
+    * of qSimIvfAnn for corpora where a flat K = √N centroid table
+    * would outgrow its broadcast budget (K > 65536, N beyond ~4e9).
+    *
+    * Level 1: k1 hash-sampled coarse centroids — the ONLY broadcast
+    * table, O(k1) rows at any corpus size. Level 2: within each
+    * coarse cell, up to k2 hash-sampled fine centroids; a vector's
+    * fine assignment compares it only against ITS OWN cell's fine
+    * centroids via a join KEYED on the cell id — assignment cost
+    * O(N·(k1 + k2)) instead of O(N·k1·k2), and the k1·k2-row fine
+    * table shuffles by cell instead of broadcasting whole, so it can
+    * reach millions of lists without a driver-side bottleneck.
+    * Probes fan out to the nProbeC nearest coarse cells, then the
+    * nProbeF nearest fine lists inside them. Fixture parameters
+    * over-probe (≈half the corpus) for the recall spec; production
+    * fractions are nProbeF/(k1·k2) — vanishing at scale.
+    */
+  def qSimIvf2Ann(s: SparkSession, dir: String): DataFrame =
+    ivfTwoLevel(embWithNorms(s, dir)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id")),
+      k1 = 8, k2 = 8, nProbeC = 4, nProbeF = 16, topK = 10)
+
+  private[graft] def ivfTwoLevel(emb0: DataFrame, k1: Int, k2: Int,
+      nProbeC: Int, nProbeF: Int, topK: Int): DataFrame = {
+    val hashed = emb0.withColumn("h", xxhash64(col("vec_id")))
+    val coarse = hashed.orderBy("h", "vec_id").limit(k1)
+      .select(col("vec_id").as("c1_id"), col("v").as("c1v"), col("nrm").as("c1n"))
+    // nearest coarse cell per vector: the broadcast is O(k1) forever
+    val wV = Window.partitionBy("vec_id").orderBy(col("c1cos").desc, col("c1_id"))
+    val cellOf = hashed.crossJoin(broadcast(coarse))
+      .withColumn("c1cos", dotCol(col("v"), col("c1v")) / (col("nrm") * col("c1n")))
+      .withColumn("r", row_number().over(wV)).filter(col("r") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("h"), col("c1_id"))
+      .cache() // read by the fine-centroid pick AND the fine assignment
+    // fine centroids: the k2 smallest-hash members of each cell
+    val wC = Window.partitionBy("c1_id").orderBy("h", "vec_id")
+    val fine = cellOf.withColumn("fr", row_number().over(wC)).filter(col("fr") <= k2)
+      .select(col("c1_id"), col("vec_id").as("c2_id"), col("v").as("c2v"), col("nrm").as("c2n"))
+    // fine assignment: KEYED join on the coarse cell — never broadcast
+    val wV2 = Window.partitionBy("vec_id").orderBy(col("c2cos").desc, col("c2_id"))
+    val assigned = cellOf.join(fine, "c1_id")
+      .withColumn("c2cos", dotCol(col("v"), col("c2v")) / (col("nrm") * col("c2n")))
+      .withColumn("r2", row_number().over(wV2)).filter(col("r2") === 1)
+      .select(col("c2_id"), col("vec_id"), col("v"), col("nrm"))
+    val probes0 = emb0.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    val wP1 = Window.partitionBy("probe_id").orderBy(col("c1cos").desc, col("c1_id"))
+    val pCells = probes0.crossJoin(broadcast(coarse))
+      .withColumn("c1cos", dotCol(col("pv"), col("c1v")) / (col("pn") * col("c1n")))
+      .withColumn("r", row_number().over(wP1)).filter(col("r") <= nProbeC)
+      .select(col("probe_id"), col("pv"), col("pn"), col("c1_id"))
+    val wP2 = Window.partitionBy("probe_id").orderBy(col("c2cos").desc, col("c2_id"))
+    val pLists = pCells.join(fine, "c1_id")
+      .withColumn("c2cos", dotCol(col("pv"), col("c2v")) / (col("pn") * col("c2n")))
+      .withColumn("r2", row_number().over(wP2)).filter(col("r2") <= nProbeF)
+      .select(col("probe_id"), col("pv"), col("pn"), col("c2_id"))
+    val wOut = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id"))
+    pLists.join(assigned, "c2_id")
+      .filter(col("probe_id") =!= col("vec_id"))
+      .withColumn("cosine", round(dotCol(col("pv"), col("v")) / (col("pn") * col("nrm")), 6))
+      .withColumn("rnk", row_number().over(wOut)).filter(col("rnk") <= topK)
+      .select("probe_id", "vec_id", "cosine", "rnk")
+      .orderBy("probe_id", "rnk")
+  }
+
   /** Embedding column ops: per-label counts, mean vector norm (via
     * decimal-rounded per-vector norms) and centroid norm computed from
     * exact per-dimension decimal sums: ||Σx||/n — no cross-row double
@@ -1838,6 +1903,7 @@ object LlmData {
     "q_sim_topk_cosine" -> (qSimTopkCosine _),
     "q_sim_lsh_ann" -> (qSimLshAnn _),
     "q_sim_ivf_ann" -> (qSimIvfAnn _),
+    "q_sim_ivf2_ann" -> (qSimIvf2Ann _),
     "q_emb_norm_ops" -> (qEmbNormOps _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_tfidf" -> (qTextTfidf _),

@@ -101,6 +101,21 @@ class LlmDataSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall vs brute force")
   }
 
+  test("two-level IVF ANN: recall >= 0.5 of brute-force top-10, deterministic") {
+    val exact = LlmData.qSimTopkCosine(spark, dir)
+      .select("probe_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = LlmData.qSimIvf2Ann(spark, dir)
+      .select("probe_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = LlmData.qSimIvf2Ann(spark, dir)
+      .select("probe_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq, "two-level IVF result drifted between runs")
+    val recall = exact.count(a.toSet.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"two-level IVF recall $recall vs brute force")
+  }
+
   test("jaccard: bitset and prefix-filter strategies produce identical pairs") {
     val s = spark
     import s.implicits._
