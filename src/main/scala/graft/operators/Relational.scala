@@ -151,7 +151,7 @@ object Relational {
     * single task holds the whole hot key's build side, which is what
     * OOMs/stragglers at scale; AQE's skew-join split is the automatic
     * form of the same rewrite). Results are identical to the unsalted
-    * join — PropertySpec proves both equality and the per-key spread
+    * join — ScaleOpsSpec proves both equality and the per-key spread
     * on a synthetic hot key.
     */
   private[graft] def thetaRangeSalted(e: DataFrame, salts: Int): DataFrame = {
@@ -709,8 +709,14 @@ object Relational {
     * the l_partkey shuffle. The boundary predicate is decimal-exact
     * (qty·2·cnt < Σqty) instead of a double average, because a
     * hard `<` threshold on a float mean could flip between engines
-    * with summation order. (Harness schema has no p_container, so
-    * the part filter is p_type + p_size.)
+    * with summation order. The qty operand is DECIMAL(8,2), not the
+    * usual (18,2): ×2×count must stay inside width 38 in BOTH engines
+    * (DuckDB silently promotes an over-38 product to DOUBLE while
+    * Spark caps the declared type — the qEvAnomaly divergence), and
+    * (8,2)×(10,0)×(19,0) = 37 ≤ 38 keeps DuckDB exact. l_quantity is
+    * 1.0–50.0 in the fixtures (q_agg_moments documents the same
+    * dependence). (Harness schema has no p_container, so the part
+    * filter is p_type + p_size.)
     */
   def qTpchQ17(s: SparkSession, dir: String): DataFrame = {
     val pq = lineitem(s, dir).groupBy(col("l_partkey").as("pk"))
@@ -721,7 +727,7 @@ object Relational {
     lineitem(s, dir)
       .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
       .join(pq, col("l_partkey") === col("pk"))
-      .filter(d2(col("l_quantity")) * lit(2) * col("cq") < col("sq"))
+      .filter(col("l_quantity").cast("decimal(8,2)") * lit(2) * col("cq") < col("sq"))
       .agg((outD(sum(d2(col("l_extendedprice")))) / lit(7.0)).as("avg_yearly"),
         count(lit(1)).as("n_lines"))
   }
@@ -733,7 +739,12 @@ object Relational {
     * dominant-share condition with the same nested-IN decorrelation:
     * per-(supplier, part) sums, a per-part total via a window over the
     * ALREADY-aggregated pair table (no second fact scan), and a semi
-    * join into supplier. All comparisons decimal-exact (2·sq > tq).
+    * join into supplier. All comparisons decimal-exact (2·sq > tq);
+    * sq is re-narrowed to (18,2) before doubling so the product stays
+    * inside width 38 in BOTH engines — unnarrowed, DuckDB's (38,2)×2
+    * silently promotes to DOUBLE while Spark stays capped decimal
+    * (the qEvAnomaly divergence). A per-(supplier, part) quantity sum
+    * past 10^16 NULLs (Spark) / errors (DuckDB) loudly instead.
     */
   def qTpchQ20(s: SparkSession, dir: String): DataFrame = {
     val widgets = part(s, dir).filter(col("p_name").like("%widget")).select("p_partkey")
@@ -742,7 +753,7 @@ object Relational {
               col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
       .join(broadcast(widgets), col("l_partkey") === col("p_partkey"))
       .groupBy("l_suppkey", "l_partkey")
-      .agg(sum(d2(col("l_quantity"))).as("sq"))
+      .agg(sum(d2(col("l_quantity"))).cast(D).as("sq"))
     val dominant = sp
       .withColumn("tq", sum(col("sq")).over(Window.partitionBy("l_partkey")))
       .filter(col("sq") * 2 > col("tq"))
@@ -810,8 +821,12 @@ object Relational {
       .join(broadcast(nation(s, dir).select("n_nationkey", "n_name")),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("nation"))
+    // d2(qty), NOT cast-to-int: Spark's double→int cast truncates
+    // toward zero while DuckDB's rounds to nearest, so an int cost
+    // term would diverge on any non-integral quantity; the decimal
+    // cast rounds HALF_UP identically in both engines
     val profit = d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount"))) -
-      d2(col("p_retailprice")) * col("l_quantity").cast("int")
+      d2(col("p_retailprice")) * d2(col("l_quantity"))
     lineitem(s, dir)
       .join(broadcast(widgetParts), col("l_partkey") === col("p_partkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
@@ -853,8 +868,12 @@ object Relational {
     * from a nation group's suppliers, kept if above 2× the mean part
     * value (scale-invariant analogue of the spec's fixed fraction,
     * which would go empty as N grows). Group-total via one broadcast
-    * scalar row; threshold decimal-exact (v·cnt > 2·Σv). The per-part
-    * table is cached: it feeds both the scalar total and the filter.
+    * scalar row; threshold decimal-exact (v·cnt > 2·Σv), with v
+    * re-narrowed to (18,2) and the total to (28,2) so BOTH products
+    * stay inside width 38 in both engines (DuckDB promotes an over-38
+    * product to DOUBLE silently — the qEvAnomaly divergence; the
+    * narrowing makes overflow loud instead). The per-part table is
+    * cached: it feeds both the scalar total and the filter.
     */
   def qTpchQ11(s: SparkSession, dir: String): DataFrame = {
     val picked = nation(s, dir)
@@ -865,9 +884,9 @@ object Relational {
     val value = lineitem(s, dir)
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy("l_partkey")
-      .agg(sum(d2(col("l_extendedprice"))).as("v"))
+      .agg(sum(d2(col("l_extendedprice"))).cast(D).as("v"))
       .cache()
-    val tot = value.agg(sum(col("v")).as("tv"), count(lit(1)).as("cnt"))
+    val tot = value.agg(sum(col("v")).cast("decimal(28,2)").as("tv"), count(lit(1)).as("cnt"))
     value.crossJoin(broadcast(tot))
       .filter(col("v") * col("cnt") > col("tv") * 2)
       .select(col("l_partkey").as("p_key"), outD(col("v")).as("part_value"))
@@ -1377,10 +1396,11 @@ object Relational {
         |  COUNT(*) AS n_lines
         |FROM lineitem JOIN part ON p_partkey = l_partkey JOIN pq ON pk = l_partkey
         |WHERE p_type = 'SMALL' AND p_size <= 15
-        |  AND CAST(l_quantity AS DECIMAL(18,2)) * 2 * cq < sq""".stripMargin,
+        |  AND CAST(l_quantity AS DECIMAL(8,2)) * 2 * cq < sq""".stripMargin,
     "q_tpch_q20" ->
       """WITH sp AS (
-        |  SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |  SELECT l_suppkey, l_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sq
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE p_name LIKE '%widget'
         |    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -1414,7 +1434,7 @@ object Relational {
     "q_tpch_q9" ->
       """SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
-        |    - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS INT)) AS DOUBLE) AS sum_profit
+        |    - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
@@ -1435,12 +1455,13 @@ object Relational {
         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
     "q_tpch_q11" ->
       """WITH val AS (
-        |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS v
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
         |  FROM lineitem
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
         |  WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3') GROUP BY 1
-        |), tot AS (SELECT SUM(v) AS tv, COUNT(*) AS cnt FROM val)
+        |), tot AS (SELECT CAST(SUM(v) AS DECIMAL(28,2)) AS tv, COUNT(*) AS cnt FROM val)
         |SELECT l_partkey AS p_key, CAST(v AS DOUBLE) AS part_value
         |FROM val, tot WHERE v * cnt > tv * 2
         |ORDER BY part_value DESC, p_key""".stripMargin,
