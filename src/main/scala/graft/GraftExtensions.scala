@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BitsetIntersectCount, DotProductF64, MinhashSignature, PackedCharBigrams, SimHash64, WinnowFingerprints, WordBigramShingles}
+import graft.functions.{BitsetIntersectCount, DotProductF64, HyperplaneSigs, MinhashSignature, PackedCharBigrams, SimHash64, WinnowFingerprints, WordBigramShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so `SELECT dot_f64(a, b)` works from
@@ -62,5 +62,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHash64(one("simhash64")(children))))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_sigs"),
+      new ExpressionInfo(classOf[HyperplaneSigs].getName, "hyperplane_sigs"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 5,
+          s"hyperplane_sigs requires exactly 5 arguments (vec, seed, tables, bits, dim), got ${children.size}")
+        // the plane-set parameters select a deterministic hyperplane
+        // family at plan time, so they must be integer literals — a
+        // per-row column here would mean a different LSH family per
+        // row, which is never meaningful
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression, arg: String): Long = {
+          import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+          e match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, t)
+                if v != null && (t == IntegerType || t == LongType || t == ShortType || t == ByteType) =>
+              v.toString.toLong
+            case other => throw new IllegalArgumentException(
+              s"hyperplane_sigs: $arg must be an integer literal, got ${other.sql}")
+          }
+        }
+        HyperplaneSigs(children.head,
+          intLit(children(1), "seed"),
+          intLit(children(2), "tables").toInt,
+          intLit(children(3), "bits").toInt,
+          intLit(children(4), "dim").toInt)
+      }))
   }
 }

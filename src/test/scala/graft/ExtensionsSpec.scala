@@ -189,6 +189,37 @@ class ExtensionsSpec extends SparkSpec {
       Seq('a'.toLong * 1114112L + clef, clef.toLong * 1114112L + 'b'.toLong))
   }
 
+  test("hyperplane_sigs: SQL form matches the Column API, literals enforced") {
+    import org.apache.spark.sql.functions.{array, col, lit}
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Array(0.5, -1.2, 3.0, 0.1)), (2L, Array(-2.0, 0.0, 1.0, 4.0)))
+      .toDF("id", "v")
+    df.createOrReplaceTempView("hp_vecs")
+    val viaSql = spark.sql(
+      "SELECT id, hyperplane_sigs(v, 42L, 6, 4, 4) AS sigs FROM hp_vecs ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    val viaApi = df.select(col("id"),
+        graft.functions.VectorExprs.hyperplaneSigs(col("v"), 42L, 6, 4, 4).as("sigs"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    assert(viaSql.toSeq == viaApi.toSeq)
+    assert(viaSql.forall(_._2.length == 6), "one signature per table expected")
+    // non-literal parameter and wrong arity are rejected at analysis time
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT hyperplane_sigs(v, id, 6, 4, 4) FROM hp_vecs").head()
+    }
+    assert(e1.getMessage.contains("integer literal"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT hyperplane_sigs(v, 42L) FROM hp_vecs").head()
+    }
+    assert(e2.getMessage.contains("5 arguments"), e2.getMessage)
+    // out-of-range bits (would wrap the Int sign bit) rejected
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT hyperplane_sigs(v, 42L, 6, 31, 4) FROM hp_vecs").head()
+    }
+    assert(e3.getMessage.contains("[1, 30]"), e3.getMessage)
+  }
+
   test("minhash_signature: null array elements are skipped like the xxhash chain") {
     val r = spark.sql(
       "SELECT minhash_signature(array('ab cd', CAST(NULL AS STRING), 'ef gh'))," +
