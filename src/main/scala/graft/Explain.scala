@@ -12,6 +12,9 @@ object Explain {
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
     args.tail.foreach { name =>
+      // per-query cache isolation, matching the Bench/Verify protocol
+      // (builders may cache shared intermediates — SparkEntry scaladoc)
+      spark.catalog.clearCache()
       val df = SparkEntry.queries(name)(spark, sfDir)
       println(s"===== $name =====")
       df.explain("formatted")

@@ -209,6 +209,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source tumble twin reproduces the oracle-checked batch result") {
+    // end-to-end over the REAL parquet fixture through readEvents
+    // (schema inference, nanos→µs conversion, FileStreamSource glob):
+    // the streaming aggregate must equal q_ev_tumble, whose output the
+    // DuckDB oracle hash-checks every round
+    val dir = "/root/testdata/sf0.001"
+    val q = EventStreams.tumble(EventStreams.readEvents(spark, dir)).writeStream
+      .format("memory").queryName("file_tumble").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT hour_start, event_type, n_events, sum_value FROM file_tumble")
+        .collect().map(_.toString).sorted.toSeq
+      val batch = graft.operators.EventOps.qEvTumble(spark, dir)
+        .select("hour_start", "event_type", "n_events", "sum_value")
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streaming tumble diverged from batch (${streamed.length} vs ${batch.length} rows)")
+    } finally q.stop()
+  }
+
   test("session twin groups by 30-minute gaps") {
     val s = spark
     import s.implicits._
