@@ -1034,6 +1034,48 @@ object LlmData {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Cross-source near-dup leakage report: the exact-Jaccard pair
+    * graph restricted to pairs whose endpoints live in DIFFERENT
+    * sources, aggregated per ordered source pair — the split-hygiene
+    * check run before carving train/eval from a multi-source corpus
+    * (a near-dup crossing the split leaks eval content into
+    * training). Cost is the upstream jaccard pass; the report side is
+    * two doc_id-keyed dimension joins and an O(sources²)-row rollup.
+    */
+  def qDedupCrosssrc(s: SparkSession, dir: String): DataFrame = {
+    val src = documents(s, dir).select(col("doc_id"), col("source"))
+    qDedupJaccard(s, dir)
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("a_source")), "a_id")
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("b_source")), "b_id")
+      .filter(col("a_source") =!= col("b_source"))
+      .groupBy("a_source", "b_source")
+      .agg(count(lit(1)).as("n_pairs"), max(col("jac")).cast("double").as("max_jac"))
+      .orderBy("a_source", "b_source")
+  }
+
+  /** Token-budget curriculum sampling: per source, keep documents in
+    * deterministic Lehmer-hash order while the EXCLUSIVE running
+    * token count stays under the budget — "fill N tokens per source,
+    * reproducibly" (the corpus-assembly step after qMixWeights
+    * decides the target mix). The hash order is the same portable
+    * `doc_id·48271 mod 2³¹−1` as q_sample_hash, so the selected set
+    * is partition-layout- and engine-independent; counts are exact
+    * longs. One window over the per-source hash order; no shuffle
+    * touches document text.
+    */
+  def qSampleBudget(s: SparkSession, dir: String): DataFrame = {
+    val budget = 1000L
+    val w = Window.partitionBy("source").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docsNorm(s, dir)
+      .select(col("doc_id"), col("source"), size(expr(wordsExpr)).cast("long").as("ntok"))
+      .withColumn("h", pmod(col("doc_id") * lit(48271L), lit(2147483647L)))
+      .withColumn("cum_before", coalesce(sum(col("ntok")).over(w), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .select("doc_id", "source", "ntok", "cum_before")
+      .orderBy("doc_id")
+  }
+
   /** Adjacent word triples of a word array as "a b c" strings — the
     * trigram extension of bigramsOf's zip_with-over-slices idiom
     * (sequence() is avoided for the same reason: Spark's sequence
@@ -1562,6 +1604,28 @@ object LlmData {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE ((doc_id * 48271) % 2147483647) % 10 = 0
         |ORDER BY doc_id""".stripMargin,
+    "q_dedup_crosssrc" -> s"""WITH $jaccardPairCtes
+        |SELECT da.source AS a_source, db.source AS b_source, COUNT(*) AS n_pairs,
+        |  CAST(MAX(jac) AS DOUBLE) AS max_jac
+        |FROM pairs
+        |JOIN documents da ON a_id = da.doc_id
+        |JOIN documents db ON b_id = db.doc_id
+        |WHERE da.source <> db.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sample_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')) AS BIGINT) AS ntok,
+        |    (doc_id * 48271) % 2147483647 AS h
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, ntok,
+        |    CAST(COALESCE(SUM(ntok) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM d
+        |)
+        |SELECT doc_id, source, ntok, cum_before FROM c
+        |WHERE cum_before < 1000 ORDER BY doc_id""".stripMargin,
     "q_sample_stratified" ->
       """SELECT lang, rn, doc_id, n_chars FROM (
         |  SELECT lang, doc_id, n_chars,
@@ -1891,6 +1955,8 @@ object LlmData {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hash" -> (qSampleHash _),
     "q_sample_stratified" -> (qSampleStratified _),
+    "q_sample_budget" -> (qSampleBudget _),
+    "q_dedup_crosssrc" -> (qDedupCrosssrc _),
     "q_text_tokcount" -> (qTextTokcount _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
