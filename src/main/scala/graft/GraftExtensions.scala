@@ -82,11 +82,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"hyperplane_sigs: $arg must be an integer literal, got ${other.sql}")
           }
         }
+        // range-checked narrowing: a silent .toInt would truncate an
+        // out-of-range BIGINT literal (4294967297 -> 1 table) and run
+        // a structurally wrong LSH family without any error
+        def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression, arg: String): Int = {
+          val v = intLit(e, arg)
+          require(v >= Int.MinValue && v <= Int.MaxValue,
+            s"hyperplane_sigs: $arg must fit in an Int, got $v")
+          v.toInt
+        }
         HyperplaneSigs(children.head,
           intLit(children(1), "seed"),
-          intLit(children(2), "tables").toInt,
-          intLit(children(3), "bits").toInt,
-          intLit(children(4), "dim").toInt)
+          intArg(children(2), "tables"),
+          intArg(children(3), "bits"),
+          intArg(children(4), "dim"))
       }))
   }
 }

@@ -288,9 +288,10 @@ case class SimHash64(child: Expression)
 case class HyperplaneSigs(child: Expression, seed: Long, tables: Int, bits: Int, dim: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(tables >= 1, s"hyperplane_sigs: tables must be >= 1, got $tables")
-  // bits caps at 30: the signature packs into a non-negative Int and
-  // 1 << 31 would wrap the sign bit
-  require(bits >= 1 && bits <= 30, s"hyperplane_sigs: bits must be in [1, 30], got $bits")
+  // bits caps at 31: the highest shift is 1 << (bits-1), so bits = 31
+  // still yields a non-negative Int signature (bit 30 is the top);
+  // only bits = 32 would reach the sign bit
+  require(bits >= 1 && bits <= 31, s"hyperplane_sigs: bits must be in [1, 31], got $bits")
   require(dim >= 1, s"hyperplane_sigs: dim must be >= 1, got $dim")
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "hyperplane_sigs"

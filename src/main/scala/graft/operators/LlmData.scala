@@ -1048,9 +1048,15 @@ object LlmData {
       .join(src.select(col("doc_id").as("a_id"), col("source").as("a_source")), "a_id")
       .join(src.select(col("doc_id").as("b_id"), col("source").as("b_source")), "b_id")
       .filter(col("a_source") =!= col("b_source"))
-      .groupBy("a_source", "b_source")
+      // canonicalize the pair: a_id < b_id is corpus-id order, which
+      // says nothing about sources — without least/greatest the same
+      // unordered source pair would split across two rows and a
+      // reader taking either one would undercount the leakage
+      .select(least(col("a_source"), col("b_source")).as("src_lo"),
+        greatest(col("a_source"), col("b_source")).as("src_hi"), col("jac"))
+      .groupBy("src_lo", "src_hi")
       .agg(count(lit(1)).as("n_pairs"), max(col("jac")).cast("double").as("max_jac"))
-      .orderBy("a_source", "b_source")
+      .orderBy("src_lo", "src_hi")
   }
 
   /** Token-budget curriculum sampling: per source, keep documents in
@@ -1069,7 +1075,7 @@ object LlmData {
       .rowsBetween(Window.unboundedPreceding, -1)
     docsNorm(s, dir)
       .select(col("doc_id"), col("source"), size(expr(wordsExpr)).cast("long").as("ntok"))
-      .withColumn("h", pmod(col("doc_id") * lit(48271L), lit(2147483647L)))
+      .withColumn("h", lehmer(col("doc_id")))
       .withColumn("cum_before", coalesce(sum(col("ntok")).over(w), lit(0L)))
       .filter(col("cum_before") < budget)
       .select("doc_id", "source", "ntok", "cum_before")
@@ -1605,8 +1611,9 @@ object LlmData {
         |WHERE ((doc_id * 48271) % 2147483647) % 10 = 0
         |ORDER BY doc_id""".stripMargin,
     "q_dedup_crosssrc" -> s"""WITH $jaccardPairCtes
-        |SELECT da.source AS a_source, db.source AS b_source, COUNT(*) AS n_pairs,
-        |  CAST(MAX(jac) AS DOUBLE) AS max_jac
+        |SELECT LEAST(da.source, db.source) AS src_lo,
+        |  GREATEST(da.source, db.source) AS src_hi,
+        |  COUNT(*) AS n_pairs, CAST(MAX(jac) AS DOUBLE) AS max_jac
         |FROM pairs
         |JOIN documents da ON a_id = da.doc_id
         |JOIN documents db ON b_id = db.doc_id

@@ -213,11 +213,16 @@ class ExtensionsSpec extends SparkSpec {
       spark.sql("SELECT hyperplane_sigs(v, 42L) FROM hp_vecs").head()
     }
     assert(e2.getMessage.contains("5 arguments"), e2.getMessage)
-    // out-of-range bits (would wrap the Int sign bit) rejected
+    // out-of-range bits (32 would reach the Int sign bit) rejected
     val e3 = intercept[Exception] {
-      spark.sql("SELECT hyperplane_sigs(v, 42L, 6, 31, 4) FROM hp_vecs").head()
+      spark.sql("SELECT hyperplane_sigs(v, 42L, 6, 32, 4) FROM hp_vecs").head()
     }
-    assert(e3.getMessage.contains("[1, 30]"), e3.getMessage)
+    assert(e3.getMessage.contains("[1, 31]"), e3.getMessage)
+    // an out-of-Int-range table count must fail, not truncate silently
+    val e4 = intercept[Exception] {
+      spark.sql("SELECT hyperplane_sigs(v, 42L, 4294967297, 4, 4) FROM hp_vecs").head()
+    }
+    assert(e4.getMessage.contains("must fit in an Int"), e4.getMessage)
   }
 
   test("minhash_signature: null array elements are skipped like the xxhash chain") {
