@@ -1034,6 +1034,40 @@ object LlmData {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Zipf rank-frequency slope per source: OLS fit of ln(freq) over
+    * ln(rank) for the top-50 words — natural text tracks slope ≈ −1,
+    * so a flat or cliff-shaped slope flags templated/boilerplate or
+    * token-salad sources (a standard corpus-QA diagnostic). The log
+    * terms go through the micro-unit long firewall (ln rounded to
+    * 1e-6, summed as exact longs — the entropy/perplexity pattern,
+    * coarsened so Σx·y for 50 ranks stays far inside int64), so the
+    * cross-row sums are partition-order-independent and the only
+    * double math is the closing OLS formula, identical per-row in
+    * both engines.
+    *
+    * Scale shape: one (source, word) count shuffle; the ranking
+    * window reads the per-source VOCAB table (not the corpus), and
+    * everything after the top-50 filter is O(sources·50).
+    */
+  def qTextZipf(s: SparkSession, dir: String): DataFrame = {
+    val wc = docsNorm(s, dir)
+      .select(col("source"), explode(expr(wordsExpr)).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+    val wR = Window.partitionBy("source").orderBy(col("cnt").desc, col("word"))
+    val lg = wc.withColumn("rnk", row_number().over(wR)).filter(col("rnk") <= 50)
+      .select(col("source"),
+        round(log(col("rnk").cast("double")) * lit(1e6)).cast("long").as("x"),
+        round(log(col("cnt").cast("double")) * lit(1e6)).cast("long").as("y"))
+    lg.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n").as("n_ranks"),
+        round((col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")) /
+              (col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")), 6)
+          .as("zipf_slope"))
+      .orderBy("source")
+  }
+
   /** Cross-source near-dup leakage report: the exact-Jaccard pair
     * graph restricted to pairs whose endpoints live in DIFFERENT
     * sources, aggregated per ordered source pair — the split-hygiene
@@ -1619,6 +1653,30 @@ object LlmData {
         |JOIN documents db ON b_id = db.doc_id
         |WHERE da.source <> db.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_text_zipf" ->
+      """WITH w AS (
+        |  SELECT source, unnest(list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')) AS word
+        |  FROM documents
+        |), wc AS (
+        |  SELECT source, word, COUNT(*) AS cnt FROM w GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT source, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, word) AS rnk
+        |  FROM wc QUALIFY rnk <= 50
+        |), lg AS (
+        |  SELECT source,
+        |    CAST(ROUND(LN(rnk) * 1000000) AS BIGINT) AS x,
+        |    CAST(ROUND(LN(cnt) * 1000000) AS BIGINT) AS y
+        |  FROM ranked
+        |), s AS (
+        |  SELECT source, COUNT(*) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        |  FROM lg GROUP BY 1
+        |)
+        |SELECT source, CAST(n AS BIGINT) AS n_ranks,
+        |  ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |        (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS zipf_slope
+        |FROM s ORDER BY source""".stripMargin,
     "q_sample_budget" ->
       """WITH d AS (
         |  SELECT doc_id, source,
@@ -1964,6 +2022,7 @@ object LlmData {
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_budget" -> (qSampleBudget _),
     "q_dedup_crosssrc" -> (qDedupCrosssrc _),
+    "q_text_zipf" -> (qTextZipf _),
     "q_text_tokcount" -> (qTextTokcount _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
