@@ -1061,6 +1061,10 @@ object LlmData {
     lg.groupBy("source")
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      // a 1-word vocabulary has a zero OLS denominator, where Spark's
+      // double 0/0 is NaN but DuckDB's is NULL — no slope is defined
+      // there anyway, so such sources are excluded in BOTH engines
+      .filter(col("n") >= 2)
       .select(col("source"), col("n").as("n_ranks"),
         round((col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")) /
               (col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")), 6)
@@ -1671,7 +1675,7 @@ object LlmData {
         |), s AS (
         |  SELECT source, COUNT(*) AS n,
         |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
-        |  FROM lg GROUP BY 1
+        |  FROM lg GROUP BY 1 HAVING COUNT(*) >= 2
         |)
         |SELECT source, CAST(n AS BIGINT) AS n_ranks,
         |  ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
