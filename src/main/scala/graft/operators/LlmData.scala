@@ -1011,6 +1011,26 @@ object LlmData {
       .orderBy("source")
   }
 
+  /** ORC round-trip (SURVEY §2.1 secondary source): same losslessness
+    * contract as qSrcCsv/qSrcJsonl over the columnar ORC form —
+    * total_text_len re-derives lengths from the round-tripped text, so
+    * any encode/decode damage fails the oracle hash. Aggregated per
+    * (lang) with id extrema to also pin numeric-column fidelity.
+    */
+  def qSrcOrc(s: SparkSession, dir: String): DataFrame = {
+    val tmp = roundTripDir("orc", dir)
+    val docs = documents(s, dir)
+    graft.sources.TextSources.writeOrc(docs, tmp)
+    graft.sources.TextSources.readOrc(s, tmp, docs.schema)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        sum(length(col("text"))).as("total_text_len"))
+      .orderBy("lang")
+  }
+
   /** Overlapping document chunking (the pre-embedding window split
     * every RAG/embedding pipeline runs): 64-word chunks on a 48-word
     * stride (16 words of overlap), so every word lands in a chunk and
@@ -1931,6 +1951,12 @@ object LlmData {
         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_text_len
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_src_orc" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_text_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_text_repetition" ->
       """WITH d AS (
         |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS ws
@@ -2059,6 +2085,7 @@ object LlmData {
     "q_mix_weights" -> (qMixWeights _),
     "q_src_csv" -> (qSrcCsv _),
     "q_src_jsonl" -> (qSrcJsonl _),
+    "q_src_orc" -> (qSrcOrc _),
     "q_agg_approx_topk" -> (qAggApproxTopk _)
   )
 }

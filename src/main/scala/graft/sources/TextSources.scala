@@ -38,4 +38,17 @@ object TextSources {
 
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** ORC — the columnar alternative to parquet (predicate pushdown,
+    * column pruning and splittability all work the same way through
+    * the DataSource V2 scan). The explicit schema keeps the read
+    * contract identical to the text sources even though ORC embeds
+    * its own: a writer-side schema drift fails analysis instead of
+    * silently re-typing columns.
+    */
+  def readOrc(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }
