@@ -230,6 +230,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source funnel twin finds the same completed users as batch") {
+    val dir = "/root/testdata/sf0.001"
+    val q = EventStreams.funnel(EventStreams.readEvents(spark, dir)).writeStream
+      .format("memory").queryName("file_funnel").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val s = spark
+      import s.implicits._
+      val streamed = s.sql("SELECT user_id FROM file_funnel")
+        .as[Long].collect().toSet
+      val batch = graft.operators.EventOps.qEvFunnel(spark, dir)
+        .filter(col("completed"))
+        .select("user_id").as[Long].collect().toSet
+      assert(batch.nonEmpty, "fixture should contain completed funnels")
+      assert(streamed == batch,
+        s"streaming-only=${streamed.diff(batch)} batch-only=${batch.diff(streamed)}")
+    } finally q.stop()
+  }
+
   test("session twin groups by 30-minute gaps") {
     val s = spark
     import s.implicits._
