@@ -249,6 +249,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source session twin reproduces the batch session windows") {
+    // the batch form is lag-gap-cumsum with a `>= 30 min starts a new
+    // session` boundary, documented as equal to session_window's
+    // half-open [start, last + gap) extent — this pins that claim on
+    // the real fixture: same (user, session_start, n_events) triples
+    val dir = "/root/testdata/sf0.001"
+    val q = EventStreams.session(EventStreams.readEvents(spark, dir)).writeStream
+      .format("memory").queryName("file_session").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT user_id, session_start, n_events FROM file_session")
+        .collect().map(_.toString).sorted.toSeq
+      val batch = graft.operators.EventOps.qEvSession(spark, dir)
+        .select(col("user_id"), col("session_start"), col("n_events"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        s"session twin diverged: ${streamed.length} vs ${batch.length} rows; " +
+        s"first-only-streamed=${streamed.diff(batch).take(3)} " +
+        s"first-only-batch=${batch.diff(streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("session twin groups by 30-minute gaps") {
     val s = spark
     import s.implicits._
