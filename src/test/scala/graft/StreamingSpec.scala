@@ -272,6 +272,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source dedup twin keeps exactly the batch key set") {
+    // dropDuplicatesWithinWatermark keeps the first ARRIVING record
+    // per key while the batch twin keeps the earliest by event time —
+    // a documented divergence in the representative row, so the pin
+    // here is the part that IS guaranteed: one survivor per key and
+    // the same (user_id, event_type) key set as the batch result
+    val dir = "/root/testdata/sf0.001"
+    val q = EventStreams.dedup(EventStreams.readEvents(spark, dir)).writeStream
+      .format("memory").queryName("file_dedup").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT user_id, event_type FROM file_dedup")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val batch = graft.operators.EventOps.qEvDedupStream(spark, dir)
+        .select("user_id", "event_type")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(streamed.length == streamed.distinct.length, "duplicate keys survived")
+      assert(streamed.toSet == batch.toSet,
+        s"key sets diverged: ${streamed.length} vs ${batch.length} keys")
+    } finally q.stop()
+  }
+
   test("session twin groups by 30-minute gaps") {
     val s = spark
     import s.implicits._
