@@ -61,6 +61,34 @@ class PropertySpec extends AnyFunSuite {
     }, n = 30)
   }
 
+  test("hyperplane sigs: kernel bits equal naive sign-of-dot reference") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.VecKernels
+    check("hyperplaneSigs", Prop.forAll(
+      Gen.listOfN(8, Gen.choose(-5.0, 5.0)), Gen.choose(1L, 1000L)) { (vs, seed) =>
+      val dim = 8; val tables = 3; val bits = 4
+      val v = new GenericArrayData(vs.map(x => x: Any).toArray)
+      val sigs = VecKernels.hyperplaneSigs(v, seed, tables, bits, dim)
+      // naive reference: regenerate the same plane family and compare
+      // each packed bit against the plain sign-of-dot computation
+      val rnd = new java.util.Random(seed)
+      val planes = Array.fill(tables * bits * dim)(rnd.nextGaussian())
+      val ok = (0 until tables).forall { t =>
+        val sig = sigs.getInt(t)
+        (0 until bits).forall { b =>
+          val off = (t * bits + b) * dim
+          var d = 0.0
+          var i = 0
+          while (i < dim) { d += vs(i) * planes(off + i); i += 1 }
+          ((sig >> b) & 1) == (if (d > 0) 1 else 0)
+        }
+      }
+      // and the memoized plane cache must be deterministic across calls
+      val again = VecKernels.hyperplaneSigs(v, seed, tables, bits, dim)
+      ok && (0 until tables).forall(t => again.getInt(t) == sigs.getInt(t))
+    }, n = 50)
+  }
+
   test("bin edges: binOf counts edges strictly below, stays in [0,3]") {
     val cases = for {
       edgesRaw <- Gen.listOfN(3, Gen.choose(-100.0, 100.0))
