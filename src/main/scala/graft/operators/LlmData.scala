@@ -1015,7 +1015,10 @@ object LlmData {
     * contract as qSrcCsv/qSrcJsonl over the columnar ORC form —
     * total_text_len re-derives lengths from the round-tripped text, so
     * any encode/decode damage fails the oracle hash. Aggregated per
-    * (lang) with id extrema to also pin numeric-column fidelity.
+    * (lang) with id extrema and a distinct-source count, so every
+    * column of the schema participates in the check (row-level
+    * fidelity is additionally pinned by TextSourcesSpec's exceptAll
+    * round-trip, like the CSV/JSONL sources).
     */
   def qSrcOrc(s: SparkSession, dir: String): DataFrame = {
     val tmp = roundTripDir("orc", dir)
@@ -1027,6 +1030,7 @@ object LlmData {
         sum(col("n_chars")).as("total_chars"),
         min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"),
+        countDistinct(col("source")).as("n_sources"),
         sum(length(col("text"))).as("total_text_len"))
       .orderBy("lang")
   }
@@ -1955,6 +1959,7 @@ object LlmData {
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+        |  COUNT(DISTINCT source) AS n_sources,
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_text_len
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_text_repetition" ->

@@ -28,4 +28,12 @@ class TextSourcesSpec extends SparkSpec {
     assert(back.count() == docs.count())
     assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
   }
+
+  test("ORC round-trip preserves the documents table") {
+    val path = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/docs"
+    TextSources.writeOrc(docs, path)
+    val back = TextSources.readOrc(spark, path, docs.schema)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
 }
