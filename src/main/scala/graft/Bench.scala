@@ -16,8 +16,12 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // Cold-start the timed pass: drop fitted-artifact caches so the
-    // timed loop measures real computation, not artifact reuse.
+    // timed loop measures real computation, not artifact reuse. The
+    // dedup pair graphs are rebuilt ONCE by whichever consumer runs
+    // first in the timed pass — the production accounting (the pair
+    // table is materialized once per pipeline run, then composed).
     graft.operators.LimeOps.clearStatsCache()
+    graft.operators.LlmData.clearDedupArtifacts()
     val results = SparkEntry.queries.map { case (name, fn) =>
       // Per-query cache isolation: every cached DataFrame subtree
       // (minhash signatures, packed bitsets, shingle tables, …) is

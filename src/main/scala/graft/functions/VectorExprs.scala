@@ -322,13 +322,29 @@ object VecKernels {
   // java.util.Random's nextGaussian algorithm is specified by its
   // javadoc, hence stable across JVM vendors/versions — the planes are
   // reproducible build-to-build.
+  //
+  // The memo is BOUNDED: hyperplane_sigs is SQL-registered, so a user
+  // sweeping seed/parameter literals would otherwise grow a plane set
+  // per distinct tuple on every executor forever. Each set is capped
+  // at MaxPlaneDoubles (8 MB) and the map at MaxPlaneSets entries —
+  // on overflow the map resets and evicted tuples just recompute
+  // (reads stay lock-free on the immutable snapshot; only the rare
+  // insert synchronizes).
+  private val MaxPlaneSets = 8
+  private val MaxPlaneDoubles = 1 << 20
   @volatile private var planeCache: Map[(Long, Int, Int, Int), Array[Double]] = Map.empty
 
   private[functions] def planes(seed: Long, tables: Int, bits: Int, dim: Int): Array[Double] =
     planeCache.getOrElse((seed, tables, bits, dim), {
+      require(tables.toLong * bits * dim <= MaxPlaneDoubles,
+        s"hyperplane_sigs: tables*bits*dim = ${tables.toLong * bits * dim} exceeds " +
+          s"the $MaxPlaneDoubles-double plane-set budget")
       val rnd = new java.util.Random(seed)
       val arr = Array.fill(tables * bits * dim)(rnd.nextGaussian())
-      synchronized { planeCache += (seed, tables, bits, dim) -> arr }
+      synchronized {
+        if (planeCache.size >= MaxPlaneSets) planeCache = Map.empty
+        planeCache += (seed, tables, bits, dim) -> arr
+      }
       arr
     })
 

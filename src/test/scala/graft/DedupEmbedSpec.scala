@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions.col
   * Fixture-path band parameters: the sf0.001 qualifying pairs sit at
   * cosine ≈ 0.4–0.5 (per-hyperplane collision p ≈ 0.63), so full
   * fixture recall needs 4-bit bands (p⁴ ≈ 0.158) and 64 tables
-  * (miss ≈ e^{-64·0.158} ≈ 4e-5 per pair). The production 16-bit/128-
-  * table parameters are tuned for the ≥0.9-cosine near-dup regime
-  * instead — see the EmbScaleBits scaladoc for the math.
+  * (miss ≈ e^{-64·0.158} ≈ 4e-5 per pair). The production scale path
+  * derives its table count from τ and the recall target
+  * (lshTablesFor) and is tuned for the ≥0.7-cosine near-dup regime —
+  * see the EmbScaleBits scaladoc for the math.
   *
   * One-off sweep (2026-08-13, this build): with these 4-bit/64-table
   * parameters the LSH path is pair-for-pair equal to exact all-pairs
@@ -47,12 +48,22 @@ class DedupEmbedSpec extends SparkSpec {
     assert(p1 == p2, "LSH pairs changed under different partitioning")
   }
 
+  test("table-count derivation matches the documented operating points") {
+    import LlmData.{lshTablesFor, EmbScaleBits, EmbLshRecallTarget, EmbLshMaxTables}
+    assert(lshTablesFor(0.9, EmbScaleBits, EmbLshRecallTarget) === 36L)
+    assert(lshTablesFor(0.7, EmbScaleBits, EmbLshRecallTarget) <= EmbLshMaxTables)
+    // the registered τ = 0.4 is infeasible for banding — the scale
+    // path must refuse it, never run it at a few percent recall
+    assert(lshTablesFor(0.4, EmbScaleBits, EmbLshRecallTarget) > EmbLshMaxTables)
+  }
+
   test("production band parameters find planted near-identical pairs") {
     // The fixture's qualifying pairs are all borderline (≈0.4–0.5), so
     // the production-regime guarantee is exercised on planted
     // near-identical vectors instead: at cosine ≈ 0.999 the per-band
-    // collision probability is p¹⁶ ≈ 0.77, so 128 tables miss a pair
-    // with probability (0.23)¹²⁸ ≈ 0 — every planted pair must appear.
+    // collision probability is p¹⁶ ≈ 0.77, so even the τ=0.9-derived
+    // 36 tables miss a pair with probability (0.23)³⁶ ≈ 1e-23 —
+    // every planted pair must appear.
     val s = spark
     import s.implicits._
     import org.apache.spark.sql.functions.sqrt
@@ -67,8 +78,9 @@ class DedupEmbedSpec extends SparkSpec {
     for (j <- 0 until 160) rows += ((1000L + j, vec()))
     val emb = rows.toSeq.toDF("vec_id", "v")
       .withColumn("nrm", sqrt(graft.functions.VectorExprs.dotF64(col("v"), col("v"))))
+    val tables = LlmData.lshTablesFor(0.9, LlmData.EmbScaleBits, LlmData.EmbLshRecallTarget)
     val found = LlmData.embNearDupLsh(
-        emb, 0.9, LlmData.EmbScaleBits, LlmData.EmbScaleTables, LlmData.EmbLshSeed)
+        emb, 0.9, LlmData.EmbScaleBits, tables.toInt, LlmData.EmbLshSeed)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     for (i <- 0 until 20)
       assert(found.contains((2L * i, 2L * i + 1)), s"planted pair $i missed")

@@ -155,6 +155,16 @@ class LlmDataSpec extends SparkSpec {
     assert(a.map(_.getLong(0)).distinct.size == a.size, "one fingerprint row per doc")
   }
 
+  test("F32LE decoder parses IEEE-754 bytes exactly") {
+    val vals = Array(1.5f, -2.25f, 0.0f, 3.75f)
+    val bb = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(bb.putFloat)
+    val out = LlmData.MmDecoder.F32LE.decode(bb.array(), 4L)
+    assert(out == ((4L, 1L, -2.25, 3.75, 2.0, 1.0)))
+    assert(LlmData.MmDecoder.F32LE.decode(Array.empty[Byte], 0L) ==
+      ((0L, 1L, 0.0, 0.0, 0.0, 0.0)))
+  }
+
   test("multimodal feature plumbing: one fixed-width feature row per doc") {
     val rows = LlmData.qMmFeatures(spark, dir).collect()
     assert(rows.length == 500)
