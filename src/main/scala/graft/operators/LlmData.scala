@@ -303,7 +303,6 @@ object LlmData {
         .cache() // read every iteration
       var comp = edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("comp"))
-      var prev: DataFrame = null
       var iter = 0
       var done = false
       while (!done && iter < 64) {
@@ -316,17 +315,22 @@ object LlmData {
         // are vertex ids of the same component, so the inner self-join
         // always hits) — rounds become O(log diameter), so the cap is
         // unreachable for any graph that fits in storage
+        //
+        // localCheckpoint (eager) — NOT cache(): each round's plan
+        // references the previous round's twice, so without lineage
+        // TRUNCATION the logical tree grows exponentially with rounds
+        // and planning itself OOMs past ~8 rounds (caught by
+        // ScaleOpsSpec's 256-node-chain case; fixture graphs converge
+        // in ~3 rounds and never showed it). Superseded rounds'
+        // blocks are dropped by the ContextCleaner once unreferenced.
+        // On a real cluster swap in a reliable checkpoint dir if
+        // executor loss during the loop must be survivable.
         val next = prop
           .join(prop.select(col("id").as("lid"), col("comp").as("lcomp")), col("comp") === col("lid"))
           .select(col("id"), least(col("comp"), col("lcomp")).as("comp"))
-          .cache()
+          .localCheckpoint(true)
         done = next.join(comp.withColumnRenamed("comp", "old"), "id")
           .filter(col("comp") < col("old")).isEmpty
-        // next is materialized by the probe; the previous round's
-        // cached snapshot is dead — drop it so 60+ copies of comp do
-        // not pile up in storage memory over the loop
-        if (prev != null) prev.unpersist()
-        prev = next
         comp = next
         iter += 1
       }

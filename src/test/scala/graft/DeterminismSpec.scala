@@ -54,11 +54,17 @@ class DeterminismSpec extends SparkSpec {
         else 1e-6
       def run(parts: Int): Array[Row] = {
         // Drop cached subtrees (.cache() inside minhash/simhash/langid/
-        // IVF plans) so BOTH executions recompute from source — without
-        // this the second run replays the first run's cache and the
+        // IVF plans) AND the session-scoped dedup pair-graph artifacts
+        // so BOTH executions recompute from source — without this the
+        // second run replays the first run's cache/artifact and the
         // partition-layout invariance is vacuous for those queries.
+        // This double-run-with-clear sweep is also what pins the
+        // SparkEntry scaladoc's cache-ownership contract: the registry
+        // run twice in ONE session, caches dropped between, must
+        // produce identical results (round-4 verdict item 7).
         s.catalog.clearCache()
         graft.operators.LimeOps.clearStatsCache()
+        graft.operators.LlmData.clearDedupArtifacts()
         s.conf.set("spark.sql.shuffle.partitions", parts.toString)
         fn(s, dir).collect()
       }

@@ -151,4 +151,93 @@ class ScaleOpsSpec extends SparkSpec {
         plain.orderBy("l_orderkey").collect().map(_.toString).toSeq)
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  // ===== forced-scale runs: the distributed/banded branches the
+  // fixture gates never take, exercised at non-toy size every build
+  // (round-4 verdict item 4) =====
+
+  test("distributed connected components at 100k+ edges (forced zero driver budget)") {
+    import graft.operators.LlmData
+    val s = spark
+    // 100k disjoint 2-node components (ids 2i—2i+1) plus one 256-node
+    // chain (diameter 255 — the shape that needs pointer halving's
+    // O(log d) rounds; naive propagation would take 255).
+    val pairEdges = s.range(100000)
+      .select((col("id") * 2).as("a_id"), (col("id") * 2 + 1).as("b_id"))
+    val chainBase = 1000000L
+    val chainEdges = s.range(255)
+      .select((col("id") + chainBase).as("a_id"), (col("id") + chainBase + 1).as("b_id"))
+    val edges = pairEdges.unionByName(chainEdges)
+    val t0 = System.nanoTime()
+    val out = LlmData.clusterPairs(edges, s, driverEdgeMax = 0).cache()
+    val n = out.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"distributed closure over ${100255} edges: $n vertices in $secs%.1f s")
+    assert(n == 200256L)
+    // every pair vertex landed in its own even-rooted 2-cluster...
+    val badPairs = out.filter(col("doc_id") < 2 * 100000)
+      .filter(col("cluster_id") =!= col("doc_id") - pmod(col("doc_id"), lit(2)) ||
+        col("cluster_size") =!= 2)
+      .count()
+    assert(badPairs == 0, s"$badPairs pair vertices mis-clustered")
+    // ...and the whole chain collapsed to its min label
+    val chain = out.filter(col("doc_id") >= chainBase)
+    assert(chain.filter(col("cluster_id") =!= chainBase || col("cluster_size") =!= 256)
+      .count() == 0, "chain component mis-clustered")
+    out.unpersist()
+    assert(secs < 180, f"distributed closure too slow: $secs%.1f s")
+  }
+
+  test("LSH-banded embed path above the exact gate: 40k vectors, planted near-dups") {
+    import graft.operators.LlmData
+    val s = spark
+    import s.implicits._
+    // 40k (> EmbExactGate) deterministic gaussian vectors; ids < 2000
+    // pair up as (base, base + 3% noise) — cosine ≈ 0.9995, squarely
+    // in the production near-dup regime the τ=0.9 derivation serves.
+    val nVecs = 40000
+    val emb = s.range(nVecs).as[Long].mapPartitions(_.map { id =>
+      val isDup = id < 2000 && id % 2 == 1
+      val baseId = if (isDup) id - 1 else id
+      val rnd = new java.util.Random(0xC0FFEE ^ baseId)
+      val v = Array.fill(64)(rnd.nextGaussian())
+      if (isDup) {
+        val nr = new java.util.Random(0xBEEF ^ id)
+        var i = 0
+        while (i < 64) { v(i) += 0.03 * nr.nextGaussian(); i += 1 }
+      }
+      (id, v)
+    }).toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(graft.functions.VectorExprs.dotF64(col("v"), col("v"))))
+    val tables = LlmData.lshTablesFor(0.9, LlmData.EmbScaleBits, LlmData.EmbLshRecallTarget)
+    val t0 = System.nanoTime()
+    val found = LlmData.embNearDupLsh(emb, 0.9, LlmData.EmbScaleBits, tables.toInt, LlmData.EmbLshSeed)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"banded path over $nVecs vectors, $tables tables: ${found.size} pairs in $secs%.1f s")
+    // miss probability per planted pair ≈ (1-p¹⁶)^36 ≈ 1e-31 at
+    // cosine 0.9995 — all 1000 must surface
+    val planted = (0 until 1000).map(i => (2L * i, 2L * i + 1)).toSet
+    val missed = planted.diff(found)
+    assert(missed.isEmpty, s"missed ${missed.size} planted near-identical pairs")
+    assert(secs < 180, f"banded path too slow: $secs%.1f s")
+  }
+
+  test("qDedupEmbed refuses the banded path at near-threshold tau above the gate") {
+    import graft.operators.LlmData
+    val s = spark
+    // a >32k-vector corpus at the registered τ=0.4: no sub-quadratic
+    // banding exists there, so the build must fail fast with the
+    // derivation — never run at a few-percent recall (round-4 advice)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-embgate-").toString
+    s.range(40000).select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), i -> cast(rand(7) as float))").as("embedding"),
+        lit(0).as("label"))
+      .write.mode("overwrite").parquet(tmp + "/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      LlmData.qDedupEmbed(s, tmp)
+    }
+    assert(e.getMessage.contains("raise tau"),
+      s"wrong failure message: ${e.getMessage}")
+  }
 }
