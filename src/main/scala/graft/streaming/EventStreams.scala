@@ -108,7 +108,8 @@ object EventStreams {
             var st = state.getOption.getOrElse(FunnelState(None, None, None))
             val done0 = st.purchaseUs.isDefined
             // process in event-time order for correct funnel ordering
-            evs.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+            val sorted = evs.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+            sorted.foreach { e =>
               val us = tsMicros(e.ts)
               e.event_type match {
                 case "signup" if st.signupUs.isEmpty => st = st.copy(signupUs = Some(us))
@@ -120,7 +121,18 @@ object EventStreams {
               }
             }
             state.update(st)
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 24L * 3600 * 1000)
+            // anchor the 24 h retention to the group's LAST ACTIVITY,
+            // not the watermark alone: in the first micro-batch the
+            // watermark is still 0 (it advances after a batch), so a
+            // watermark-relative timeout would land in 1970 and the
+            // first real watermark advance would evict every batch-1
+            // user — stream-initial users would silently lose their
+            // funnel (caught by the multi-trigger soak in
+            // StreamingSpec). max() keeps the timeout valid (it must
+            // exceed the current watermark) without shortening it.
+            val lastMs = sorted.last.ts.getTime
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), lastMs) + 24L * 3600 * 1000)
             if (!done0 && st.purchaseUs.isDefined)
               Iterator(FunnelOut(uid, st.signupUs.get, st.clickUs.get, st.purchaseUs.get))
             else Iterator.empty
