@@ -875,6 +875,41 @@ object LlmData {
     byLabel.join(centroid, "label").orderBy("label")
   }
 
+  /** Symmetric int8 quantization of the embedding column — the
+    * standard vector-compression step before shipping an ANN index
+    * (4× smaller vectors, SIMD-friendly integer dot products). Per
+    * vector: scale = max|x|/127, qᵢ = round(xᵢ/scale) ∈ [−127, 127],
+    * plus exact integer checksums (Σq, Σ|q|, max|q|) and the decimal-
+    * firewalled dequantization L1 error.
+    *
+    * Scale shape: a PURE narrow projection — every statistic is
+    * computed per row with array higher-order functions, so the plan
+    * is scan → project with ZERO shuffles and no join at any corpus
+    * size (quantization is embarrassingly per-row). The rounding is
+    * the portable DECIMAL(18,0) cast (double→int casts differ between
+    * engines); error terms are rounded to 1e-9 per element and summed
+    * as exact decimals, so the DuckDB oracle matches bit-for-bit.
+    */
+  def qEmbQuantize(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", expr("array_max(transform(v, x -> abs(x))) / 127"))
+      .withColumn("qv", expr(
+        "transform(v, x -> CASE WHEN scale > 0 THEN CAST(CAST(x / scale AS DECIMAL(18,0)) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"))
+      .select(
+        col("vec_id"),
+        expr("CAST(size(v) AS BIGINT)").as("n_dims"),
+        round(col("scale"), 6).as("scale_r"),
+        expr("aggregate(qv, CAST(0 AS BIGINT), (acc, q) -> acc + q)").as("q_sum"),
+        expr("aggregate(qv, CAST(0 AS BIGINT), (acc, q) -> acc + abs(q))").as("q_l1"),
+        expr("array_max(transform(qv, q -> abs(q)))").as("q_max_abs"),
+        round(expr(
+          """CAST(aggregate(
+            |  zip_with(v, qv, (x, q) -> CAST(round(abs(x - q * scale), 9) AS DECIMAL(18,9))),
+            |  CAST(0 AS DECIMAL(28,9)),
+            |  (acc, e) -> CAST(acc + e AS DECIMAL(28,9))) AS DOUBLE)""".stripMargin), 6).as("err_l1"))
+      .orderBy("vec_id")
+
   // ===== text analysis =====
 
   private val stopwords = Seq("the", "a")
@@ -1835,6 +1870,24 @@ object LlmData {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_emb_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+        |), a AS (
+        |  SELECT vec_id, MAX(ABS(x)) / 127 AS scale FROM e GROUP BY vec_id
+        |), q AS (
+        |  SELECT e.vec_id, x, scale,
+        |    CASE WHEN scale > 0 THEN CAST(CAST(x / scale AS DECIMAL(18,0)) AS BIGINT) ELSE 0 END AS qv
+        |  FROM e JOIN a ON e.vec_id = a.vec_id
+        |)
+        |SELECT vec_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_dims,
+        |  ROUND(MAX(scale), 6) AS scale_r,
+        |  CAST(CAST(SUM(qv) AS HUGEINT) AS BIGINT) AS q_sum,
+        |  CAST(CAST(SUM(ABS(qv)) AS HUGEINT) AS BIGINT) AS q_l1,
+        |  CAST(MAX(ABS(qv)) AS BIGINT) AS q_max_abs,
+        |  ROUND(CAST(SUM(CAST(ROUND(ABS(x - qv * scale), 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS err_l1
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q_mm_features" ->
       """WITH e AS (
         |  SELECT vec_id, unnest(embedding) AS x FROM embeddings
@@ -2260,6 +2313,7 @@ object LlmData {
     "q_text_winnow" -> (qTextWinnow _),
     "q_dedup_winnow" -> (qDedupWinnow _),
     "q_mm_features" -> (qMmFeatures _),
+    "q_emb_quantize" -> (qEmbQuantize _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_quality_gopher" -> (qQualityGopher _),
     "q_text_repetition" -> (qTextRepetition _),
