@@ -22,7 +22,23 @@ object Bench {
     // table is materialized once per pipeline run, then composed).
     graft.operators.LimeOps.clearStatsCache()
     graft.operators.LlmData.clearDedupArtifacts()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // The shared dedup pair graphs are built HERE as their own named
+    // entries, so every dedup consumer's number is an isolated-cold
+    // read of the materialized artifact — not order-dependent on which
+    // consumer happens to run first and absorb the build (the
+    // one-time build cost stays visible in the total, pinned to these
+    // two rows instead of a map-order-dependent query).
+    val artifacts = Seq(
+      "artifact_text_pairs" -> (() => graft.operators.LlmData.dedupPairs(spark, sfDir)),
+      "artifact_embed_pairs" -> (() => graft.operators.LlmData.embedPairs(spark, sfDir))
+    ).map { case (name, build) =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val ok = try { build().count(); true } catch { case _: Throwable => false }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) elapsed else -elapsed)
+    }
+    val results = artifacts ++ SparkEntry.queries.map { case (name, fn) =>
       // Per-query cache isolation: every cached DataFrame subtree
       // (minhash signatures, packed bitsets, shingle tables, …) is
       // internal to one query, so dropping them between queries makes
@@ -43,7 +59,7 @@ object Bench {
       .mkString("{", ",", "}")
     // abs: a failed query's negative marker must not LOWER the total —
     // a fast failure would otherwise read as a speedup
-    val total = if (results.nonEmpty) results.values.map(math.abs).sum else 0.0
+    val total = if (results.nonEmpty) results.map(r => math.abs(r._2)).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BitsetIntersectCount, DotProductF64, HyperplaneSigs, MinhashSignature, PackedCharBigrams, SimHash64, WinnowFingerprints, WordBigramShingles}
+import graft.functions.{BitsetIntersectCount, DotProductF64, HyperplaneSigs, KarpRabinHash, MinhashSignature, PackedCharBigrams, SimHash64, WinnowFingerprints, WordBigramShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so `SELECT dot_f64(a, b)` works from
@@ -52,6 +52,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WinnowFingerprints(one("winnow_fingerprints")(children))))
+    ext.injectFunction((
+      FunctionIdentifier("karp_rabin_hash"),
+      new ExpressionInfo(classOf[KarpRabinHash].getName, "karp_rabin_hash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KarpRabinHash(one("karp_rabin_hash")(children))))
     ext.injectFunction((
       FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_signature"),

@@ -227,29 +227,60 @@ case class WinnowFingerprints(child: Expression)
     copy(child = newChild)
 }
 
-/** All 32 min-hash values of a shingle array — see
-  * TextKernels.minhashSignature. Output element type is nullable:
-  * empty shingle sets produce null minima like the
-  * array_min(transform(...)) form it replaces.
+/** Whole-string Karp-Rabin (base-256 mod 1e9+7) hash — see
+  * TextKernels.hornerModHash. The engine-portable document
+  * fingerprint: the same residue arithmetic is a one-line
+  * list_reduce in ANSI-ish SQL, so the oracle recomputes it exactly
+  * where xxhash64 cannot be cross-checked.
   */
-case class MinhashSignature(child: Expression)
+case class KarpRabinHash(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.StringType
+  override def dataType: DataType = LongType
+  override def prettyName: String = "karp_rabin_hash"
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${t.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.hornerModHash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextKernels.hornerModHash($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): KarpRabinHash =
+    copy(child = newChild)
+}
+
+/** The k min-hash values of a shingle array (32 by default — the
+  * SQL-registered unary form) — see TextKernels.minhashSignature.
+  * Output element type is nullable: empty shingle sets produce null
+  * minima like the array_min(transform(...)) form it replaces.
+  */
+case class MinhashSignature(child: Expression, k: Int = 32)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.sql.types.StringType
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "minhash_signature"
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
-      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(StringType, _) if k > 0 => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a positive permutation count, got $k")
       case t => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires an array<string> argument, got ${t.sql}")
     }
 
   override def nullSafeEval(input: Any): Any =
-    TextKernels.minhashSignature(input.asInstanceOf[ArrayData])
+    TextKernels.minhashSignature(input.asInstanceOf[ArrayData], k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s =>
-      s"${ev.value} = graft.functions.TextKernels.minhashSignature($s);")
+      s"${ev.value} = graft.functions.TextKernels.minhashSignature($s, $k);")
 
   override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
     copy(child = newChild)
@@ -331,7 +362,11 @@ object VecKernels {
   // (reads stay lock-free on the immutable snapshot; only the rare
   // insert synchronizes).
   private val MaxPlaneSets = 8
-  private val MaxPlaneDoubles = 1 << 20
+  // visible to embedPairs' feasibility require, which pre-checks the
+  // tables×bits×dim product against this budget so an infeasible
+  // (τ, dim) combination fails with the derivation and remediation
+  // instead of the generic plane-budget message deep in codegen
+  private[graft] val MaxPlaneDoubles = 1 << 20
   @volatile private var planeCache: Map[(Long, Int, Int, Int), Array[Double]] = Map.empty
 
   private[functions] def planes(seed: Long, tables: Int, bits: Int, dim: Int): Array[Double] =
@@ -431,25 +466,62 @@ object TextKernels {
     new GenericArrayData(arr)
   }
 
-  // MinHash parameters — MUST match qDedupMinhash's 32-perm scheme
-  // (prefix "mh<i>:"); ExtensionsSpec pins this kernel against the
-  // array(array_min(transform(...xxhash64...))) expression it replaces.
-  private val MhK = 32
-  private val MhPrefixes: Array[Array[Byte]] =
-    Array.tabulate(MhK)(i => s"mh$i:".getBytes("UTF-8"))
+  /** Whole-string Karp-Rabin hash by Horner's scheme over the same
+    * (base 256, mod 1e9+7) residue arithmetic as the winnowing
+    * k-gram hashes: h = fold(0, (a, c) → (a·256 + c) mod M). Callers
+    * sanitize to ASCII first (same reason as winnowFingerprints:
+    * per-char iteration must agree with DuckDB's per-codepoint
+    * string_split), and every intermediate stays under 2⁶³
+    * (a < M ⇒ a·256 + c < 2.6·10¹¹). The portable whole-document
+    * fingerprint — unlike xxhash64, reproducible in any engine with
+    * int64 arithmetic.
+    */
+  def hornerModHash(s: UTF8String): Long = {
+    val js = s.toString
+    var h = 0L
+    var i = 0
+    while (i < js.length) { h = (h * 256L + js.charAt(i)) % WinM; i += 1 }
+    h
+  }
 
-  /** All 32 min-hash values of a shingle array in one pass: for each
+  // MinHash parameters — the 32-perm default MUST match qDedupMinhash's
+  // scheme (prefix "mh<i>:"); ExtensionsSpec pins this kernel against
+  // the array(array_min(transform(...xxhash64...))) expression it
+  // replaces. Other permutation counts (the derived-band scale path)
+  // share the same prefix family, so perm i hashes identically at any
+  // k — a k=64 signature's first 32 minima equal the k=32 signature.
+  private val MhK = 32
+  // per-k prefix memo, same bounded-reset discipline as planeCache
+  @volatile private var mhPrefixCache: Map[Int, Array[Array[Byte]]] =
+    Map(MhK -> Array.tabulate(MhK)(i => s"mh$i:".getBytes("UTF-8")))
+  private val MaxMhPrefixSets = 8
+
+  private def mhPrefixes(k: Int): Array[Array[Byte]] =
+    mhPrefixCache.getOrElse(k, {
+      val arr = Array.tabulate(k)(i => s"mh$i:".getBytes("UTF-8"))
+      synchronized {
+        if (mhPrefixCache.size >= MaxMhPrefixSets) mhPrefixCache = Map.empty
+        mhPrefixCache += k -> arr
+      }
+      arr
+    })
+
+  def minhashSignature(shingles: ArrayData): ArrayData =
+    minhashSignature(shingles, MhK)
+
+  /** All k min-hash values of a shingle array in one pass: for each
     * permutation i, min over shingles of xxhash64('mh<i>:' || shingle)
     * (Spark's XxHash64, seed 42, over the concatenated UTF-8 bytes).
-    * Empty shingle arrays yield 32 nulls, exactly like
+    * Empty shingle arrays yield k nulls, exactly like
     * array_min(transform([], ...)); null ELEMENTS are skipped, exactly
     * like the chain (xxhash64(null) = null, which array_min ignores) —
     * the function is SQL-registered, so arbitrary user arrays with
     * null entries must not throw.
     */
-  def minhashSignature(shingles: ArrayData): ArrayData = {
+  def minhashSignature(shingles: ArrayData, k: Int): ArrayData = {
+    val prefixes = mhPrefixes(k)
     val n = shingles.numElements()
-    val mins = Array.fill(MhK)(Long.MaxValue)
+    val mins = Array.fill(k)(Long.MaxValue)
     var buf = new Array[Byte](64)
     var sawValue = false
     var i = 0
@@ -459,8 +531,8 @@ object TextKernels {
       sawValue = true
       val sh = shingles.getUTF8String(i).getBytes
       var j = 0
-      while (j < MhK) {
-        val p = MhPrefixes(j)
+      while (j < k) {
+        val p = prefixes(j)
         val len = p.length + sh.length
         if (buf.length < len) buf = new Array[Byte](len * 2)
         System.arraycopy(p, 0, buf, 0, p.length)
@@ -473,7 +545,7 @@ object TextKernels {
       i += 1
       }
     }
-    if (!sawValue) return new GenericArrayData(new Array[Any](MhK)) // nulls
+    if (!sawValue) return new GenericArrayData(new Array[Any](k)) // nulls
     new GenericArrayData(mins.map(x => x: Any))
   }
 
@@ -551,8 +623,11 @@ object VectorExprs {
   def winnowFingerprints(s: Column): Column =
     GraftColumnShim.column(WinnowFingerprints(GraftColumnShim.expression(s)))
 
-  def minhashSignature(shingles: Column): Column =
-    GraftColumnShim.column(MinhashSignature(GraftColumnShim.expression(shingles)))
+  def karpRabinHash(s: Column): Column =
+    GraftColumnShim.column(KarpRabinHash(GraftColumnShim.expression(s)))
+
+  def minhashSignature(shingles: Column, k: Int = 32): Column =
+    GraftColumnShim.column(MinhashSignature(GraftColumnShim.expression(shingles), k))
 
   def simhash64(s: Column): Column =
     GraftColumnShim.column(SimHash64(GraftColumnShim.expression(s)))

@@ -225,6 +225,57 @@ class ExtensionsSpec extends SparkSpec {
     assert(e4.getMessage.contains("must fit in an Int"), e4.getMessage)
   }
 
+  test("karp_rabin_hash matches the aggregate-fold expression form on the fixture") {
+    import org.apache.spark.sql.functions._
+    // the portable whole-document fingerprint: Horner fold over ASCII
+    // codes with the winnowing constants (base 256, mod 1e9+7) — the
+    // same residue arithmetic the DuckDB oracle recomputes with
+    // list_reduce, so this pins the kernel against the pure-SQL chain
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("at", regexp_replace(lower(trim(col("text"))), "[^\\x00-\\x7f]", "?"))
+    val viaKernel = docs.select(col("doc_id"),
+      graft.functions.VectorExprs.karpRabinHash(col("at")).as("fp"))
+    val viaLambdas = docs.select(col("doc_id"), expr(
+      "aggregate(transform(split(at, ''), x -> CAST(ascii(x) AS BIGINT)), " +
+        "0L, (a, x) -> (a * 256 + x) % 1000000007)").as("fp"))
+    val a = viaKernel.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = viaLambdas.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.length == b.length && a.length > 0)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("karp_rabin_hash callable from SQL, hand-computed values and edge cases") {
+    val r = spark.sql(
+      "SELECT karp_rabin_hash('abc'), karp_rabin_hash(''), " +
+      "karp_rabin_hash(CAST(NULL AS STRING))").head()
+    // 'abc' = ((97*256 + 98)*256 + 99) mod 1e9+7 = 6382179 (no wrap)
+    assert(r.getLong(0) == 6382179L)
+    assert(r.getLong(1) == 0L, "empty string folds to the seed 0")
+    assert(r.isNullAt(2), "null input stays null")
+    // non-string argument rejected at analysis time
+    val e = intercept[Exception] { spark.sql("SELECT karp_rabin_hash(7)").head() }
+    assert(e.getMessage.contains("karp_rabin_hash"), e.getMessage)
+  }
+
+  test("minhash_signature(k): first 32 minima of a wider signature equal the k=32 form") {
+    import org.apache.spark.sql.functions._
+    // the per-permutation prefix family is shared across k (perm i
+    // hashes identically at any k) — the property the banded scale
+    // path relies on when it derives a band count above 16
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("norm_text", lower(trim(col("text"))))
+      .select(graft.functions.VectorExprs.wordBigramShingles(col("norm_text")).as("shingles"))
+    val both = docs.select(
+      graft.functions.VectorExprs.minhashSignature(col("shingles"), 64).as("wide"),
+      graft.functions.VectorExprs.minhashSignature(col("shingles")).as("narrow"))
+      .collect()
+    assert(both.length > 0)
+    both.foreach { r =>
+      assert(r.getSeq[Any](0).take(32) == r.getSeq[Any](1),
+        "k=64 signature's first 32 perms diverged from the k=32 signature")
+    }
+  }
+
   test("minhash_signature: null array elements are skipped like the xxhash chain") {
     val r = spark.sql(
       "SELECT minhash_signature(array('ab cd', CAST(NULL AS STRING), 'ef gh'))," +

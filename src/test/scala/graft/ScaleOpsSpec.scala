@@ -223,6 +223,103 @@ class ScaleOpsSpec extends SparkSpec {
     assert(secs < 180, f"banded path too slow: $secs%.1f s")
   }
 
+  test("banded text pair path above the exact gate: 50k docs, output equals exact") {
+    import graft.operators.LlmData
+    val s = spark
+    import s.implicits._
+    // 50k synthetic shingle sets; doc pairs (2i, 2i+1) for i < 1000
+    // share 30 of their 32 shingles — Jaccard 30/34 ≈ 0.882, squarely
+    // the near-dup regime. All other vocab is per-doc-unique, so the
+    // EXACT pair set is precisely the 1000 planted pairs, and the
+    // miss probability of the recall-derived banding (34 two-row
+    // bands at τ=0.3) is (1 − 0.882²)^34 ≈ 5·10⁻²³ per pair —
+    // deterministic equality in practice (and xxhash64 is seeded, so
+    // no run-to-run flake either way).
+    val nDocs = 50000
+    val sh = s.range(nDocs).select(col("id").as("doc_id"),
+      expr("""CASE WHEN id < 2000
+              |  THEN concat(
+              |    transform(sequence(0, 29), j -> concat('p', CAST(id DIV 2 AS STRING), '_', CAST(j AS STRING))),
+              |    transform(sequence(0, 1),  j -> concat('u', CAST(id AS STRING), '_', CAST(j AS STRING))))
+              |  ELSE transform(sequence(0, 31), j -> concat('u', CAST(id AS STRING), '_', CAST(j AS STRING)))
+              |END""".stripMargin).as("shingles"))
+      .withColumn("sz", size(col("shingles")))
+    val exact = LlmData.jaccardPairs(sh, 0.3, s)
+      .collect().map(_.toString).sorted.toSeq
+    val t0 = System.nanoTime()
+    val banded = LlmData.textPairsBanded(sh, 0.3, s)
+      .collect().map(_.toString).sorted.toSeq
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"banded text path over $nDocs docs: ${banded.length} pairs in $secs%.1f s")
+    assert(exact.length == 1000, s"exact oracle should be the planted set, got ${exact.length}")
+    assert(banded == exact, "banded pair graph diverged from the exact pair graph")
+    assert(secs < 180, f"banded text path too slow: $secs%.1f s")
+    // and the artifact routing honors the gate: above it, textPairs
+    // takes the banded path (same planted output); at harness scale it
+    // stays exact (oracle semantics — CORRECTNESS is unchanged)
+    val routed = LlmData.textPairs(sh, 0.3, s, nDocs = nDocs.toLong, exactGate = 1000L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(routed == exact, "textPairs above-gate routing diverged")
+    assert(LlmData.TextExactGate > 500L,
+      "harness-scale corpora must stay on the exact (oracle) path")
+  }
+
+  test("textPairsBanded fails fast when tau is too low to band efficiently") {
+    import graft.operators.LlmData
+    val s = spark
+    // τ far below the banding S-curve: the recall-derived band count
+    // exceeds MhMaxBands and the builder must fail with the derivation
+    // (mirror of the embed path's raise-tau contract), never run at
+    // silent under-recall
+    val sh = s.range(4).select(col("id").as("doc_id"),
+      expr("transform(sequence(0, 3), j -> CAST(j AS STRING))").as("shingles"))
+      .withColumn("sz", size(col("shingles")))
+    val e = intercept[IllegalArgumentException] {
+      LlmData.textPairsBanded(sh, 0.05, s)
+    }
+    assert(e.getMessage.contains("raise tau"), e.getMessage)
+    // derivation sanity at the operating points: τ=0.3 → 34 bands
+    // (within budget), and detection at the fixture's weakest
+    // qualifying pair is effectively certain
+    assert(LlmData.mhBandsFor(0.3, LlmData.MhBandRows, LlmData.MhRecallTarget) == 34L)
+  }
+
+  test("skewed-graph closure: 100k-spoke hub + long chain, O(log d) rounds") {
+    import graft.operators.LlmData
+    val s = spark
+    // the two adversarial shapes for the distributed closure: a hub
+    // vertex with 10⁵ spokes (one hot key in every label join — the
+    // shape AQE skew handling must absorb) forming a 100_001-member
+    // mega-cluster, plus a 4096-node chain (diameter 4095 — the shape
+    // that forces pointer halving's O(log d) rounds)
+    val hubEdges = s.range(100000)
+      .select(lit(0L).as("a_id"), (col("id") + 1).as("b_id"))
+    val chainBase = 10000000L
+    val chainEdges = s.range(4095)
+      .select((col("id") + chainBase).as("a_id"), (col("id") + chainBase + 1).as("b_id"))
+    val edges = hubEdges.unionByName(chainEdges)
+    val t0 = System.nanoTime()
+    val out = LlmData.clusterPairs(edges, s, driverEdgeMax = 0).cache()
+    val n = out.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val rounds = LlmData.lastClosureRounds
+    info(f"skewed closure: $n vertices, $rounds rounds, $secs%.1f s")
+    assert(n == 104097L)
+    // pointer-halving bound on the worst component (chain, d = 4095):
+    // ⌈log₂ 4095⌉ + 2 = 14 rounds
+    assert(rounds <= 14, s"closure took $rounds rounds — pointer halving regressed")
+    // hub: every spoke labeled by the hub vertex, one 100_001 cluster
+    val hub = out.filter(col("doc_id") < chainBase)
+    assert(hub.filter(col("cluster_id") =!= 0L || col("cluster_size") =!= 100001L)
+      .count() == 0, "hub mega-cluster mis-labeled")
+    // chain: collapsed to its min vertex
+    val chain = out.filter(col("doc_id") >= chainBase)
+    assert(chain.filter(col("cluster_id") =!= chainBase || col("cluster_size") =!= 4096L)
+      .count() == 0, "chain component mis-clustered")
+    out.unpersist()
+    assert(secs < 300, f"skewed closure too slow: $secs%.1f s")
+  }
+
   test("qDedupEmbed refuses the banded path at near-threshold tau above the gate") {
     import graft.operators.LlmData
     val s = spark

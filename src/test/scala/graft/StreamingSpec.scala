@@ -345,6 +345,77 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup soak: dropDuplicatesWithinWatermark state evicts expired keys across triggers") {
+    val s = spark
+    import s.implicits._
+    val stream = MemoryStream[Ev](s)
+    val df = stream.toDF()
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val q = EventStreams.dedup(df).writeStream.format("memory")
+      .queryName("soak_dedup").outputMode("append").start()
+    try {
+      // trigger 1: 60 distinct (user, type) keys in the first minutes
+      stream.addData((1 to 60).map(i => Ev(i, ts(i % 8), i.toLong, "click")))
+      q.processAllAvailable()
+      val s1 = stateRows(q)
+      // trigger 2: hour 2 — watermark moves ~110 min past every
+      // trigger-1 event, so those keys leave the 10-min retention
+      stream.addData((101 to 105).map(i => Ev(i, ts(120 + i % 5), i.toLong, "click")))
+      q.processAllAvailable()
+      // trigger 3: hour 4 — trigger-2 keys expire in turn (state is
+      // dropped entering the trigger, after the watermark advanced)
+      stream.addData(Seq(Ev(999, ts(240), 999L, "click")))
+      q.processAllAvailable()
+      val s3 = stateRows(q)
+      info(s"dedup state rows: after trigger1=$s1, after trigger3=$s3")
+      assert(s1 >= 60, s"expected >= 60 dedup state keys after trigger 1, got $s1")
+      assert(s3 <= 10,
+        s"dedup state not bounded by watermark: $s3 rows for ~1 in-watermark key (66 keys seen)")
+      // and every emitted event_id is still unique — eviction must not
+      // re-admit duplicates of rows that were emitted in-watermark
+      val n = s.sql("SELECT count(DISTINCT event_id) c, count(*) n FROM soak_dedup").head()
+      assert(n.getLong(0) == n.getLong(1), "duplicate event rows in the soak output")
+    } finally q.stop()
+  }
+
+  test("late-watermark soak: stragglers dropped across 3+ triggers, closed windows final") {
+    val s = spark
+    import s.implicits._
+    val stream = MemoryStream[Ev](s)
+    val df = stream.toDF()
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val q = EventStreams.tumble(df).writeStream.format("memory")
+      .queryName("soak_late").outputMode("append").start()
+    try {
+      // trigger 1: [0h,1h) gets 2 events; the 2h05 event moves the
+      // watermark to 1h55 after the batch, closing [0h,1h)
+      stream.addData(Seq(Ev(1, ts(5), 1, "click"), Ev(2, ts(10), 2, "click"),
+        Ev(3, ts(125), 3, "click")))
+      q.processAllAvailable()
+      // trigger 2: one straggler for the closed [0h,1h) window (must
+      // drop) and a 4h05 event pushing the watermark to 3h55
+      stream.addData(Seq(Ev(4, ts(15), 4, "click"), Ev(5, ts(245), 5, "click")))
+      q.processAllAvailable()
+      // trigger 3: stragglers for BOTH closed windows ([0h,1h) and
+      // [2h,3h)) — the watermark only ever advances, so both drop
+      stream.addData(Seq(Ev(6, ts(20), 6, "click"), Ev(7, ts(130), 7, "click"),
+        Ev(8, ts(500), 8, "click")))
+      q.processAllAvailable()
+      // trigger 4: close everything still open
+      stream.addData(Seq(Ev(9, ts(800), 9, "click")))
+      q.processAllAvailable()
+      val out = s.table("soak_late")
+        .select(col("hour_start").cast("string"), col("n_events")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(out("2024-01-01 00:00:00") == 2L,
+        s"straggler leaked into the closed [0h,1h) window: $out")
+      assert(out("2024-01-01 02:00:00") == 1L,
+        s"straggler leaked into the closed [2h,3h) window: $out")
+      // every in-watermark event landed exactly once
+      assert(out("2024-01-01 04:00:00") == 1L && out("2024-01-01 08:00:00") == 1L, s"$out")
+    } finally q.stop()
+  }
+
   test("funnel soak: flatMapGroupsWithState evicts timed-out users across triggers") {
     val s = spark
     import s.implicits._
