@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BitsetIntersectCount, DotProductF64, HyperplaneSigs, KarpRabinHash, MinhashSignature, PackedCharBigrams, SimHash64, WinnowFingerprints, WordBigramShingles}
+import graft.functions.{BitsetIntersectCount, DotProductF64, HyperplaneSigs, KarpRabinHash, MinhashSignature, PackedCharBigrams, SimHash64, SimHashPortable, WinnowFingerprints, WordBigramShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so `SELECT dot_f64(a, b)` works from
@@ -67,6 +67,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHash64(one("simhash64")(children))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_portable"),
+      new ExpressionInfo(classOf[SimHashPortable].getName, "simhash_portable"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHashPortable(one("simhash_portable")(children))))
     ext.injectFunction((
       FunctionIdentifier("hyperplane_sigs"),
       new ExpressionInfo(classOf[HyperplaneSigs].getName, "hyperplane_sigs"),

@@ -310,6 +310,35 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** 60-bit engine-portable SimHash of an ASCII-sanitized text — see
+  * TextKernels.simhashPortable. The oracle-gradable twin of simhash64:
+  * word hashes are two packed Karp-Rabin residues instead of xxhash64,
+  * so DuckDB can rebuild the identical signature (and hence the
+  * identical near-dup pair set) from the raw text.
+  */
+case class SimHashPortable(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.StringType
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_portable"
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${t.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.simhashPortable(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextKernels.simhashPortable($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashPortable =
+    copy(child = newChild)
+}
+
 /** All `tables` hyperplane-LSH band signatures of a dense double
   * vector in one pass — see VecKernels.hyperplaneSigs. The plane set
   * is derived deterministically from (seed, tables, bits, dim), so the
@@ -587,6 +616,62 @@ object TextKernels {
     sim
   }
 
+  /** 60-bit ENGINE-PORTABLE SimHash of an ASCII-sanitized text: per
+    * non-empty space-separated word occurrence, the word's hash packs
+    * two MIXED Karp-Rabin residues side by side — r1/r2 are Horner
+    * folds (base 256 mod 1e9+7 / base 131 mod 1e9+9), then
+    * h1 = (r1·2654435761 + r2) mod 1073741789 and
+    * h2 = (r2·2654435789 + r1) mod 1073741789 (Knuth multiplicative
+    * mixing; both < 2³⁰ so bits 0..29 and 30..59 never overlap) —
+    * voting +1/−1 per bit; bit set iff its vote sum is strictly
+    * positive. The mixing matters: a plain Horner fold of a short word
+    * ("a" → 97) leaves its high bits zero, giving every signature the
+    * same cold bits and collapsing Hamming distances corpus-wide
+    * (measured 3.7× more ≤-threshold pairs without it). Unlike
+    * simhash64's xxhash64 word hash, the whole chain is exact int64
+    * arithmetic in DuckDB (two list_reduce + two mults), so the pair
+    * set is oracle-gradable. Callers sanitize to ASCII first (same
+    * reason as winnowFingerprints: per-char iteration must agree with
+    * DuckDB's per-codepoint string_split). Every intermediate stays
+    * under 2⁶³ (r < 2³⁰ ⇒ r·2654435789 + r < 2.9·10¹⁸).
+    */
+  def simhashPortable(s: UTF8String): Long = {
+    val js = s.toString
+    val votes = new Array[Int](60)
+    val n = js.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || js.charAt(i) == ' ') {
+        if (i > start) {
+          var r1 = 0L
+          var r2 = 0L
+          var p = start
+          while (p < i) {
+            val c = js.charAt(p).toLong
+            r1 = (r1 * 256L + c) % 1000000007L
+            r2 = (r2 * 131L + c) % 1000000009L
+            p += 1
+          }
+          val h1 = (r1 * 2654435761L + r2) % 1073741789L
+          val h2 = (r2 * 2654435789L + r1) % 1073741789L
+          val h = h1 | (h2 << 30)
+          var j = 0
+          while (j < 60) {
+            if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+            j += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 60) { if (votes(j) > 0) sim |= 1L << j; j += 1 }
+    sim
+  }
+
   def wordBigramShingles(s: UTF8String): ArrayData = {
     // limit -1: KEEP trailing empty tokens, matching Spark's
     // split(s, " ") (limit defaults to -1) on which the oracles'
@@ -631,6 +716,9 @@ object VectorExprs {
 
   def simhash64(s: Column): Column =
     GraftColumnShim.column(SimHash64(GraftColumnShim.expression(s)))
+
+  def simhashPortable(s: Column): Column =
+    GraftColumnShim.column(SimHashPortable(GraftColumnShim.expression(s)))
 
   def hyperplaneSigs(v: Column, seed: Long, tables: Int, bits: Int, dim: Int): Column =
     GraftColumnShim.column(HyperplaneSigs(GraftColumnShim.expression(v), seed, tables, bits, dim))

@@ -309,6 +309,58 @@ object LlmData {
     dedupPairs(s, dir).orderBy("a_id", "b_id")
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) ≥ 0.8
+    * over word-bigram shingle sets — the "one document contains the
+    * other" case (quote inclusion, page-within-crawl, boilerplate
+    * wrapping) that symmetric Jaccard misses entirely: a short doc
+    * embedded verbatim in a long one has containment 1.0 but Jaccard
+    * |A|/|B| ≈ 0, so it never enters the jac ≥ 0.3 pair graph.
+    *
+    * Candidate generation is the standard containment-join prefix
+    * filter (Vernica et al. SIGMOD'10 family), applied to the SMALLER
+    * side only: if |A| ≤ |B| and |A∩B| ≥ ⌈τ·|A|⌉, any
+    * |A| − ⌈τ·|A|⌉ + 1 tokens of A must intersect B — so each doc
+    * joins only its ⌊(1−τ)·|A|⌋ + 1 globally-rarest shingles (df
+    * ascending — the order that minimizes candidates) against the full
+    * token table, never token × token. Candidates are verified exactly
+    * with one array_intersect per pair. At 100 TB the candidate route
+    * composes with the banded minhash artifact exactly as the Jaccard
+    * family's declared scale path; the verify step is unchanged.
+    */
+  def qDedupContain(s: SparkSession, dir: String): DataFrame = {
+    val tauC = 0.8
+    val sh = shingled(s, dir)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
+      .filter(col("sz") > 0)
+      .cache() // read by the token explode and both sides of the verify join
+    val tokens = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
+    val dfreq = tokens.groupBy("sh").agg(count(lit(1)).as("df"))
+    val ranked = tokens.join(dfreq, "sh")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+    // prefix length |A| − ⌈τ·|A|⌉ + 1: misses no pair with overlap ≥ ⌈τ·|A|⌉
+    val pref = ranked.filter(col("rk") <= col("sz") - ceil(col("sz") * tauC) + 1)
+    // the prefix rule holds for the smaller set, so join prefix(x) only
+    // against full token lists of docs at least as large (ties need one
+    // direction only — both sides emit prefixes, distinct dedupes)
+    val cand = pref.select(col("doc_id").as("x_id"), col("sz").as("x_sz"), col("sh"))
+      .join(tokens.select(col("doc_id").as("y_id"), col("sz").as("y_sz"), col("sh")), "sh")
+      .filter(col("x_sz") < col("y_sz") ||
+        (col("x_sz") === col("y_sz") && col("x_id") =!= col("y_id")))
+      .select(least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh"), col("sz").as("a_sz")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"), col("sz").as("b_sz")), "b_id")
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("containment",
+        round(col("inter") * lit(1.0) / least(col("a_sz"), col("b_sz")), 6))
+      .filter(col("containment") >= tauC)
+      .select("a_id", "b_id", "containment")
+      .orderBy("a_id", "b_id")
+  }
+
   /** Duplicate clustering: connected components over the near-dup
     * pair graph (transitive closure of q_dedup_jaccard), so a group of
     * mutually-similar documents collapses to one cluster — the step
@@ -634,21 +686,58 @@ object LlmData {
       .orderBy("a_id", "b_id")
   }
 
-  /** 64-bit SimHash over word occurrences; near-dup candidates found by
-    * matching one of four 16-bit chunks (banding), verified by Hamming
-    * distance <= 16.
+  /** ENGINE-PORTABLE 60-bit SimHash near-dup pairs, oracle-checked:
+    * per-word hashes are two packed Karp-Rabin residues (see
+    * TextKernels.simhashPortable) instead of xxhash64, so DuckDB can
+    * rebuild the identical signatures from the raw text and the graded
+    * contract is the full pair set — signature, banding and Hamming
+    * verify all reproduced exactly by the oracle. Candidates found by
+    * matching one of four 15-bit chunks, verified by Hamming ≤ 15
+    * (the 16/64 threshold rescaled to the 60-bit space). The banding
+    * is part of the declared semantics (a pair must share a chunk),
+    * exactly as the oracle's band predicate mirrors. The xxhash64 form
+    * lives on as the documented 64-bit-space scale variant
+    * (qDedupSimhashXxhash — collision headroom past ~√M word hashes).
     */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    // One compiled SimHash64 kernel per ROW — no word explode, no
-    // 64-column vote aggregate, no shuffle before the band join
+    // One compiled SimHashPortable kernel per ROW — no word explode,
+    // no 60-column vote aggregate, no shuffle before the band join
     // (ExtensionsSpec pins the kernel against that vote pipeline).
     // The norm_text filter reproduces the old pipeline's absence of
-    // zero-word docs (norm_text is pre-trimmed, so empty ⇔ no words).
+    // zero-word docs (norm_text is pre-trimmed, so empty ⇔ no words);
+    // ASCII sanitation as in qTextFingerprint keeps per-char
+    // iteration in lockstep with DuckDB's per-codepoint split.
+    val sims = docsNorm(s, dir)
+      .filter(col("norm_text") =!= "")
+      .withColumn("at", regexp_replace(col("norm_text"), "[^\\x00-\\x7f]", "?"))
+      .select(col("doc_id"),
+        graft.functions.VectorExprs.simhashPortable(col("at")).as("simhash"))
+      .cache() // per-doc 60-bit hash: read by both sides of the band join
+    val chunks = sims.select(col("doc_id"), col("simhash"),
+      posexplode(expr("transform(sequence(0, 3), c -> shiftright(simhash, c * 15) & 32767)")))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    val a = chunks.select(col("doc_id").as("a_id"), col("simhash").as("a_sim"), col("chunk"), col("chunk_val"))
+    val b = chunks.select(col("doc_id").as("b_id"), col("simhash").as("b_sim"), col("chunk"), col("chunk_val"))
+    a.join(b, Seq("chunk", "chunk_val")).filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", expr("bit_count(a_sim ^ b_sim)"))
+      .filter(col("hamming") <= 15)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** The 64-bit-space SimHash variant (xxhash64 word hashes, 16-bit
+    * chunks, Hamming ≤ 16) — what a production pipeline would run at
+    * 100 TB for word-hash collision headroom. Not oracle-gradable
+    * (no engine-portable xxhash64); kernel equivalence and collision
+    * behavior are pinned by ExtensionsSpec / LlmDataSpec.
+    */
+  private[graft] def qDedupSimhashXxhash(s: SparkSession, dir: String): DataFrame = {
     val sims = docsNorm(s, dir)
       .filter(col("norm_text") =!= "")
       .select(col("doc_id"),
         graft.functions.VectorExprs.simhash64(col("norm_text")).as("simhash"))
-      .cache() // per-doc 64-bit hash: read by both sides of the band join
+      .cache()
     val chunks = sims.select(col("doc_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535)")))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
@@ -1067,6 +1156,43 @@ object LlmData {
             |  CAST(0 AS DECIMAL(28,9)),
             |  (acc, e) -> CAST(acc + e AS DECIMAL(28,9))) AS DOUBLE)""".stripMargin), 6).as("err_l1"))
       .orderBy("vec_id")
+
+  /** Nearest-centroid assignment (the k-means E-step / classify-by-
+    * prototype primitive): per-label centroids from exact per-dimension
+    * decimal sums (the qEmbNormOps firewall — no cross-row double
+    * accumulation), then every vector assigned to its closest centroid
+    * by squared euclidean distance computed per row in index order
+    * (identical IEEE-754 op sequence in both engines; ties broken by
+    * centroid label). True label rides along, so the output doubles as
+    * a cluster-purity/confusion readout.
+    *
+    * Scale shape: the centroid table is k × d — tiny at any corpus —
+    * and ships as one broadcast; assignment is crossJoin(broadcast) +
+    * per-vector argmin window over N·k compact rows, the IVF
+    * coarse-assign idiom (see qSimIvfAnn). No data×data join; at
+    * 100 TB the window collapses to a mapPartitions argmin over the
+    * broadcast centroids.
+    */
+  def qEmbAssign(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir).select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val perDim = emb.select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col").cast("decimal(18,9)")).as("sx"), count(lit(1)).as("cnt"))
+    val cents = perDim
+      .withColumn("c", col("sx").cast("double") / col("cnt"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cv"))
+      .select(col("label").as("c_label"), col("cv"))
+    val wA = Window.partitionBy("vec_id").orderBy(col("d2"), col("c_label"))
+    emb.crossJoin(broadcast(cents))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(v, cv, (x, c) -> (x - c) * (x - c)), CAST(0 AS DOUBLE), (a, e) -> a + e)"))
+      .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("c_label").as("assigned"),
+        round(sqrt(col("d2")), 6).as("dist"))
+      .orderBy("vec_id")
+  }
 
   // ===== text analysis =====
 
@@ -1522,6 +1648,35 @@ object LlmData {
       .select(col("source"), col("n_docs"), col("n_tokens"),
         round(col("n_tokens") * lit(1.0) / col("t"), 6).as("tok_share"),
         round(least(col("t") * lit(1.0) / (col("nsrc") * col("n_tokens")), lit(5.0)), 6).as("weight"))
+      .orderBy("source")
+  }
+
+  /** Temperature-scaled source mixture (the multilingual/multi-source
+    * upsampling rule: sample source s with probability ∝ p_s^α,
+    * α = 1/T — here T = 2, the flatten-the-tail setting): per-source
+    * exact token counts, raw share, temperature share and the
+    * resulting boost factor over proportional sampling. Engine-
+    * portable by construction: the α-power weight is
+    * floor(sqrt(n_tokens)) — IEEE-754 sqrt is correctly rounded, so
+    * both engines floor the identical double to the identical long —
+    * and the weights are summed as exact longs; doubles appear only in
+    * the final identical-in-both-engines ratios (the q_mix_weights
+    * firewall, extended to a fractional power). One aggregation + a
+    * broadcast scalar row: scale-safe at any corpus (source count is
+    * the only materialized dimension).
+    */
+  def qMixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val per = docsNorm(s, dir)
+      .select(col("source"), size(expr(wordsExpr)).as("ntok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).cast("long").as("n_tokens"))
+      .withColumn("aw", floor(sqrt(col("n_tokens"))).cast("long"))
+    val tot = per.agg(sum(col("n_tokens")).as("t"), sum(col("aw")).as("z"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") * lit(1.0) / col("t"), 6).as("raw_share"),
+        round(col("aw") * lit(1.0) / col("z"), 6).as("temp_share"),
+        round((col("aw") * lit(1.0) / col("z")) / (col("n_tokens") * lit(1.0) / col("t")), 6).as("boost"))
       .orderBy("source")
   }
 
@@ -2176,6 +2331,48 @@ object LlmData {
     "q_dedup_minhash" ->
       s"""WITH $jaccardPairCtes
          |SELECT a_id, b_id, jac FROM pairs ORDER BY a_id, b_id""".stripMargin,
+    // Rebuilds the ENTIRE portable-simhash pipeline — per-word mixed
+    // Karp-Rabin hashes, 60-bit vote signature, 15-bit chunk banding,
+    // Hamming ≤ 15 verify — in exact int64 arithmetic, so the graded
+    // contract is the full pair set, not a recall property. Constants
+    // mirror TextKernels.simhashPortable (pinned by ExtensionsSpec).
+    "q_dedup_simhash" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(regexp_replace(lower(trim(text)), '[^\x00-\x7f]', '?', 'g'), ' '), x -> x <> '')) AS word
+        |  FROM documents WHERE trim(text) <> ''
+        |), r AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(word, ''), x -> CAST(ord(x) AS BIGINT))),
+        |      (a, c) -> (a * 256 + c) % 1000000007) AS r1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(word, ''), x -> CAST(ord(x) AS BIGINT))),
+        |      (a, c) -> (a * 131 + c) % 1000000009) AS r2
+        |  FROM w
+        |), wh AS (
+        |  SELECT doc_id,
+        |    ((r1 * 2654435761 + r2) % 1073741789)
+        |      | (((r2 * 2654435789 + r1) % 1073741789) << 30) AS h
+        |  FROM r
+        |), v AS (
+        |  SELECT doc_id, b.bit, SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+        |  FROM wh CROSS JOIN (SELECT unnest(range(60)) AS bit) b
+        |  GROUP BY doc_id, b.bit
+        |), sig AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE CAST(0 AS BIGINT) END) AS sh
+        |  FROM v GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE ((a.sh >> 0) & 32767 = (b.sh >> 0) & 32767
+        |    OR (a.sh >> 15) & 32767 = (b.sh >> 15) & 32767
+        |    OR (a.sh >> 30) & 32767 = (b.sh >> 30) & 32767
+        |    OR (a.sh >> 45) & 32767 = (b.sh >> 45) & 32767)
+        |  AND bit_count(xor(a.sh, b.sh)) <= 15
+        |ORDER BY a_id, b_id""".stripMargin,
     "q_dedup_winnow" ->
       s"""$winnowFpSql
          |, rare AS (
@@ -2233,6 +2430,25 @@ object LlmData {
     "q_dedup_jaccard" ->
       s"""WITH $jaccardPairCtes
         |SELECT a_id, b_id, jac FROM pairs ORDER BY a_id, b_id""".stripMargin,
+    // Exact containment over the same shingle CTEs as the Jaccard
+    // family (DuckDB needs no candidate filter — the prefix filter is
+    // the Spark side's scale optimization, provably lossless, so both
+    // engines produce the identical verified pair set).
+    "q_dedup_contain" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1])) AS shingles
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents)
+        |), ex AS (
+        |  SELECT doc_id, unnest(shingles) AS sh, len(shingles) AS sz FROM sh
+        |)
+        |SELECT a_id, b_id, containment FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    ROUND(COUNT(*) * 1.0 / LEAST(ANY_VALUE(a.sz), ANY_VALUE(b.sz)), 6) AS containment
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |) WHERE containment >= 0.8 ORDER BY a_id, b_id""".stripMargin,
     "q_dedup_apply" ->
       s"""WITH RECURSIVE $jaccardPairCtes,
         |$ccCtes, winners AS (
@@ -2316,6 +2532,32 @@ object LlmData {
         |)
         |SELECT byl.label AS label, n_vecs, avg_norm, centroid_norm
         |FROM byl JOIN cen ON byl.label = cen.label ORDER BY byl.label""".stripMargin,
+    // Same decimal-sum centroid as q_emb_norm_ops; the distance sum
+    // runs in index order with a prepended 0.0 accumulator, matching
+    // Spark's aggregate(zip_with(...)) fold exactly, so d2 (and the
+    // argmin tie order) are bit-identical across engines.
+    "q_emb_assign" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |perdim AS (
+        |  SELECT label, i, SUM(CAST(e[i] AS DECIMAL(18,9))) AS sx, COUNT(*) AS cnt
+        |  FROM v, unnest(generate_series(1, 64)) AS t(i)
+        |  GROUP BY label, i
+        |), cen AS (
+        |  SELECT label AS c_label, list(CAST(sx AS DOUBLE) / cnt ORDER BY i) AS cv
+        |  FROM perdim GROUP BY label
+        |), d AS (
+        |  SELECT vec_id, label, c_label,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, 64), i -> (e[i] - cv[i]) * (e[i] - cv[i]))),
+        |      (a, b) -> a + b) AS d2
+        |  FROM v CROSS JOIN cen
+        |), r AS (
+        |  SELECT vec_id, label, c_label, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+        |  FROM d
+        |)
+        |SELECT vec_id, label, c_label AS assigned, ROUND(sqrt(d2), 6) AS dist
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q_text_tokens" ->
       s"""SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT word) AS n_distinct,
         |  ROUND(CAST(SUM(CAST(LENGTH(word) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_len
@@ -2392,6 +2634,25 @@ object LlmData {
         |  ROUND(n_tokens * 1.0 / t, 6) AS tok_share,
         |  ROUND(LEAST(t * 1.0 / (nsrc * n_tokens), 5.0), 6) AS weight
         |FROM per, tot ORDER BY source""".stripMargin,
+    // floor(sqrt()) of a BIGINT is the identical long in both engines
+    // (IEEE-754 sqrt is correctly rounded); the weight sum is exact
+    // long arithmetic, so only the final ratios are doubles — the
+    // q_mix_weights float firewall extended to a fractional power.
+    "q_mix_temperature" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1
+        |), a AS (
+        |  SELECT *, CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS aw FROM per
+        |), tot AS (
+        |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS t, CAST(SUM(aw) AS BIGINT) AS z FROM a
+        |)
+        |SELECT source, n_docs, n_tokens,
+        |  ROUND(n_tokens * 1.0 / t, 6) AS raw_share,
+        |  ROUND(aw * 1.0 / z, 6) AS temp_share,
+        |  ROUND((aw * 1.0 / z) / (n_tokens * 1.0 / t), 6) AS boost
+        |FROM a, tot ORDER BY source""".stripMargin,
     "q_src_csv" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
@@ -2510,6 +2771,7 @@ object LlmData {
     "q_text_tokcount" -> (qTextTokcount _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
+    "q_dedup_contain" -> (qDedupContain _),
     "q_dedup_cluster" -> (qDedupCluster _),
     "q_dedup_apply" -> (qDedupApply _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -2521,6 +2783,7 @@ object LlmData {
     "q_sim_ivf_ann" -> (qSimIvfAnn _),
     "q_sim_ivf2_ann" -> (qSimIvf2Ann _),
     "q_emb_norm_ops" -> (qEmbNormOps _),
+    "q_emb_assign" -> (qEmbAssign _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_tfidf" -> (qTextTfidf _),
     "q_text_quality" -> (qTextQuality _),
@@ -2538,6 +2801,7 @@ object LlmData {
     "q_text_chunk" -> (qTextChunk _),
     "q_text_novelty" -> (qTextNovelty _),
     "q_mix_weights" -> (qMixWeights _),
+    "q_mix_temperature" -> (qMixTemperature _),
     "q_src_csv" -> (qSrcCsv _),
     "q_src_jsonl" -> (qSrcJsonl _),
     "q_src_orc" -> (qSrcOrc _),

@@ -145,18 +145,59 @@ class ExtensionsSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("simhash_portable matches the explode + 60-column vote aggregate") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // fixture rows pin the edge cases: tie votes (bit cleared), runs of
+    // spaces (empty words skipped), single word, non-ASCII sanitized
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("norm_text", lower(trim(col("text"))))
+      .select("doc_id", "norm_text")
+      .unionByName(Seq((90001L, "tie tie"), (90002L, "a  b "), (90003L, "solo"))
+        .toDF("doc_id", "norm_text"))
+      .filter(col("norm_text") =!= "")
+      .withColumn("at", regexp_replace(col("norm_text"), "[^\\x00-\\x7f]", "?"))
+    val viaKernel = docs.select(col("doc_id"),
+      graft.functions.VectorExprs.simhashPortable(col("at")).as("simhash"))
+    // the mixed Karp-Rabin word hash spelled out as builtin expressions
+    // — the same arithmetic the DuckDB oracle runs, so this pin is what
+    // keeps kernel and oracle in lockstep
+    val words = docs
+      .select(col("doc_id"), explode(split(col("at"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .withColumn("r1", expr(
+        "aggregate(split(word, ''), CAST(0 AS BIGINT), (a, c) -> (a * 256 + ascii(c)) % 1000000007)"))
+      .withColumn("r2", expr(
+        "aggregate(split(word, ''), CAST(0 AS BIGINT), (a, c) -> (a * 131 + ascii(c)) % 1000000009)"))
+      .withColumn("h", expr(
+        "((r1 * 2654435761 + r2) % 1073741789) | (((r2 * 2654435789 + r1) % 1073741789) << 30)"))
+    val voteCols = (0 until 60).map(j =>
+      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"v$j"))
+    val viaAgg = words.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _).as("simhash"))
+    val a = viaKernel.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = viaAgg.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("winnow_fingerprints / minhash_signature / simhash64 callable from SQL") {
     val r = spark.sql(
       """SELECT size(winnow_fingerprints('abcdefghijklmnop')) AS w,
         |       size(minhash_signature(array('a b', 'b c'))) AS m,
-        |       simhash64('hello world') AS s""".stripMargin).head()
+        |       simhash64('hello world') AS s,
+        |       simhash_portable('hello world') AS sp""".stripMargin).head()
     assert(r.getInt(0) > 0)      // 16 chars -> at least one anchor
     assert(r.getInt(1) == 32)    // always 32 permutation minima
     // same value as the Column-API kernel on the same input
     import org.apache.spark.sql.functions._
     val s2 = spark.range(1).select(
-      graft.functions.VectorExprs.simhash64(lit("hello world")).as("s")).head().getLong(0)
-    assert(r.getLong(2) == s2)
+      graft.functions.VectorExprs.simhash64(lit("hello world")).as("s"),
+      graft.functions.VectorExprs.simhashPortable(lit("hello world")).as("sp")).head()
+    assert(r.getLong(2) == s2.getLong(0))
+    assert(r.getLong(3) == s2.getLong(1))
+    assert((r.getLong(3) >> 60) == 0L) // portable signature uses bits 0..59 only
   }
 
   test("registered functions reject wrong arity at analysis time") {

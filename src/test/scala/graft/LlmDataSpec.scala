@@ -75,6 +75,116 @@ class LlmDataSpec extends SparkSpec {
       s"simhash found $hit of ${exact.size} strong near-dups")
   }
 
+  test("containment: prefix-filtered pairs equal driver-side brute force") {
+    val got = LlmData.qDedupContain(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // brute force from first principles (same tokenizer/shingles)
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingles(t: String): Set[String] = {
+      val w = t.trim.toLowerCase.split(" ", -1)
+      if (w.length < 2) Set.empty
+      else w.sliding(2).map(_.mkString(" ")).toSet
+    }
+    val sh = docs.map { case (id, t) => id -> shingles(t) }.filter(_._2.nonEmpty).sortBy(_._1)
+    val expect = (for {
+      i <- sh.indices; j <- (i + 1) until sh.length
+      (aId, aSh) = sh(i); (bId, bSh) = sh(j)
+      inter = aSh.intersect(bSh).size
+      c = inter.toDouble / math.min(aSh.size, bSh.size)
+      if math.rint(c * 1e6) / 1e6 >= 0.8
+    } yield (aId, bId)).toSet
+    assert(got.map(t => (t._1, t._2)).toSet == expect,
+      s"pair sets differ: got ${got.length}, expect ${expect.size}")
+    got.foreach { case (a, b, c) => assert(c >= 0.8 && c <= 1.0, s"($a,$b) containment $c") }
+  }
+
+  test("containment catches a contained doc that jaccard misses") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-contain-").toString
+    // doc1's 5 words are a verbatim prefix of 20-word doc0: containment
+    // = 1.0, but jaccard = 4/19 ≈ 0.21 — under the 0.3 pair threshold
+    val long0 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val short1 = (1 to 5).map(i => s"w$i").mkString(" ")
+    val other2 = (21 to 40).map(i => s"x$i").mkString(" ")
+    Seq((0L, long0, "en", "s0", long0.length.toLong),
+        (1L, short1, "en", "s0", short1.length.toLong),
+        (2L, other2, "en", "s1", other2.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    val contain = LlmData.qDedupContain(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(contain.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0),
+      s"contained doc not found: ${contain.toSeq}")
+    val jac = LlmData.qDedupJaccard(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((0L, 1L)),
+      "fixture invalid: jaccard should miss the contained doc")
+    LlmData.clearDedupArtifacts()
+  }
+
+  test("mix temperature: shares sum to 1, flattens toward uniform") {
+    val rows = LlmData.qMixTemperature(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val raw = rows.map(_.getDouble(3))
+    val temp = rows.map(_.getDouble(4))
+    assert(math.abs(raw.sum - 1.0) < 1e-3, s"raw shares sum ${raw.sum}")
+    assert(math.abs(temp.sum - 1.0) < 1e-3, s"temp shares sum ${temp.sum}")
+    // alpha = 1/2 flattens: the smallest source gains share, the
+    // largest loses it (boost ordering is monotone in size)
+    val smallest = rows.minBy(_.getLong(2))
+    val largest = rows.maxBy(_.getLong(2))
+    assert(smallest.getDouble(5) >= largest.getDouble(5),
+      s"boost not monotone: small ${smallest.getDouble(5)} vs large ${largest.getDouble(5)}")
+    assert(smallest.getDouble(4) >= smallest.getDouble(3) - 1e-9, "smallest source should gain share")
+    assert(largest.getDouble(4) <= largest.getDouble(3) + 1e-9, "largest source should lose share")
+  }
+
+  test("emb assign matches driver-side brute-force argmin") {
+    val rows = LlmData.qEmbAssign(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    val vecs = Tables.embeddings(spark, dir).select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    // centroids with the decimal(18,9) firewall semantics
+    val byLabel = vecs.groupBy(_._2)
+    val cents = byLabel.map { case (l, vs) =>
+      val d = vs.head._3.length
+      val c = (0 until d).map { i =>
+        val sx = vs.map(v => BigDecimal(v._3(i)).setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum
+        sx.toDouble / vs.length
+      }.toArray
+      l -> c
+    }
+    val expect = vecs.map { case (id, l, v) =>
+      val best = cents.toSeq.map { case (cl, c) =>
+        var d2 = 0.0
+        var i = 0
+        while (i < v.length) { val e = v(i) - c(i); d2 += e * e; i += 1 }
+        (cl, d2)
+      }.minBy { case (cl, d2) => (d2, cl) }
+      (id, l, best._1, math.rint(math.sqrt(best._2) * 1e6) / 1e6)
+    }.sortBy(_._1)
+    assert(rows.length == expect.length)
+    rows.zip(expect).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._3 == e._3, s"assignment differs: $g vs $e")
+      assert(math.abs(g._4 - e._4) < 1e-6, s"dist differs: $g vs $e")
+    }
+  }
+
+  test("simhash xxhash64 scale variant: deterministic, finds strong near-dups") {
+    val p1 = LlmData.qDedupSimhashXxhash(spark, dir).collect().toSeq
+    val p2 = LlmData.qDedupSimhashXxhash(spark, dir).collect().toSeq
+    assert(p1 == p2, "xxhash simhash pairs drifted between runs")
+    val exact = LlmData.qDedupJaccard(spark, dir)
+      .filter("jac >= 0.8").select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = p1.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = exact.count(sim.contains)
+    assert(exact.isEmpty || hit.toDouble / exact.size >= 0.8,
+      s"xxhash simhash found $hit of ${exact.size} strong near-dups")
+  }
+
   test("LSH ANN: recall >= 0.5 of brute-force top-10 neighbors") {
     val exact = LlmData.qSimTopkCosine(spark, dir)
       .select("probe_id", "vec_id")
