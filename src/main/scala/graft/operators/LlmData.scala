@@ -328,32 +328,59 @@ object LlmData {
     * family's declared scale path; the verify step is unchanged.
     */
   def qDedupContain(s: SparkSession, dir: String): DataFrame = {
+    // Vocabulary-adaptive like jaccardPairs, and for the same reason:
+    // in a DENSE vocabulary (the harness corpus — every pair shares
+    // shingles) no candidate filter can prune, so the right physical
+    // plan is the packed-bitset popcount block-NL (shared machinery,
+    // containment emit bound I ≥ τ'·min). In a SPARSE vocabulary (the
+    // 100 TB shape) the asymmetric prefix filter prunes to O(planted)
+    // candidates — the 50k-doc ScaleOpsSpec case pins that path.
+    // Measured before the gate: the prefix join alone was 21.6 s at
+    // sf0.1 (word-soup df defeats any rarest-first ordering); the
+    // popcount path runs the same corpus in well under a second.
     val tauC = 0.8
     val sh = shingled(s, dir)
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
       .filter(col("sz") > 0)
       .cache() // read by the token explode and both sides of the verify join
     val tokens = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
-    val dfreq = tokens.groupBy("sh").agg(count(lit(1)).as("df"))
-    val ranked = tokens.join(dfreq, "sh")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
-    // prefix length |A| − ⌈τ·|A|⌉ + 1: misses no pair with overlap ≥ ⌈τ·|A|⌉
-    val pref = ranked.filter(col("rk") <= col("sz") - ceil(col("sz") * tauC) + 1)
-    // the prefix rule holds for the smaller set, so join prefix(x) only
-    // against full token lists of docs at least as large (ties need one
-    // direction only — both sides emit prefixes, distinct dedupes)
-    val cand = pref.select(col("doc_id").as("x_id"), col("sz").as("x_sz"), col("sh"))
-      .join(tokens.select(col("doc_id").as("y_id"), col("sz").as("y_sz"), col("sh")), "sh")
-      .filter(col("x_sz") < col("y_sz") ||
-        (col("x_sz") === col("y_sz") && col("x_id") =!= col("y_id")))
-      .select(least(col("x_id"), col("y_id")).as("a_id"),
-        greatest(col("x_id"), col("y_id")).as("b_id"))
-      .distinct()
-    cand
-      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh"), col("sz").as("a_sz")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"), col("sz").as("b_sz")), "b_id")
-      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .cache() // read by the gate aggregate, dfreq, prefix and candidate join
+    val vocab = tokens.select("sh").distinct()
+    val gate = tokens.agg(
+      countDistinct(col("sh")).as("v"),
+      countDistinct(col("doc_id")).as("nd")).head()
+    val (v, nDocs) = (gate.getLong(0).toInt, gate.getLong(1))
+    val verified =
+      if (v <= DenseVocabMax &&
+          nDocs * ((v + 63) / 64).toLong <= DenseBitsetBudgetLongs) {
+        popcountPairs(packedBitsets(sh, tokens, vocab, v), tauC - 1e-6,
+          PopcountContainment, s)
+      } else {
+        val dfreq = tokens.groupBy("sh").agg(count(lit(1)).as("df"))
+        val ranked = tokens.join(dfreq, "sh")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+        // prefix length |A| − ⌈τ·|A|⌉ + 1: misses no pair with
+        // overlap ≥ ⌈τ·|A|⌉
+        val pref = ranked.filter(col("rk") <= col("sz") - ceil(col("sz") * tauC) + 1)
+        // the prefix rule holds for the smaller set, so join prefix(x)
+        // only against full token lists of docs at least as large
+        // (ties need one direction only — both sides emit prefixes,
+        // distinct dedupes)
+        val cand = pref.select(col("doc_id").as("x_id"), col("sz").as("x_sz"), col("sh"))
+          .join(tokens.select(col("doc_id").as("y_id"), col("sz").as("y_sz"), col("sh")), "sh")
+          .filter(col("x_sz") < col("y_sz") ||
+            (col("x_sz") === col("y_sz") && col("x_id") =!= col("y_id")))
+          .select(least(col("x_id"), col("y_id")).as("a_id"),
+            greatest(col("x_id"), col("y_id")).as("b_id"))
+          .distinct()
+        cand
+          .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh"), col("sz").as("a_sz")), "a_id")
+          .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"), col("sz").as("b_sz")), "b_id")
+          .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+          .select("a_id", "b_id", "inter", "a_sz", "b_sz")
+      }
+    verified
       .withColumn("containment",
         round(col("inter") * lit(1.0) / least(col("a_sz"), col("b_sz")), 6))
       .filter(col("containment") >= tauC)
@@ -514,9 +541,101 @@ object LlmData {
     * the crossover, exposed so tests can force either path and assert
     * identical output.
     */
+  /** Emit predicates for popcountPairs: Jaccard (I·(1+τ') ≥ τ'·(a+b)
+    * ⇔ I/(a+b−I) ≥ τ') or containment (I ≥ τ'·min(a,b)). */
+  private[graft] val PopcountJaccard = 0
+  private[graft] val PopcountContainment = 1
+
+  /** Dense-vocabulary gate shared by the set-similarity pair builders:
+    * the packed-bitset path collects + broadcasts the full
+    * docs × ⌈V/64⌉ long bitset table, so it is gated on BOTH
+    * dimensions — a small vocabulary over a huge corpus would still
+    * materialize N × V/64 longs on the driver twice. Budget: 8M longs
+    * (64 MB). */
+  private[graft] val DenseVocabMax = 16384
+  private[graft] val DenseBitsetBudgetLongs = 8L << 20
+
+  /** The docs × ⌈V/64⌉ packed shingle bitsets of the dense-vocabulary
+    * gate path, shared by the Jaccard and containment pair builders.
+    * Per (doc, word): sum of distinct powers of two == bitwise OR
+    * (ids are distinct, so no carries), keeping the build inside hash
+    * aggregation; missing words fill with 0L. V is bounded by the
+    * gate, so the single-partition id window is fine. Cached: the
+    * pair join reads it twice and the build subtree is the expensive
+    * part.
+    */
+  private def packedBitsets(sh: DataFrame, tokens: DataFrame,
+                            vocab: DataFrame, v: Int): DataFrame = {
+    val nWords = (v + 63) / 64
+    val ids = vocab.withColumn("id", row_number().over(Window.orderBy("sh")) - 1)
+    tokens.join(broadcast(ids), "sh")
+      .groupBy(col("doc_id"), (col("id") / 64).cast("int").as("word"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(id % 64 AS INT))")).as("bits"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("word"), col("bits")))).as("m"))
+      .select(col("doc_id"),
+        expr(s"transform(sequence(0, ${nWords - 1}), w -> coalesce(element_at(m, w), CAST(0 AS BIGINT)))").as("bits"))
+      .join(broadcast(sh.select(col("doc_id"), col("sz"))), "doc_id")
+      .cache()
+  }
+
+  /** Block nested loop over PRIMITIVE packed-bitset arrays: the
+    * row-at-a-time BroadcastNestedLoopJoin materializes (or
+    * interpretedly re-evaluates) every one of the N²/2 candidate
+    * pairs; here the build side (N × V/64 longs — the same table BNLJ
+    * would broadcast) ships as one primitive long[][] and each task
+    * runs a tight JITed popcount loop, emitting ONLY pairs that can
+    * pass τ (small slack; callers re-apply the exact rounded filter).
+    * emitMode selects the metric's emit bound (PopcountJaccard /
+    * PopcountContainment — a primitive compared once per pair, so the
+    * branch predicts perfectly and the loop stays tight).
+    */
+  private def popcountPairs(packed: DataFrame, tauSlack: Double,
+                            emitMode: Int, s: SparkSession): DataFrame = {
+    val session = s
+    import session.implicits._
+    val bLocal = packed.select(col("doc_id"), col("bits"), col("sz"))
+      .as[(Long, Array[Long], Int)].collect().sortBy(_._1)
+    val bBc = s.sparkContext.broadcast(bLocal)
+    val p = s.sparkContext.defaultParallelism
+    // primitive local so the task closure captures a boolean, not the
+    // enclosing module
+    val jaccardMode = emitMode == PopcountJaccard
+    packed.select(col("doc_id"), col("bits"), col("sz"))
+      .repartition(p, col("doc_id"))
+      .as[(Long, Array[Long], Int)]
+      .mapPartitions { it =>
+        val bs = bBc.value
+        it.flatMap { case (aId, aBits, aSz) =>
+          // bs is sorted by doc_id: start past aId for the a<b half
+          var lo = 0; var hi = bs.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (bs(mid)._1 <= aId) lo = mid + 1 else hi = mid
+          }
+          val out = Iterator.range(lo, bs.length).flatMap { j =>
+            val (bId, bBits, bSz) = bs(j)
+            val n = math.min(aBits.length, bBits.length)
+            var inter = 0
+            var w = 0
+            while (w < n) {
+              inter += java.lang.Long.bitCount(aBits(w) & bBits(w)); w += 1
+            }
+            val pass =
+              if (jaccardMode)
+                inter * (1.0 + tauSlack) >= tauSlack * (aSz + bSz)
+              else inter >= tauSlack * math.min(aSz, bSz)
+            if (pass) Some((aId, bId, inter, aSz, bSz)) else None
+          }
+          out
+        }
+      }
+      .toDF("a_id", "b_id", "inter", "a_sz", "b_sz")
+  }
+
   private[graft] def jaccardPairs(shIn: DataFrame, tau: Double,
-                                  s: SparkSession, denseVocabMax: Int = 16384,
-                                  denseBitsetBudgetLongs: Long = 8L << 20): DataFrame = {
+                                  s: SparkSession, denseVocabMax: Int = DenseVocabMax,
+                                  denseBitsetBudgetLongs: Long = DenseBitsetBudgetLongs): DataFrame = {
     // The shingle table feeds the token explode AND (sparse path) both
     // sides of the verify join — without the cache the whole shingling
     // subtree re-executes per consumer (pitfall: DataFrame reuse
@@ -539,66 +658,8 @@ object LlmData {
     val verified =
       if (v <= denseVocabMax &&
           nDocs * ((v + 63) / 64).toLong <= denseBitsetBudgetLongs) {
-        val nWords = (v + 63) / 64
-        // V is bounded here, so the single-partition id window is fine.
-        val ids = vocab.withColumn("id", row_number().over(Window.orderBy("sh")) - 1)
-        // Per (doc, word): sum of distinct powers of two == bitwise OR
-        // (ids are distinct, so no carries), keeping the build inside
-        // hash aggregation. Missing words fill with 0L.
-        val packed = tokens.join(broadcast(ids), "sh")
-          .groupBy(col("doc_id"), (col("id") / 64).cast("int").as("word"))
-          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(id % 64 AS INT))")).as("bits"))
-          .groupBy("doc_id")
-          .agg(map_from_entries(collect_list(struct(col("word"), col("bits")))).as("m"))
-          .select(col("doc_id"),
-            expr(s"transform(sequence(0, ${nWords - 1}), w -> coalesce(element_at(m, w), CAST(0 AS BIGINT)))").as("bits"))
-          .join(broadcast(sh.select(col("doc_id"), col("sz"))), "doc_id")
-          // tiny (docs × V/64 longs); cached because the pair join
-          // reads it twice and the build subtree is the expensive part
-          .cache()
-        // Block nested loop over PRIMITIVE arrays: the row-at-a-time
-        // BroadcastNestedLoopJoin materializes (or interpretedly
-        // re-evaluates) every one of the N²/2 candidate pairs; here the
-        // build side (N × V/64 longs — the same table BNLJ would
-        // broadcast) ships as one primitive long[][] and each task
-        // runs a tight JITed popcount loop, emitting ONLY pairs that
-        // can pass τ (small slack; the exact rounded filter below is
-        // unchanged): I·(1+τ') ≥ τ'·(a+b) ⇔ I/(a+b−I) ≥ τ'.
-        val tauSlack = tau - 1e-6
-        val session = s
-        import session.implicits._
-        val bLocal = packed.select(col("doc_id"), col("bits"), col("sz"))
-          .as[(Long, Array[Long], Int)].collect().sortBy(_._1)
-        val bBc = s.sparkContext.broadcast(bLocal)
-        val p = s.sparkContext.defaultParallelism
-        packed.select(col("doc_id"), col("bits"), col("sz"))
-          .repartition(p, col("doc_id"))
-          .as[(Long, Array[Long], Int)]
-          .mapPartitions { it =>
-            val bs = bBc.value
-            it.flatMap { case (aId, aBits, aSz) =>
-              // bs is sorted by doc_id: start past aId for the a<b half
-              var lo = 0; var hi = bs.length
-              while (lo < hi) {
-                val mid = (lo + hi) >>> 1
-                if (bs(mid)._1 <= aId) lo = mid + 1 else hi = mid
-              }
-              val out = Iterator.range(lo, bs.length).flatMap { j =>
-                val (bId, bBits, bSz) = bs(j)
-                val n = math.min(aBits.length, bBits.length)
-                var inter = 0
-                var w = 0
-                while (w < n) {
-                  inter += java.lang.Long.bitCount(aBits(w) & bBits(w)); w += 1
-                }
-                if (inter * (1.0 + tauSlack) >= tauSlack * (aSz + bSz))
-                  Some((aId, bId, inter, aSz, bSz))
-                else None
-              }
-              out
-            }
-          }
-          .toDF("a_id", "b_id", "inter", "a_sz", "b_sz")
+        popcountPairs(packedBitsets(sh, tokens, vocab, v), tau - 1e-6,
+          PopcountJaccard, s)
       } else {
         val dfreq = tokens.groupBy("sh").agg(count(lit(1)).as("dfreq"))
         val w = Window.partitionBy("doc_id").orderBy("dfreq", "sh")

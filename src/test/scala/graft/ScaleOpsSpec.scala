@@ -264,6 +264,40 @@ class ScaleOpsSpec extends SparkSpec {
       "harness-scale corpora must stay on the exact (oracle) path")
   }
 
+  test("containment prefix filter at 50k docs: finds exactly the planted subset pairs") {
+    import graft.operators.LlmData
+    val s = spark
+    // 50k docs with per-doc-unique vocab except 1000 planted pairs
+    // (2i, 2i+1) where the odd doc's 9 words are a verbatim prefix of
+    // the even doc's 33 — bigrams(short) ⊂ bigrams(long), containment
+    // exactly 1.0 while Jaccard is 8/32 = 0.25, under the pair-graph
+    // τ. The prefix filter joins each doc's rarest ⌊0.2·sz⌋+1
+    // shingles only (planted shared bigrams have df=2, unique df=1),
+    // so the candidate set stays O(planted), never token × token.
+    val nDocs = 50000
+    val tmp = java.nio.file.Files.createTempDirectory("graft-contain50k-").toString
+    s.range(nDocs).select(col("id").as("doc_id"),
+      expr("""CASE WHEN id < 2000 AND id % 2 = 1
+              |  THEN array_join(transform(sequence(0, 8),  j -> concat('w', CAST(id DIV 2 AS STRING), '_', CAST(j AS STRING))), ' ')
+              |  WHEN id < 2000
+              |  THEN array_join(transform(sequence(0, 32), j -> concat('w', CAST(id DIV 2 AS STRING), '_', CAST(j AS STRING))), ' ')
+              |  ELSE array_join(transform(sequence(0, 32), j -> concat('u', CAST(id AS STRING), '_', CAST(j AS STRING))), ' ')
+              |END""".stripMargin).as("text"))
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    val t0 = System.nanoTime()
+    val found = LlmData.qDedupContain(s, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"containment over $nDocs docs: ${found.length} pairs in $secs%.1f s")
+    val planted = (0 until 1000).map(i => (2L * i, 2L * i + 1)).toSet
+    assert(found.map(p => (p._1, p._2)).toSet == planted,
+      s"pair set diverged: got ${found.length}, expected 1000 planted")
+    assert(found.forall(_._3 == 1.0), "planted containment must be exactly 1.0")
+    assert(secs < 180, f"containment prefix filter too slow: $secs%.1f s")
+  }
+
   test("textPairsBanded fails fast when tau is too low to band efficiently") {
     import graft.operators.LlmData
     val s = spark
