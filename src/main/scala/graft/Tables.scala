@@ -20,15 +20,25 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame       = t(s, dir, "part")
   def nation(s: SparkSession, dir: String): DataFrame     = t(s, dir, "nation")
   def region(s: SparkSession, dir: String): DataFrame     = t(s, dir, "region")
-  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 rejects by
-    * default. Read nanos as long and truncate to µs — the same value
-    * DuckDB produces when it reads the file (verified in FIXTURES.md).
+  /** events.ts has shipped as both TIMESTAMP(NANOS) (which Spark 4
+    * surfaces as long under `nanosAsLong`) and plain TIMESTAMP(MICROS)
+    * across harness data generations. Detect from the embedded schema:
+    * a long `ts` is nanos → truncate to µs (the same value DuckDB
+    * produces, verified in FIXTURES.md); a timestamp `ts` is used as-is.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.LongType
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // TIMESTAMP_NTZ generations: cast to TIMESTAMP(LTZ). The session
+      // timezone is pinned to UTC (Sessions.local), so the cast is
+      // wall-clock identity and downstream unix_micros()/window() code
+      // sees the same type every generation.
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame  = t(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")

@@ -23,11 +23,19 @@ object EventStreams {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // streaming source needs an explicit schema (pre-ts-conversion)
     // FileStreamSource wants a directory; glob the single harness file
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
     val raw = s.readStream
-      .schema(s.read.parquet(s"$dir/events.parquet").schema)
+      .schema(schema)
       .option("basePath", dir)
       .parquet(s"$dir/events*.parquet")
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // schema-generation adaptivity mirrors Tables.events: long ts is
+    // nanos (truncate to µs), timestamp ts is already µs
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // NTZ → LTZ: wall-clock identity under the pinned UTC session tz
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   def tumble(events: DataFrame): DataFrame =
