@@ -1741,6 +1741,98 @@ object LlmData {
       .orderBy("source")
   }
 
+  /** Per-dimension embedding health profile — the dead/drifted-dimension
+    * check run before training on a new embedding snapshot: count, mean,
+    * variance, min, max for each of the 64 dimensions. Sums fold as
+    * exact decimals (the float→DECIMAL(18,9) cast parity proven by the
+    * centroid operators; the square is exact decimal×decimal, so Σx and
+    * Σx² are order-free), doubles only in the final identical ratios.
+    * One posexplode + one k-key agg with map-side partials: the shuffle
+    * carries k·P partial rows (k = 64 dims) at ANY corpus size.
+    */
+  def qEmbDimStats(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+      .select(posexplode(col("embedding").cast("array<double>")))
+      .select(col("pos").as("dim"), col("col").cast("decimal(18,9)").as("xd"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xd")).as("sx"),
+        sum(col("xd") * col("xd")).as("sxx"),
+        min(col("xd")).cast("double").as("min_v"),
+        max(col("xd")).cast("double").as("max_v"))
+      .select(col("dim"), col("n"),
+        round(col("sx").cast("double") / col("n"), 6).as("mean_v"),
+        round(col("sxx").cast("double") / col("n") -
+          (col("sx").cast("double") / col("n")) * (col("sx").cast("double") / col("n")), 6).as("var_v"),
+        col("min_v"), col("max_v"))
+      .orderBy("dim")
+
+  /** Collocation mining: pointwise mutual information of adjacent word
+    * pairs — the phrase-vocabulary signal ("new york" behaves as one
+    * token) used when sizing a tokenizer merge list. All counts are
+    * exact longs; the PMI argument is one double ratio of exact-int
+    * products (< 2^53, so every intermediate is exact) and the LN +
+    * ROUND(6) firewall is the one q_text_tfidf proved cross-engine.
+    * Two token-keyed shuffles (bigram counts, unigram counts), two
+    * word-keyed joins on the ALREADY-AGGREGATED count tables (vocab-
+    * sized, not corpus-sized), then a global top-50 via TakeOrdered —
+    * no full sort at any corpus size.
+    */
+  def qTextPmi(s: SparkSession, dir: String): DataFrame = {
+    // cached: the tokenized docs feed the unigram stream twice (counts
+    // + total) and the bigram stream once
+    val base = docsNorm(s, dir)
+      .withColumn("ws", expr(wordsExpr)).select("doc_id", "ws").cache()
+    val words = base.select(explode(col("ws")).as("w"))
+    val uni = words.groupBy("w").agg(count(lit(1)).as("cw"))
+    val ttot = words.agg(count(lit(1)).as("t"))
+    val bgAll = base.select(explode(bigramsOf(col("ws"))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cb"))
+      .cache() // read twice: total bigram mass + thresholded pairs
+    val btot = bgAll.agg(sum(col("cb")).as("btot"))
+    val w = Window.orderBy(col("pmi").desc, col("bg"))
+    bgAll.filter(col("cb") >= 5)
+      .withColumn("w1", split(col("bg"), " ")(0))
+      .withColumn("w2", split(col("bg"), " ")(1))
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+      .crossJoin(broadcast(ttot)).crossJoin(broadcast(btot))
+      .withColumn("pmi", round(log(
+        (col("cb").cast("double") * col("t") * col("t")) /
+        (col("btot").cast("double") * col("c1") * col("c2"))), 6))
+      .orderBy(col("pmi").desc, col("bg")).limit(50)
+      // rnk over the 50 surviving rows only — the no-partition window
+      // is bounded by the preceding TakeOrdered
+      .withColumn("rnk", row_number().over(w))
+      .select("bg", "cb", "c1", "c2", "pmi", "rnk")
+      .orderBy("rnk")
+  }
+
+  /** C4-style heuristic filter (Raffel et al. 2020 §2.2, adapted to a
+    * corpus with no sentence/line structure, so the line-level rules
+    * collapse to document level): word-count bounds, alphabetic-token
+    * fraction, code/boilerplate markers (brace, "javascript",
+    * "lorem ipsum"). Complements q_quality_gopher (which gates on word
+    * shape) with the C4 content markers. Pure narrow projection — one
+    * scan, zero shuffles at any corpus size; every predicate is
+    * engine-portable (anchored char-class regex + substring contains).
+    */
+  def qQualityC4(s: SparkSession, dir: String): DataFrame =
+    docsNorm(s, dir)
+      .withColumn("w", expr(wordsExpr))
+      .select(col("doc_id"),
+        size(col("w")).as("n_words"),
+        round(size(expr("filter(w, x -> x rlike '^[a-z]+$')")) /
+          size(col("w")).cast("double"), 6).as("alpha_frac"),
+        col("norm_text").contains("{").as("has_brace"),
+        (col("norm_text").contains("javascript") ||
+         col("norm_text").contains("lorem ipsum")).as("has_boiler"))
+      .withColumn("keep",
+        col("n_words").between(5, 100000) &&
+        col("alpha_frac") >= 0.8 &&
+        !col("has_brace") && !col("has_boiler"))
+      .orderBy("doc_id")
+
   /** Vocabulary heavy hitters via Spark's DataSketches frequent-items
     * family (`approx_top_k*`): the most frequent corpus tokens, in
     * both one-shot and mergeable form. The mergeable branch builds one
@@ -2714,6 +2806,65 @@ object LlmData {
         |  ROUND(aw * 1.0 / z, 6) AS temp_share,
         |  ROUND((aw * 1.0 / z) / (n_tokens * 1.0 / t), 6) AS boost
         |FROM a, tot ORDER BY source""".stripMargin,
+    // Exact-decimal Σx / Σx² (order-free), doubles only in the final
+    // identical ratios; dim is 0-based to match posexplode.
+    "q_emb_dim_stats" ->
+      """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |x AS (
+        |  SELECT i - 1 AS dim, CAST(e[i] AS DECIMAL(18,9)) AS xd
+        |  FROM v, unnest(generate_series(1, 64)) AS t(i)
+        |)
+        |SELECT dim, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(xd) AS DOUBLE) / COUNT(*), 6) AS mean_v,
+        |  ROUND(CAST(SUM(xd * xd) AS DOUBLE) / COUNT(*) -
+        |    (CAST(SUM(xd) AS DOUBLE) / COUNT(*)) * (CAST(SUM(xd) AS DOUBLE) / COUNT(*)), 6) AS var_v,
+        |  CAST(MIN(xd) AS DOUBLE) AS min_v, CAST(MAX(xd) AS DOUBLE) AS max_v
+        |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
+    // Same exact-int-products-in-double + LN + ROUND(6) firewall as
+    // q_text_tfidf; ranking on the ROUNDED pmi keeps the top-50
+    // boundary deterministic in both engines.
+    "q_text_pmi" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS ws
+        |  FROM documents
+        |), w AS (SELECT unnest(ws) AS w FROM d),
+        |uni AS (SELECT w, COUNT(*) AS cw FROM w GROUP BY w),
+        |tt AS (SELECT COUNT(*) AS t FROM w),
+        |bgs AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS bg
+        |  FROM d
+        |), bc AS (SELECT bg, COUNT(*) AS cb FROM bgs GROUP BY bg),
+        |bt AS (SELECT CAST(SUM(cb) AS BIGINT) AS btot FROM bc),
+        |f AS (
+        |  SELECT bg, cb, string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+        |  FROM bc WHERE cb >= 5
+        |), j AS (
+        |  SELECT f.bg, f.cb, u1.cw AS c1, u2.cw AS c2,
+        |    ROUND(LN(CAST(f.cb AS DOUBLE) * t * t /
+        |      (CAST(btot AS DOUBLE) * u1.cw * u2.cw)), 6) AS pmi
+        |  FROM f JOIN uni u1 ON f.w1 = u1.w JOIN uni u2 ON f.w2 = u2.w
+        |  CROSS JOIN tt CROSS JOIN bt
+        |), r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, bg) AS rnk FROM j)
+        |SELECT bg, cb, c1, c2, pmi, rnk FROM r WHERE rnk <= 50 ORDER BY rnk""".stripMargin,
+    // regexp_full_match('[a-z]+') ≡ Spark's anchored rlike '^[a-z]+$'
+    "q_quality_c4" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(trim(text)) AS nt,
+        |    list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS w
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, len(w) AS n_words,
+        |    ROUND(len(list_filter(w, x -> regexp_full_match(x, '[a-z]+'))) /
+        |      CAST(len(w) AS DOUBLE), 6) AS alpha_frac,
+        |    contains(nt, '{') AS has_brace,
+        |    (contains(nt, 'javascript') OR contains(nt, 'lorem ipsum')) AS has_boiler
+        |  FROM d
+        |)
+        |SELECT doc_id, n_words, alpha_frac, has_brace, has_boiler,
+        |  (n_words BETWEEN 5 AND 100000 AND alpha_frac >= 0.8
+        |   AND NOT has_brace AND NOT has_boiler) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
     "q_src_csv" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
@@ -2866,6 +3017,9 @@ object LlmData {
     "q_src_csv" -> (qSrcCsv _),
     "q_src_jsonl" -> (qSrcJsonl _),
     "q_src_orc" -> (qSrcOrc _),
-    "q_agg_approx_topk" -> (qAggApproxTopk _)
+    "q_agg_approx_topk" -> (qAggApproxTopk _),
+    "q_emb_dim_stats" -> (qEmbDimStats _),
+    "q_text_pmi" -> (qTextPmi _),
+    "q_quality_c4" -> (qQualityC4 _)
   )
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Pins Tables.events' schema-generation adaptivity: harness data has
+  * shipped events.ts as TIMESTAMP(NANOS) (surfaced as long under
+  * `nanosAsLong`) and as plain TIMESTAMP(MICROS)/NTZ — the loader must
+  * return the SAME rows and the same TimestampType column for both, or
+  * every events-reading operator fails analysis on a regeneration (the
+  * round-6 breakage: 23 queries lost to a hard-coded nanos path).
+  */
+class TablesSpec extends SparkSpec {
+
+  private def writeGeneration(nanos: Boolean): String = {
+    val dir = Files.createTempDirectory("events-gen").toFile.getAbsolutePath
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      (1L, "2024-01-01 00:00:00.000001", 10L, "view", 1.5, """{"k":1}"""),
+      (2L, "2024-01-15 12:34:56.789012", 11L, "click", 2.5, """{"k":2}"""),
+      (3L, "2024-01-30 23:59:59.999999", 10L, "purchase", 3.5, """{"k":3}""")
+    ).toDF("event_id", "raw", "user_id", "event_type", "value", "props")
+    val df =
+      if (nanos)
+        // nanos-as-long generation: int64 column named ts (what Spark
+        // sees of parquet TIMESTAMP(NANOS) under nanosAsLong)
+        base.withColumn("ts", unix_micros(col("raw").cast("timestamp")) * 1000L)
+      else
+        // micros generation: a real timestamp column, stored by parquet
+        // as TIMESTAMP(MICROS); NTZ vs LTZ is a wall-clock identity
+        // under the pinned UTC session tz
+        base.withColumn("ts", col("raw").cast("timestamp_ntz"))
+    df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("events loader: nanos-long and timestamp generations load identically") {
+    val nanosDir = writeGeneration(nanos = true)
+    val microsDir = writeGeneration(nanos = false)
+    val a = Tables.events(spark, nanosDir)
+    val b = Tables.events(spark, microsDir)
+    assert(a.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(b.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    val rows = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .orderBy("event_id").collect().map(_.toString).toSeq
+    assert(rows(a) == rows(b))
+    // µs precision survives both paths (the .999999 fixture)
+    assert(rows(a).exists(_.contains("23:59:59.999999")))
+    // downstream unix_micros()/window() analysis must succeed (the
+    // exact failure mode of the round-6 breakage)
+    assert(b.select(unix_micros(col("ts"))).count() == 3)
+  }
+}
