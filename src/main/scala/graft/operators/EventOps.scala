@@ -249,7 +249,60 @@ object EventOps {
       .orderBy("event_type", "hour_of_day")
   }
 
+  /** Last-touch attribution: each purchase credited to the same user's
+    * most recent preceding view/click, flagged attributed when the gap
+    * is ≤ 7 days. One shuffle on user_id + a running last-non-null
+    * window (O(1) state per user in the running fold) — the batch twin
+    * of a mapGroupsWithState attribution stream; no self-join, no
+    * event×event blowup at any scale.
+    */
+  def qEvAttribution(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select("event_id", "ts", "user_id", "event_type")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // three aligned last-ignoreNulls folds select fields of the SAME
+    // row (their null conditions are identical)
+    def touch(c: Column): Column =
+      last(when(col("event_type") =!= "purchase", c), ignoreNulls = true).over(w)
+    val sevenDaysUs = 7L * 86400L * 1000000L
+    e.withColumn("touch_id", touch(col("event_id")))
+      .withColumn("touch_type", touch(col("event_type")))
+      .withColumn("touch_ts", touch(col("ts")))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"),
+        col("touch_id"), col("touch_type"), col("touch_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("touch_ts"))).as("gap_us"),
+        (col("touch_ts").isNotNull &&
+         unix_micros(col("ts")) - unix_micros(col("touch_ts")) <= lit(sevenDaysUs))
+          .as("attributed"))
+      .orderBy("purchase_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_ev_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, ts, user_id, event_type FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')
+        |), t AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS)
+        |      OVER win AS touch_id,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER win AS touch_type,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+        |      OVER win AS touch_ts
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+        |  touch_id, touch_type, touch_ts,
+        |  epoch_us(ts) - epoch_us(touch_ts) AS gap_us,
+        |  (touch_ts IS NOT NULL AND epoch_us(ts) - epoch_us(touch_ts) <= 604800000000) AS attributed
+        |FROM t WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
     "q_ev_retention" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |c AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id)
@@ -400,6 +453,7 @@ object EventOps {
     "q_ev_anomaly" -> (qEvAnomaly _),
     "q_ev_entropy" -> (qEvEntropy _),
     "q_ev_markov" -> (qEvMarkov _),
-    "q_ev_hourly" -> (qEvHourly _)
+    "q_ev_hourly" -> (qEvHourly _),
+    "q_ev_attribution" -> (qEvAttribution _)
   )
 }

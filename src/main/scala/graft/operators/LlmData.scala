@@ -1767,6 +1767,69 @@ object LlmData {
         col("min_v"), col("max_v"))
       .orderBy("dim")
 
+  /** Embedding outlier sweep — the embedding-QA pass for mis-encoded /
+    * corrupt rows: distance of every vector to the GLOBAL centroid,
+    * flagged where dist > μ + 2σ of the corpus distance distribution.
+    * Centroid = decimal per-dim sums collapsed to one broadcast row
+    * (k=1 of the q_emb_assign idiom); per-row d2 is the index-order
+    * IEEE fold (bit-identical cross-engine); the distance moments fold
+    * as exact decimals of the ROUNDED per-row distance, so μ/σ are
+    * order-free too. Two tiny-key aggregations (64-row centroid,
+    * 1-row moments) + two broadcasts — scan-dominated at any corpus
+    * size, no data×data join.
+    */
+  def qEmbOutlier(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir).select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val cent = emb.select(posexplode(col("v")))
+      .groupBy("pos")
+      .agg(sum(col("col").cast("decimal(18,9)")).as("sx"), count(lit(1)).as("cnt"))
+      .withColumn("c", col("sx").cast("double") / col("cnt"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cv"))
+    // cached: feeds the moment aggregation AND the final projection —
+    // without it the distance fold re-runs over the corpus twice
+    val dist = emb.crossJoin(broadcast(cent))
+      .withColumn("dist", round(sqrt(expr(
+        "aggregate(zip_with(v, cv, (x, c) -> (x - c) * (x - c)), CAST(0 AS DOUBLE), (a, e) -> a + e)")), 6))
+      .select("vec_id", "label", "dist")
+      .cache()
+    val mom = dist
+      .agg(sum(col("dist").cast("decimal(18,6)")).as("sd"),
+        sum(col("dist").cast("decimal(18,6)") * col("dist").cast("decimal(18,6)")).as("sdd"),
+        count(lit(1)).as("n"))
+      .select((col("sd").cast("double") / col("n")).as("mu"),
+        sqrt(col("sdd").cast("double") / col("n") -
+          (col("sd").cast("double") / col("n")) * (col("sd").cast("double") / col("n"))).as("sigma"))
+    dist.crossJoin(broadcast(mom))
+      .select(col("vec_id"), col("label"), col("dist"),
+        round(col("mu"), 6).as("mu"), round(col("sigma"), 6).as("sigma"),
+        (col("dist") > col("mu") + lit(2.0) * col("sigma")).as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
+  /** Importance sampling under a quality prior: each document kept
+    * with probability equal to a quality weight (here a length prior
+    * capped at 1: min(n_chars/400, 1)), decided by the same portable
+    * Lehmer hash as q_sample_hash — so the subset is exactly
+    * reproducible on any engine or cluster layout, unlike rand()-based
+    * Bernoulli sampling. Inclusion test u = h/m < w: exact int hash,
+    * one double division, deterministic. TWO Lehmer steps, not one:
+    * small sequential ids × 48271 stay far below the modulus, so a
+    * single step leaves u ≪ 1 corpus-wide and the gate keeps
+    * everything; the second multiply wraps the modulus and restores
+    * uniformity (measured u̅ ≈ 0.498 on the fixture). Pure narrow
+    * projection — zero shuffles at any corpus size.
+    */
+  def qSampleImportance(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .withColumn("h", ((col("doc_id") * 48271L) % 2147483647L * 48271L) % 2147483647L)
+      .withColumn("w", least(col("n_chars") / lit(400.0), lit(1.0)))
+      .withColumn("u", col("h") / lit(2147483647.0))
+      .filter(col("u") < col("w"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(col("w"), 6).as("weight"), round(col("u"), 6).as("u"))
+      .orderBy("doc_id")
+
   /** Collocation mining: pointwise mutual information of adjacent word
     * pairs — the phrase-vocabulary signal ("new york" behaves as one
     * token) used when sizing a tokenizer merge list. All counts are
@@ -2820,6 +2883,44 @@ object LlmData {
         |    (CAST(SUM(xd) AS DOUBLE) / COUNT(*)) * (CAST(SUM(xd) AS DOUBLE) / COUNT(*)), 6) AS var_v,
         |  CAST(MIN(xd) AS DOUBLE) AS min_v, CAST(MAX(xd) AS DOUBLE) AS max_v
         |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
+    // Centroid/fold arithmetic identical to q_emb_assign's proven CTEs
+    // (k=1); μ/σ from exact decimal sums of the ROUNDED distances.
+    "q_emb_outlier" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |perdim AS (
+        |  SELECT i, SUM(CAST(e[i] AS DECIMAL(18,9))) AS sx, COUNT(*) AS cnt
+        |  FROM v, unnest(generate_series(1, 64)) AS t(i) GROUP BY i
+        |), cen AS (
+        |  SELECT list(CAST(sx AS DOUBLE) / cnt ORDER BY i) AS cv FROM perdim
+        |), d AS (
+        |  SELECT vec_id, label,
+        |    ROUND(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, 64), i -> (e[i] - cv[i]) * (e[i] - cv[i]))),
+        |      (a, b) -> a + b)), 6) AS dist
+        |  FROM v CROSS JOIN cen
+        |), m AS (
+        |  SELECT CAST(SUM(CAST(dist AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu,
+        |    sqrt(CAST(SUM(CAST(dist AS DECIMAL(18,6)) * CAST(dist AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) -
+        |      (CAST(SUM(CAST(dist AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)) *
+        |      (CAST(SUM(CAST(dist AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))) AS sigma
+        |  FROM d
+        |)
+        |SELECT vec_id, label, dist, ROUND(mu, 6) AS mu, ROUND(sigma, 6) AS sigma,
+        |  (dist > mu + 2.0 * sigma) AS is_outlier
+        |FROM d CROSS JOIN m ORDER BY vec_id""".stripMargin,
+    // Two-step Lehmer inclusion (see the builder's uniformity note);
+    // the weight and the test value are deterministic doubles of
+    // exact ints.
+    "q_sample_importance" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ((doc_id * 48271) % 2147483647 * 48271) % 2147483647 AS h,
+        |    LEAST(n_chars / 400.0, 1.0) AS w
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, n_chars, ROUND(w, 6) AS weight,
+        |  ROUND(h / 2147483647.0, 6) AS u
+        |FROM d WHERE h / 2147483647.0 < w ORDER BY doc_id""".stripMargin,
     // Same exact-int-products-in-double + LN + ROUND(6) firewall as
     // q_text_tfidf; ranking on the ROUNDED pmi keeps the top-50
     // boundary deterministic in both engines.
@@ -3020,6 +3121,8 @@ object LlmData {
     "q_agg_approx_topk" -> (qAggApproxTopk _),
     "q_emb_dim_stats" -> (qEmbDimStats _),
     "q_text_pmi" -> (qTextPmi _),
-    "q_quality_c4" -> (qQualityC4 _)
+    "q_quality_c4" -> (qQualityC4 _),
+    "q_emb_outlier" -> (qEmbOutlier _),
+    "q_sample_importance" -> (qSampleImportance _)
   )
 }
