@@ -96,6 +96,59 @@ object EventStreams {
   case class FunnelState(signupUs: Option[Long], clickUs: Option[Long], purchaseUs: Option[Long])
   case class FunnelOut(user_id: Long, signup_us: Long, click_us: Long, purchase_us: Long)
 
+  case class TouchState(touchId: Long, touchType: String, touchUs: Long)
+  case class AttributionOut(purchase_id: Long, user_id: Long, purchase_us: Long,
+    touch_id: Option[Long], touch_type: Option[String], touch_us: Option[Long],
+    attributed: Boolean)
+
+  /** Streaming last-touch attribution (batch twin: qEvAttribution).
+    * State per user is the single most recent view/click — O(1) per
+    * user, never O(events); evicted on event-time timeout 8 days past
+    * last activity (a touch older than the 7-day attribution window
+    * can never attribute again, so the extra day is pure slack).
+    * Within a batch events process in event-time order (cf. funnel); a
+    * cross-batch straggler TOUCH arriving behind an already-emitted
+    * purchase cannot retro-attribute — the append-mode caveat shared
+    * with the dedup twin.
+    */
+  def attribution(events: DataFrame): Dataset[AttributionOut] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val sevenDaysUs = 7L * 86400L * 1000000L
+    events
+      .withWatermark("ts", "1 hour")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, AttributionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, evs, state: GroupState[TouchState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = evs.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[AttributionOut]
+            var touch = state.getOption
+            sorted.foreach { e =>
+              val us = tsMicros(e.ts)
+              if (e.event_type == "purchase") {
+                val attributed = touch.exists(t => us - t.touchUs <= sevenDaysUs)
+                out += AttributionOut(e.event_id, uid, us,
+                  touch.map(_.touchId), touch.map(_.touchType),
+                  touch.map(_.touchUs), attributed)
+              } else touch = Some(TouchState(e.event_id, e.event_type, us))
+            }
+            touch.foreach(state.update)
+            // same watermark-vs-last-activity anchor as funnel (the
+            // batch-1 zero-watermark pitfall)
+            val lastMs = sorted.last.ts.getTime
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), lastMs) + 8L * 86400 * 1000)
+            out.iterator
+          }
+      }
+  }
+
   /** Emits one row per user the moment the ordered
     * signup→click→purchase funnel completes. State is O(active users)
     * and dropped on event-time timeout past the watermark.

@@ -445,4 +445,78 @@ class StreamingSpec extends SparkSpec {
         s"state not evicted on timeout: $s3 groups for ~1 active user (61 keys seen)")
     } finally q.stop()
   }
+
+  test("attribution twin: cross-batch touch carry, 7-day window, touchless purchase") {
+    val s = spark
+    import s.implicits._
+    def tsd(day: Int, minute: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-$day%02d ${minute / 60}%02d:${minute % 60}%02d:00")
+    val stream = MemoryStream[Ev](s)
+    val df = stream.toDF()
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val q = EventStreams.attribution(df).writeStream
+      .format("memory").queryName("attr_out").outputMode("append").start()
+    try {
+      // batch 1, REVERSED arrival order: the in-batch sort must put
+      // the click (t1) before the purchase (t2) → attributed; then a
+      // second purchase (t3) re-attributes to the SAME click (last
+      // touch persists, it is not consumed)
+      stream.addData(Seq(Ev(3, tsd(1, 3), 1, "purchase"), Ev(1, tsd(1, 1), 1, "click"),
+        Ev(2, tsd(1, 2), 1, "purchase")))
+      q.processAllAvailable()
+      // batch 2: user 1 purchases again — the batch-1 click must carry
+      // across batches in state; user 2 purchases with NO touch ever →
+      // unattributed row, not a dropped row
+      stream.addData(Seq(Ev(4, tsd(1, 30), 1, "purchase"), Ev(5, tsd(1, 31), 2, "purchase")))
+      q.processAllAvailable()
+      // batch 3: user 3 touched on day 2, purchases on day 12 — gap
+      // beyond the 7-day window → emitted but attributed=false
+      stream.addData(Seq(Ev(6, tsd(2, 1), 3, "view")))
+      q.processAllAvailable()
+      stream.addData(Seq(Ev(7, tsd(12, 1), 3, "purchase")))
+      q.processAllAvailable()
+      val rows = s.sql(
+        "SELECT purchase_id, touch_id, attributed FROM attr_out ORDER BY purchase_id")
+        .as[(Long, Option[Long], Boolean)].collect().toSeq
+      assert(rows == Seq(
+        (2L, Some(1L), true),
+        (3L, Some(1L), true),
+        (4L, Some(1L), true),
+        (5L, None, false),
+        (7L, Some(6L), false)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("attribution soak: one touch row per user, evicted past the window") {
+    val s = spark
+    import s.implicits._
+    def tsd(day: Int, minute: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-$day%02d ${minute / 60}%02d:${minute % 60}%02d:00")
+    val stream = MemoryStream[Ev](s)
+    val df = stream.toDF()
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val q = EventStreams.attribution(df).writeStream
+      .format("memory").queryName("soak_attr").outputMode("append").start()
+    try {
+      // trigger 1: 60 users each produce 5 touches — state must hold
+      // ONE row per user (the last touch), not 5
+      stream.addData(for (u <- 1 to 60; i <- 0 until 5)
+        yield Ev(u * 10L + i, tsd(1, u + i), u.toLong, "view"))
+      q.processAllAvailable()
+      val s1 = stateRows(q)
+      // trigger 2: day 12 — beyond touch-day+8, day-1 timeouts fire
+      stream.addData(Seq(Ev(9001, tsd(12, 1), 999L, "view")))
+      q.processAllAvailable()
+      // trigger 3: day 22 advances the watermark again so trigger-2
+      // evictions (which need a watermark PAST the timeout) take hold
+      stream.addData(Seq(Ev(9002, tsd(22, 1), 998L, "view")))
+      q.processAllAvailable()
+      val s3 = stateRows(q)
+      info(s"attribution state rows: after trigger1=$s1, after trigger3=$s3")
+      assert(s1 <= 61, s"state must be O(users) not O(events): $s1 rows for 60 users")
+      assert(s1 >= 60, s"expected ~60 state rows after trigger 1, got $s1")
+      assert(s3 <= 5,
+        s"state not evicted past the attribution window: $s3 rows for ~2 active users")
+    } finally q.stop()
+  }
 }
