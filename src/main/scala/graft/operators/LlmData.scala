@@ -1817,8 +1817,8 @@ object LlmData {
     * small sequential ids × 48271 stay far below the modulus, so a
     * single step leaves u ≪ 1 corpus-wide and the gate keeps
     * everything; the second multiply wraps the modulus and restores
-    * uniformity (measured u̅ ≈ 0.498 on the fixture). Pure narrow
-    * projection — zero shuffles at any corpus size.
+    * uniformity (measured u̅ ≈ 0.498 on the fixture). Narrow scan-side
+    * filter — the only exchange is the output sort (PlanShapeSpec).
     */
   def qSampleImportance(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
@@ -1876,9 +1876,10 @@ object LlmData {
     * collapse to document level): word-count bounds, alphabetic-token
     * fraction, code/boilerplate markers (brace, "javascript",
     * "lorem ipsum"). Complements q_quality_gopher (which gates on word
-    * shape) with the C4 content markers. Pure narrow projection — one
-    * scan, zero shuffles at any corpus size; every predicate is
-    * engine-portable (anchored char-class regex + substring contains).
+    * shape) with the C4 content markers. Narrow per-row work — the only
+    * exchanges are the shared docsNorm rebalance and the deterministic
+    * output sort (PlanShapeSpec pins exactly those two); every predicate
+    * is engine-portable (anchored char-class regex + substring contains).
     */
   def qQualityC4(s: SparkSession, dir: String): DataFrame =
     docsNorm(s, dir)

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+
+/** Mechanical pin of the scale-bearing plan shapes (SURVEY §2's
+  * "scale notes" column, made falsifiable): for a set of flagship
+  * queries with NO cached subtrees, assert the exact number of shuffle
+  * and broadcast exchanges in the physical plan. A future edit that
+  * silently adds a shuffle (lost map-side partial, a join that stopped
+  * broadcasting, a repartition sneaking in) fails here with the plan
+  * in the message — at fixture scale, before a bench ever notices.
+  *
+  * Counts are the AQE INITIAL plan's (deterministic at planning time);
+  * runtime re-plans can only remove exchanges, not add them.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def exchanges(name: String): (Int, Int, String) = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    val plan: SparkPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val shuffles = plan.collect { case e: ShuffleExchangeLike => e }.size
+    val bcasts = plan.collect { case e: BroadcastExchangeLike => e }.size
+    (shuffles, bcasts, plan.toString)
+  }
+
+  private def pin(name: String, wantShuffles: Int, wantBroadcasts: Int): Unit = {
+    val (s, b, plan) = exchanges(name)
+    assert(s == wantShuffles && b == wantBroadcasts,
+      s"$name plan shape drifted: shuffles $s (want $wantShuffles), " +
+        s"broadcasts $b (want $wantBroadcasts)\n$plan")
+  }
+
+  // Conventions behind the expected counts:
+  //  - every oracle query ends in a deterministic output sort → one
+  //    rangepartitioning shuffle is part of the floor
+  //  - documents-based operators go through docsNorm's intentional
+  //    repartition (the CPU-rebalance exchange, see its docstring) —
+  //    that adds one more to their floor
+  //  - cached subtrees (InMemoryRelation) hide their internal
+  //    exchanges from the count; only the outer plan is pinned
+
+  test("narrow projections: scan → project → output sort only") {
+    // 1 = the output sort; nothing else may shuffle
+    pin("q_emb_quantize", 1, 0)
+    pin("q_sample_importance", 1, 0)
+    pin("q_scan_prune", 1, 0)
+    // + docsNorm rebalance
+    pin("q_quality_c4", 2, 0)
+  }
+
+  test("single-agg shapes: one partial-agg shuffle + output sort") {
+    pin("q_emb_dim_stats", 2, 0)
+    pin("q_agg_hash", 2, 0)
+    // global agg (no grouping keys): single exchange, no sort
+    pin("q_tpch_q6", 1, 0)
+  }
+
+  test("window/event shapes: user-key exchange + output sort") {
+    pin("q_ev_attribution", 2, 0)
+    // hourly: (type,hour) agg + share window re-key + sort
+    pin("q_ev_hourly", 3, 0)
+    // retention: user window + (cohort, offset) agg + sort
+    pin("q_ev_retention", 3, 0)
+  }
+
+  test("broadcast shapes: dims broadcast, fact never re-shuffled for the join") {
+    // outlier: moments row broadcast onto the cached distance table
+    // (the centroid broadcast lives INSIDE the cached subtree); the
+    // visible shuffles are the global moments agg + the output sort
+    pin("q_emb_outlier", 2, 1)
+    // dedup_exact: winner table broadcast back onto the corpus
+    pin("q_dedup_exact", 7, 1)
+    // temperature: scalar totals row broadcast; the rest is the doc
+    // rebalance + token aggs on both the per-source and total branches
+    pin("q_mix_temperature", 6, 1)
+  }
+}
