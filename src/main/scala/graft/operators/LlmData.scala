@@ -1023,6 +1023,46 @@ object LlmData {
       .orderBy("probe_id", "rnk")
   }
 
+  /** Exact k-NN self-graph (k = 5): every vector's 5 nearest neighbors
+    * by cosine — the SemDeDup / graph-clustering / index-build
+    * primitive. Exact all-pairs is inherently quadratic, so this is
+    * the declared BELOW-GATE primitive: corpus ≤ 8192 vectors (read
+    * from parquet footers, no job at build time — the qDedupEmbed gate
+    * idiom); above it the operator fails fast and points at the ANN
+    * family (q_sim_lsh_ann / q_sim_ivf_ann), which is the corpus-scale
+    * path. Shape: the corpus collapses to ONE broadcast array row and
+    * each vector computes its own top-k per row (compiled dot_f64
+    * kernel + comparator sort + slice) — N·N work but ZERO N²-row
+    * shuffle; the only exchanges are the corpus collect and the output
+    * sort. Ranking on the ROUNDED cosine (tie → smaller id) keeps the
+    * k-boundary deterministic cross-engine.
+    */
+  def qEmbKnn(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val gate = 8192L
+    val n = parquetRowCount(s, s"$dir/embeddings.parquet")
+    require(n <= gate,
+      s"q_emb_knn: exact k-NN self-graph is gated at $gate vectors (corpus has $n); " +
+        "at corpus scale use the ANN family (q_sim_lsh_ann / q_sim_ivf_ann)")
+    val emb = embWithNorms(s, dir)
+    val corpus = emb.agg(collect_list(struct(
+      col("vec_id").as("id"), col("v").as("e"), col("nrm").as("nm"))).as("corpus"))
+    emb.crossJoin(broadcast(corpus))
+      .select(col("vec_id"), posexplode(expr(
+        s"""slice(array_sort(
+           |  transform(filter(corpus, c -> c.id != vec_id),
+           |    c -> struct(round(dot_f64(v, c.e) / (nrm * c.nm), 6) AS cosine,
+           |                c.id AS nid)),
+           |  (l, r) -> CASE WHEN l.cosine > r.cosine THEN -1
+           |                 WHEN l.cosine < r.cosine THEN 1
+           |                 WHEN l.nid < r.nid THEN -1
+           |                 WHEN l.nid > r.nid THEN 1 ELSE 0 END),
+           |1, $k)""".stripMargin)))
+      .select(col("vec_id"), col("col.nid").as("neighbor_id"),
+        col("col.cosine").as("cosine"), (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy("vec_id", "rnk")
+  }
+
   /** Approximate NN via MLlib random-hyperplane bucketed LSH (seeded).
     * No oracle: bucket boundaries are impl-specific; the spec grades
     * recall against qSimTopkCosine instead.
@@ -2729,6 +2769,20 @@ object LlmData {
         |)
         |SELECT probe_id, vec_id, cosine, rnk FROM ranked WHERE rnk <= 10
         |ORDER BY probe_id, rnk""".stripMargin,
+    // Semantics-level oracle (plain N² join + window): the engine's
+    // per-row broadcast top-k must equal rank-by-(rounded cosine, id).
+    "q_emb_knn" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |scored AS (
+        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |    ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        |), ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM scored
+        |)
+        |SELECT vec_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 5
+        |ORDER BY vec_id, rnk""".stripMargin,
     "q_emb_norm_ops" ->
       """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |norms AS (
@@ -3124,6 +3178,7 @@ object LlmData {
     "q_text_pmi" -> (qTextPmi _),
     "q_quality_c4" -> (qQualityC4 _),
     "q_emb_outlier" -> (qEmbOutlier _),
-    "q_sample_importance" -> (qSampleImportance _)
+    "q_sample_importance" -> (qSampleImportance _),
+    "q_emb_knn" -> (qEmbKnn _)
   )
 }
