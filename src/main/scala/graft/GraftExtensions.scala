@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BitsetIntersectCount, DotProductF64, HyperplaneSigs, KarpRabinHash, MinhashSignature, PackedCharBigrams, SimHash64, SimHashPortable, WinnowFingerprints, WordBigramShingles}
+import graft.functions.{BitsetIntersectCount, DotProductF64, HyperplaneSigs, KarpRabinHash, KnnTopkKeys, MinhashSignature, PackedCharBigrams, SimHash64, SimHashPortable, WinnowFingerprints, WordBigramShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so `SELECT dot_f64(a, b)` works from
@@ -72,6 +72,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashPortable].getName, "simhash_portable"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHashPortable(one("simhash_portable")(children))))
+    ext.injectFunction((
+      FunctionIdentifier("knn_topk_keys"),
+      new ExpressionInfo(classOf[KnnTopkKeys].getName, "knn_topk_keys"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 5,
+          s"knn_topk_keys requires exactly 5 arguments (corpus, vec, nrm, self_id, k), got ${children.size}")
+        // k picks the result arity at plan time — integer literal only
+        val kExpr = children(4) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, t)
+              if v != null && (t == org.apache.spark.sql.types.IntegerType ||
+                               t == org.apache.spark.sql.types.LongType) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"knn_topk_keys: k must be an integer literal, got ${other.sql}")
+        }
+        KnnTopkKeys(children.head, children(1), children(2), children(3), kExpr)
+      }))
     ext.injectFunction((
       FunctionIdentifier("hyperplane_sigs"),
       new ExpressionInfo(classOf[HyperplaneSigs].getName, "hyperplane_sigs"),

@@ -692,7 +692,126 @@ object TextKernels {
   }
 }
 
+/** Whole-row exact k-NN kernel: for one probe vector, scan a broadcast
+  * corpus array<struct<id bigint, e array<double>, nm double>> and
+  * return the k nearest neighbors as SORTED encoded BIGINT keys,
+  * (1e6 − c6)·2⁴⁰ + id with c6 = round(cosine, 6)·1e6 — ascending key
+  * order IS (rounded cosine DESC, id ASC), the oracle's rank order.
+  *
+  * Why a kernel and not transform()+array_sort(): the higher-order
+  * form evaluates the lambda body interpreted once per (probe,
+  * candidate) — measured 6.5 s at 2000×2000; the kernel runs one
+  * compiled loop per probe ROW (0.3 s same corpus). Rounding matches
+  * Catalyst Round (BigDecimal HALF_UP on the canonical double repr)
+  * but is only PAID for candidates that can still enter the current
+  * top-k: a candidate with cos·1e6 < c6_k − 0.51 cannot round to
+  * ≥ c6_k (rounding moves the scaled value < 0.501) and is rejected
+  * on the cheap double compare — after warm-up nearly every candidate
+  * takes that branch, so BigDecimal cost is O(k + near-boundary), not
+  * O(n). KnnKernelSpec pins kernel ≡ the higher-order chain.
+  */
+case class KnnTopkKeys(corpus: Expression, vec: Expression, nrm: Expression,
+    selfId: Expression, k: Int) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types.StructType
+  override def children: Seq[Expression] = Seq(corpus, vec, nrm, selfId)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "knn_topk_keys"
+  override lazy val deterministic: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val corpusOk = corpus.dataType match {
+      case ArrayType(st: StructType, _) if st.length == 3 =>
+        val eOk = st(1).dataType match {
+          case ArrayType(DoubleType, _) => true
+          case _ => false
+        }
+        st(0).dataType == LongType && eOk && st(2).dataType == DoubleType
+      case _ => false
+    }
+    if (!corpusOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: corpus must be array<struct<id bigint, e array<double>, nm double>>, got ${corpus.dataType.sql}")
+    else if (!vec.dataType.isInstanceOf[ArrayType] ||
+             vec.dataType.asInstanceOf[ArrayType].elementType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: vec must be array<double>")
+    else if (nrm.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: nrm must be double")
+    else if (selfId.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: selfId must be bigint")
+    else if (k < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: k must be >= 1, got $k")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  private val Shift = 1L << 40
+
+  // Catalyst Round semantics for scale 6 (HALF_UP on the canonical
+  // decimal representation of the double)
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val corpusArr = corpus.eval(input).asInstanceOf[ArrayData]
+    val v = vec.eval(input).asInstanceOf[ArrayData]
+    val myNrm = nrm.eval(input).asInstanceOf[Double]
+    val me = selfId.eval(input).asInstanceOf[Long]
+    val n = corpusArr.numElements()
+    val dim = v.numElements()
+    val keys = new Array[Long](k)
+    var filled = 0
+    // kth rounded-cosine micro-units currently required to enter
+    var c6k = Long.MinValue
+    var i = 0
+    while (i < n) {
+      val row = corpusArr.getStruct(i, 3)
+      val id = row.getLong(0)
+      if (id != me) {
+        val e = row.getArray(1)
+        var s = 0.0
+        var j = 0
+        val d = math.min(dim, e.numElements())
+        while (j < d) { s += v.getDouble(j) * e.getDouble(j); j += 1 }
+        val cos = s / (myNrm * row.getDouble(2))
+        // cheap reject: cannot round into the current top-k
+        if (filled < k || cos * 1e6 >= c6k - 0.51) {
+          val c6 = math.round(round6(cos) * 1e6)
+          val key = (1000000L - c6) * Shift + id
+          if (filled < k) {
+            // insertion into the sorted prefix
+            var p = filled - 1
+            while (p >= 0 && keys(p) > key) { keys(p + 1) = keys(p); p -= 1 }
+            keys(p + 1) = key
+            filled += 1
+            if (filled == k) c6k = 1000000L - keys(k - 1) / Shift
+          } else if (key < keys(k - 1)) {
+            var p = k - 2
+            while (p >= 0 && keys(p) > key) { keys(p + 1) = keys(p); p -= 1 }
+            keys(p + 1) = key
+            c6k = 1000000L - keys(k - 1) / Shift
+          }
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(keys, filled))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KnnTopkKeys =
+    copy(corpus = newChildren(0), vec = newChildren(1),
+      nrm = newChildren(2), selfId = newChildren(3))
+}
+
 object VectorExprs {
+  def knnTopkKeys(corpus: Column, vec: Column, nrm: Column, selfId: Column, k: Int): Column =
+    GraftColumnShim.column(KnnTopkKeys(GraftColumnShim.expression(corpus),
+      GraftColumnShim.expression(vec), GraftColumnShim.expression(nrm),
+      GraftColumnShim.expression(selfId), k))
+
   def dotF64(a: Column, b: Column): Column =
     GraftColumnShim.column(DotProductF64(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
 

@@ -1047,19 +1047,24 @@ object LlmData {
     val emb = embWithNorms(s, dir)
     val corpus = emb.agg(collect_list(struct(
       col("vec_id").as("id"), col("v").as("e"), col("nrm").as("nm"))).as("corpus"))
+    // One compiled KnnTopkKeys kernel invocation per probe row: the
+    // whole dot+round+top-k loop over the broadcast corpus runs in
+    // one eval (a transform()+array_sort() chain evaluates its lambda
+    // interpreted once per (probe, candidate) — measured 6.5 s at
+    // 2000×2000 vs 0.3 s for the kernel). Keys encode
+    // (1e6 − c6)·2⁴⁰ + id with c6 = round(cosine, 6)·1e6, so
+    // ascending keys ARE (rounded cosine DESC, id ASC) — the oracle's
+    // rank order; ids must fit 40 bits. c6/1e6 in double recovers
+    // EXACTLY the round(cosine, 6) value the oracle emits: both are
+    // the nearest double to the same 6-decimal number.
+    val shift = 1L << 40
     emb.crossJoin(broadcast(corpus))
-      .select(col("vec_id"), posexplode(expr(
-        s"""slice(array_sort(
-           |  transform(filter(corpus, c -> c.id != vec_id),
-           |    c -> struct(round(dot_f64(v, c.e) / (nrm * c.nm), 6) AS cosine,
-           |                c.id AS nid)),
-           |  (l, r) -> CASE WHEN l.cosine > r.cosine THEN -1
-           |                 WHEN l.cosine < r.cosine THEN 1
-           |                 WHEN l.nid < r.nid THEN -1
-           |                 WHEN l.nid > r.nid THEN 1 ELSE 0 END),
-           |1, $k)""".stripMargin)))
-      .select(col("vec_id"), col("col.nid").as("neighbor_id"),
-        col("col.cosine").as("cosine"), (col("pos") + 1).cast("long").as("rnk"))
+      .select(col("vec_id"), posexplode(graft.functions.VectorExprs.knnTopkKeys(
+        col("corpus"), col("v"), col("nrm"), col("vec_id"), k)))
+      .select(col("vec_id"),
+        (col("col") % shift).as("neighbor_id"),
+        ((lit(1000000L) - expr(s"col div ${shift}L")).cast("double") / lit(1e6)).as("cosine"),
+        (col("pos") + 1).cast("long").as("rnk"))
       .orderBy("vec_id", "rnk")
   }
 

