@@ -1979,6 +1979,37 @@ object LlmData {
       .orderBy(desc_nulls_last("direct_cnt"), asc("word"))
   }
 
+  /** Cross-source vocabulary set algebra via theta sketches — the
+    * mergeable sketch family that supports INTERSECTION and DIFFERENCE,
+    * which HLL cannot (HLL unions only): per source-pair, estimated
+    * |A|, |B|, |A∪B|, |A∩B|, |A\B| over distinct tokens — the
+    * source-overlap audit run before choosing mixture weights or
+    * cross-source dedup thresholds. 100 TB story: one constant-size
+    * sketch per (source, shard) merges via theta_union_agg without
+    * re-scanning raw tokens, and the pairwise set algebra runs on the
+    * sources×sources sketch table — never on data. No oracle (sketch
+    * state and estimates are impl-specific); ApproxAggSpec grades
+    * every estimate against the exact distinct counts within the
+    * theta RSE bound and pins the shard-merge path against the
+    * direct-sketch path.
+    */
+  def qAggThetaSets(s: SparkSession, dir: String): DataFrame = {
+    val words = docsNorm(s, dir)
+      .select(col("source"), explode(expr(wordsExpr)).as("word"))
+    // tiny (one row per source); read by both join sides
+    val sk = words.groupBy("source").agg(expr("theta_sketch_agg(word)").as("sk")).cache()
+    val a = sk.select(col("source").as("src_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("source").as("src_b"), col("sk").as("sk_b"))
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        expr("theta_sketch_estimate(sk_a)").cast("long").as("n_a"),
+        expr("theta_sketch_estimate(sk_b)").cast("long").as("n_b"),
+        expr("theta_sketch_estimate(theta_union(sk_a, sk_b))").cast("long").as("n_union"),
+        expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))").cast("long").as("n_inter"),
+        expr("theta_sketch_estimate(theta_difference(sk_a, sk_b))").cast("long").as("n_a_only"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Per-doc char-bigram stream shared by the language-ID and
     * perplexity operators.
     *
@@ -3184,6 +3215,7 @@ object LlmData {
     "q_quality_c4" -> (qQualityC4 _),
     "q_emb_outlier" -> (qEmbOutlier _),
     "q_sample_importance" -> (qSampleImportance _),
-    "q_emb_knn" -> (qEmbKnn _)
+    "q_emb_knn" -> (qEmbKnn _),
+    "q_agg_theta_sets" -> (qAggThetaSets _)
   )
 }

@@ -95,4 +95,50 @@ class ApproxAggSpec extends SparkSpec {
       assert(math.abs(a - e) / e <= 0.05, s"${r.getString(0)}: $a vs exact $e")
     }
   }
+
+  test("theta sketches: pairwise set algebra within RSE of exact; shard-merge = direct") {
+    val s = spark
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select(col("source"), explode(split(lower(trim(col("text"))), " ")).as("word"))
+      .filter(col("word") =!= "")
+    // exact pairwise distinct-set cardinalities (driver-side: 20
+    // sources, fixture scale)
+    val sets = words.distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    val rows = graft.operators.LlmData.qAggThetaSets(s, dir).collect()
+    assert(rows.length == sets.size * (sets.size - 1) / 2,
+      s"expected all source pairs, got ${rows.length}")
+    // theta default lgK=12 -> RSE ~ 1/sqrt(4096) ~ 1.6%; 5% bound with
+    // a small absolute floor for the intersection/difference estimates
+    def ok(est: Long, exact: Int): Boolean =
+      math.abs(est - exact) <= math.max(0.05 * exact, 32.0)
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b, s"pair order violated: $a, $b")
+      val (sa, sb) = (sets(a), sets(b))
+      assert(ok(r.getLong(2), sa.size), s"$a |A| ${r.getLong(2)} vs ${sa.size}")
+      assert(ok(r.getLong(3), sb.size), s"$b |B| ${r.getLong(3)} vs ${sb.size}")
+      assert(ok(r.getLong(4), (sa ++ sb).size), s"$a,$b union ${r.getLong(4)} vs ${(sa ++ sb).size}")
+      assert(ok(r.getLong(5), (sa & sb).size), s"$a,$b inter ${r.getLong(5)} vs ${(sa & sb).size}")
+      assert(ok(r.getLong(6), (sa -- sb).size), s"$a,$b diff ${r.getLong(6)} vs ${(sa -- sb).size}")
+    }
+    // mergeability: per-shard sketches combined with theta_union_agg
+    // estimate the same cardinality as the direct per-source sketch
+    val direct = words.groupBy("source")
+      .agg(expr("cast(theta_sketch_estimate(theta_sketch_agg(word)) as long)").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = words
+      .withColumn("shard", pmod(xxhash64(col("word")), lit(8)))
+      .groupBy("source", "shard").agg(expr("theta_sketch_agg(word)").as("sk"))
+      .groupBy("source")
+      .agg(expr("cast(theta_sketch_estimate(theta_union_agg(sk)) as long)").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    direct.foreach { case (src, d) =>
+      assert(ok(merged(src), sets(src).size),
+        s"$src merged ${merged(src)} vs exact ${sets(src).size}")
+      assert(math.abs(merged(src) - d) <= math.max(0.05 * d, 32.0),
+        s"$src shard-merged ${merged(src)} drifted from direct $d")
+    }
+  }
 }
