@@ -80,5 +80,20 @@ class PlanShapeSpec extends SparkSpec {
     // temperature: scalar totals row broadcast; the rest is the doc
     // rebalance + token aggs on both the per-source and total branches
     pin("q_mix_temperature", 6, 1)
+    // knn: ONE broadcast of the collapsed corpus row; shuffles are the
+    // corpus collect_list agg + the output sort — the "N·N work with
+    // zero N²-row shuffle" claim, pinned
+    pin("q_emb_knn", 2, 1)
+  }
+
+  test("sketch shapes: set algebra on the sketch table, never on data") {
+    // theta: doc rebalance + per-source sketch agg (on each join side —
+    // the one-row-per-source table is rebuilt per side at plan time;
+    // the cache collapses them at execution) + the pair join's own
+    // exchanges + output sort; crucially ZERO exchanges carry
+    // token-level rows past the sketch agg
+    val (s, b, plan) = exchanges("q_agg_theta_sets")
+    assert(b <= 2, s"pair join of the 20-row sketch table should broadcast:\n$plan")
+    assert(s <= 7, s"unexpected extra shuffles in the sketch pipeline:\n$plan")
   }
 }
