@@ -53,4 +53,58 @@ class TablesSpec extends SparkSpec {
     // exact failure mode of the round-6 breakage)
     assert(b.select(unix_micros(col("ts"))).count() == 3)
   }
+
+  test("fixture schema canary: types the oracle SQL assumes") {
+    // The harness regenerates test data between rounds and parquet
+    // types have drifted before (events.ts nanos → micros broke 23
+    // queries in round 6, found only through the driver's oracle
+    // mismatches). This canary fails the suite IMMEDIATELY at round
+    // start with the drifted column named, for every type the oracle
+    // SQL or an operator gate assumes. On failure: check FIXTURES.md,
+    // then decide loader adaptivity (the Tables.events pattern) or an
+    // oracle-side cast — BOTH sides must agree, a one-sided cast just
+    // moves the mismatch.
+    val dir = "/root/testdata/sf0.001"
+    def typeOf(table: String, column: String): String = {
+      val schema = spark.read.parquet(s"$dir/$table.parquet").schema
+      if (schema.fieldNames.contains(column)) schema(column).dataType.simpleString
+      else "MISSING"
+    }
+    val expected = Seq(
+      // TPC-H date columns ship as TIMESTAMP_NTZ in the current
+      // generation (this canary caught that drift on round-7 data —
+      // benign because BOTH engines read the raw column and every
+      // date-literal compare coerces identically; a future change to
+      // date32 or TIMESTAMP_LTZ must be re-reviewed on both sides).
+      // The fixture's lineitem is the 11-column cut (no commitdate /
+      // receiptdate — FIXTURES.md).
+      ("lineitem", "l_shipdate", "timestamp_ntz"),
+      ("orders", "o_orderdate", "timestamp_ntz"),
+      // decimal firewall inputs fold these as DECIMAL casts of double
+      ("lineitem", "l_extendedprice", "double"),
+      ("lineitem", "l_quantity", "double"),
+      ("orders", "o_totalprice", "double"),
+      // text pipeline: split/regex assume plain strings
+      ("documents", "text", "string"),
+      ("documents", "n_chars", "bigint"),
+      // embedding ops cast array<float> → array<double>; the oracle
+      // CASTs the same float column, so element type must stay float
+      ("embeddings", "embedding", "array<float>"),
+      ("embeddings", "label", "int"),
+      // events.ts is generation-adaptive (bigint nanos OR timestamp);
+      // everything else on events is assumed stable
+      ("events", "event_type", "string"),
+      ("events", "value", "double"),
+      ("events", "props", "string"))
+    val drifted = expected.flatMap { case (t, c, want) =>
+      val got = typeOf(t, c)
+      if (got != want) Some(s"$t.$c: expected $want, fixture now ships $got") else None
+    }
+    assert(drifted.isEmpty,
+      "fixture schema drift (see this test's docstring for the protocol):\n" +
+        drifted.mkString("\n"))
+    val tsType = typeOf("events", "ts")
+    assert(tsType == "bigint" || tsType.startsWith("timestamp"),
+      s"events.ts shipped as $tsType — neither known generation; extend Tables.events")
+  }
 }
