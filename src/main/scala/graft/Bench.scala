@@ -30,7 +30,13 @@ object Bench {
     // two rows instead of a map-order-dependent query).
     val artifacts = Seq(
       "artifact_text_pairs" -> (() => graft.operators.LlmData.dedupPairs(spark, sfDir)),
-      "artifact_embed_pairs" -> (() => graft.operators.LlmData.embedPairs(spark, sfDir))
+      "artifact_embed_pairs" -> (() => graft.operators.LlmData.embedPairs(spark, sfDir)),
+      // The fitted LIME training stats are the third shared artifact:
+      // building this row populates LimeOps' statsCache, so every
+      // LIME consumer in the timed loop below reads the fitted model
+      // (the production accounting — stats are fit once per table per
+      // pipeline run) while the fit cost itself stays visible here.
+      "artifact_lime_stats" -> (() => graft.operators.LimeOps.limeStatsFit(spark, sfDir))
     ).map { case (name, build) =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()

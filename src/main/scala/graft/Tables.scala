@@ -42,4 +42,23 @@ object Tables {
   }
   def documents(s: SparkSession, dir: String): DataFrame  = t(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
+
+  /** THE date-literal comparison boundary (Spark side). Every operator
+    * that compares a fixture date column (l_shipdate, o_orderdate —
+    * currently TIMESTAMP_NTZ) against a calendar-day literal goes
+    * through this helper, and the oracle SQL's matching convention is
+    * `TIMESTAMP 'YYYY-MM-DD'` literals — both engines coerce
+    * date32/timestamp columns identically against those. If the
+    * fixture generation drifts (TablesSpec's schema canary fails
+    * naming the column), THIS function is the one-line Spark-side
+    * fix: timestamp literals compare correctly against DATE,
+    * TIMESTAMP and TIMESTAMP_NTZ columns alike (Spark coerces DATE
+    * to TIMESTAMP at midnight, exactly like DuckDB), so most drifts
+    * need no change at all — TablesSpec round-trips a forced date32
+    * fixture through this helper to prove it.
+    */
+  def dateLit(day: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    lit(day).cast("timestamp")
+  }
 }

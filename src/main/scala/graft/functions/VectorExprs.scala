@@ -768,15 +768,26 @@ case class KnnTopkKeys(corpus: Expression, vec: Expression, nrm: Expression,
     while (i < n) {
       val row = corpusArr.getStruct(i, 3)
       val id = row.getLong(0)
+      // ids share the low 40 bits of the packed key — an id outside
+      // [0, 2^40) would silently corrupt neighbor_id and cosine.
+      require(id >= 0L && id < Shift,
+        s"knn_topk_keys: id $id outside the [0, 2^40) packed-key space")
       if (id != me) {
         val e = row.getArray(1)
+        // Dimension mismatch is a data bug — truncating the product
+        // would silently diverge from the full-length oracle cosine.
+        require(e.numElements() == dim,
+          s"knn_topk_keys: corpus vector $id has dim ${e.numElements()}, probe has $dim")
         var s = 0.0
         var j = 0
-        val d = math.min(dim, e.numElements())
-        while (j < d) { s += v.getDouble(j) * e.getDouble(j); j += 1 }
+        while (j < dim) { s += v.getDouble(j) * e.getDouble(j); j += 1 }
         val cos = s / (myNrm * row.getDouble(2))
+        // Degenerate cosines (zero-norm vectors → NaN/Inf) rank as
+        // -inf similarity: skip, matching the higher-order chain this
+        // kernel replaced (BigDecimal.valueOf throws on non-finite).
         // cheap reject: cannot round into the current top-k
-        if (filled < k || cos * 1e6 >= c6k - 0.51) {
+        if (java.lang.Double.isFinite(cos) &&
+            (filled < k || cos * 1e6 >= c6k - 0.51)) {
           val c6 = math.round(round6(cos) * 1e6)
           val key = (1000000L - c6) * Shift + id
           if (filled < k) {

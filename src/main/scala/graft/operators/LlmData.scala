@@ -2074,12 +2074,19 @@ object LlmData {
     // log term is quantized HALF_UP to nano-units and summed as int64
     // — exact, partition-order independent. Magnitudes: |term_n| ≤
     // ~1e10, occ ≤ doc length, Σ ≪ 2⁶³.
+    // The log term depends only on (bigram, lang), so it is folded
+    // into the broadcast model table ONCE per (bigram, lang) — ≤ 4096
+    // bigram rows × |langs| columns — leaving the per-(doc, bigram)
+    // scoring join pure long multiply-adds (no transcendental in the
+    // hot path; same values, computed on the small side).
     val modelWide = model.groupBy(col("m_bg").as("bg"))
       .pivot("m_lang", totals.map(_._1)).agg(first(col("cnt")))
-    def termN(lang: String, tot: Long): Column =
-      round(log((coalesce(col(lang), lit(0L)) + 1.0) / (tot + 4096.0)) * 1e9).cast("long")
-    val scoreCols = totals.toList.map { case (l, tot) =>
-      sum(col("occ") * termN(l, tot)).as(s"s_$l")
+      .select(col("bg") +: totals.map { case (l, tot) =>
+        round(log((coalesce(col(l), lit(0L)) + 1.0) / (tot + 4096.0)) * 1e9)
+          .cast("long").as(s"t_$l")
+      }.toSeq: _*)
+    val scoreCols = totals.toList.map { case (l, _) =>
+      sum(col("occ") * col(s"t_$l")).as(s"s_$l")
     }
     val scored = docBg.join(broadcast(modelWide), "bg")
       .groupBy("doc_id", "lang")
@@ -2118,15 +2125,21 @@ object LlmData {
     val (docBg, model) = bigramCounts(s, dir)
     val totals = model.groupBy("m_lang").agg(sum(col("cnt")).as("tot"))
       .select(col("m_lang").as("t_lang"), col("tot"))
-    val termN = round(log((col("cnt") + 1.0) / (col("tot") + 4096.0)) * 1e9).cast("long")
+    // Fold the log term into the broadcast model ONCE per
+    // (lang, bigram) — it depends on nothing else — so the scoring
+    // join is pure long multiply-adds (same langid optimization).
+    val modelT = model
+      .join(totals, col("m_lang") === col("t_lang"))
+      .select(col("m_lang"), col("m_bg"),
+        round(log((col("cnt") + 1.0) / (col("tot") + 4096.0)) * 1e9)
+          .cast("long").as("term_n"))
     docBg
-      // inner joins: every (lang, bigram) of a doc is in its own
+      // inner join: every (lang, bigram) of a doc is in its own
       // lang's self-trained model by construction
-      .join(broadcast(model), col("lang") === col("m_lang") && col("bg") === col("m_bg"))
-      .join(broadcast(totals), col("lang") === col("t_lang"))
+      .join(broadcast(modelT), col("lang") === col("m_lang") && col("bg") === col("m_bg"))
       .groupBy("doc_id", "lang")
       .agg(sum(col("occ")).as("n_bigrams"),
-           sum(col("occ") * termN).as("s"))
+           sum(col("occ") * col("term_n")).as("s"))
       .select(col("doc_id"), col("lang"), col("n_bigrams"),
         round(-(col("s").cast("double") / 1e9) / col("n_bigrams"), 6).as("avg_nll"))
       .orderBy("doc_id")

@@ -38,8 +38,8 @@ object Relational {
 
   def qScanPrune(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir)
-      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
-              col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") >= dateLit("1997-01-01") &&
+              col("l_shipdate") <  dateLit("1998-01-01"))
       .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
       .orderBy("l_orderkey", "l_linenumber")
 
@@ -47,8 +47,8 @@ object Relational {
 
   def qFilterPred(s: SparkSession, dir: String): DataFrame =
     orders(s, dir)
-      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-              col("o_orderdate") <  lit("1997-01-01").cast("timestamp") &&
+      .filter(col("o_orderdate") >= dateLit("1996-01-01") &&
+              col("o_orderdate") <  dateLit("1997-01-01") &&
               (col("o_orderpriority").like("1%") || col("o_orderpriority").like("2%")) &&
               col("o_orderstatus").isin("F", "O") &&
               (col("o_totalprice") > 50000 || col("o_orderstatus") <=> "F"))
@@ -204,7 +204,7 @@ object Relational {
 
   def qAggHash(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir)
-      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .filter(col("l_shipdate") <= dateLit("1998-09-02"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         outD(sum(d2(col("l_quantity")))).as("sum_qty"),
@@ -444,9 +444,9 @@ object Relational {
     val cut = "1996-07-01"
     val cust = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
       .select("c_custkey")
-    val ord = orders(s, dir).filter(col("o_orderdate") < lit(cut).cast("timestamp"))
+    val ord = orders(s, dir).filter(col("o_orderdate") < dateLit(cut))
       .select("o_orderkey", "o_custkey", "o_orderdate")
-    val li = lineitem(s, dir).filter(col("l_shipdate") > lit(cut).cast("timestamp"))
+    val li = lineitem(s, dir).filter(col("l_shipdate") > dateLit(cut))
       .select(col("l_orderkey"),
         (d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount")))).as("rev"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -465,8 +465,8 @@ object Relational {
     */
   def qTpchQ5(s: SparkSession, dir: String): DataFrame = {
     val ord = orders(s, dir)
-      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") >= dateLit("1996-01-01") &&
+              col("o_orderdate") < dateLit("1997-01-01"))
       .select("o_orderkey", "o_custkey")
     val cust = customer(s, dir).select("c_custkey", "c_nationkey")
     val supp = supplier(s, dir).select("s_suppkey", "s_nationkey")
@@ -487,8 +487,8 @@ object Relational {
     */
   def qTpchQ10(s: SparkSession, dir: String): DataFrame = {
     val ord = orders(s, dir)
-      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-              col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .filter(col("o_orderdate") >= dateLit("1996-01-01") &&
+              col("o_orderdate") < dateLit("1996-04-01"))
       .select("o_orderkey", "o_custkey")
     val li = lineitem(s, dir).filter(col("l_returnflag") === "R")
       .select(col("l_orderkey"),
@@ -513,8 +513,8 @@ object Relational {
     */
   def qTpchQ4(s: SparkSession, dir: String): DataFrame = {
     val ord = orders(s, dir)
-      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-              col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .filter(col("o_orderdate") >= dateLit("1996-01-01") &&
+              col("o_orderdate") < dateLit("1996-07-01"))
       .select("o_orderkey", "o_orderdate", "o_orderpriority")
     val li = lineitem(s, dir).select("l_orderkey", "l_shipdate")
     // timestamp + interval, NOT date_add (which would truncate the
@@ -534,8 +534,8 @@ object Relational {
     */
   def qTpchQ6(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir)
-      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-              col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+      .filter(col("l_shipdate") >= dateLit("1996-01-01") &&
+              col("l_shipdate") < dateLit("1997-01-01") &&
               col("l_discount").between(0.05, 0.07) &&
               col("l_quantity") < 24)
       .agg(outD(sum(d2(col("l_extendedprice")) * d2(col("l_discount")))).as("revenue"),
@@ -547,8 +547,8 @@ object Relational {
     */
   def qTpchQ14(s: SparkSession, dir: String): DataFrame = {
     val li = lineitem(s, dir)
-      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
-              col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .filter(col("l_shipdate") >= dateLit("1996-09-01") &&
+              col("l_shipdate") < dateLit("1996-10-01"))
       .select(col("l_partkey"),
         (d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount")))).as("rev"))
     li.join(broadcast(part(s, dir).select("p_partkey", "p_type")),
@@ -596,8 +596,8 @@ object Relational {
         col("c_nationkey") === col("nk2"))
       .select("c_custkey", "cust_nation")
     val li = lineitem(s, dir)
-      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-              col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") >= dateLit("1996-01-01") &&
+              col("l_shipdate") < dateLit("1998-01-01"))
       .select(col("l_orderkey"), col("l_suppkey"), year(col("l_shipdate")).as("l_year"),
         (d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount")))).as("rev"))
     li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
@@ -627,8 +627,8 @@ object Relational {
         col("s_nationkey") === col("snk"))
       .select("s_suppkey", "supp_nation")
     val ord = orders(s, dir)
-      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") >= dateLit("1996-01-01") &&
+              col("o_orderdate") < dateLit("1998-01-01"))
       .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("o_year"))
     val li = lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"),
       (d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount")))).as("rev"))
@@ -651,8 +651,8 @@ object Relational {
     */
   def qTpchQ15(s: SparkSession, dir: String): DataFrame = {
     val rev = lineitem(s, dir)
-      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-              col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .filter(col("l_shipdate") >= dateLit("1996-01-01") &&
+              col("l_shipdate") < dateLit("1996-04-01"))
       .groupBy("l_suppkey")
       .agg(outD(sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount"))))).as("total_rev"))
     rev.withColumn("mx", max(col("total_rev")).over(Window.partitionBy()))
@@ -749,8 +749,8 @@ object Relational {
   def qTpchQ20(s: SparkSession, dir: String): DataFrame = {
     val widgets = part(s, dir).filter(col("p_name").like("%widget")).select("p_partkey")
     val sp = lineitem(s, dir)
-      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") >= dateLit("1996-01-01") &&
+              col("l_shipdate") < dateLit("1997-01-01"))
       .join(broadcast(widgets), col("l_partkey") === col("p_partkey"))
       .groupBy("l_suppkey", "l_partkey")
       .agg(sum(d2(col("l_quantity"))).cast(D).as("sq"))
@@ -796,7 +796,7 @@ object Relational {
     val pos = cust.filter(col("c_acctbal") > 0.0)
       .agg(sum(d2(col("c_acctbal"))).as("sbal"), count(lit(1)).as("cnt"))
     val recent = orders(s, dir)
-      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") >= dateLit("2000-01-01"))
       .select("o_custkey")
     cust.crossJoin(broadcast(pos))
       .filter(d2(col("c_acctbal")) * col("cnt") > col("sbal"))
@@ -902,8 +902,8 @@ object Relational {
   def qTpchQ12(s: SparkSession, dir: String): DataFrame = {
     val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     lineitem(s, dir)
-      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") >= dateLit("1996-01-01") &&
+              col("l_shipdate") < dateLit("1997-01-01"))
       .select("l_orderkey", "l_shipdate", "l_linestatus")
       .join(orders(s, dir).select("o_orderkey", "o_orderdate", "o_orderpriority"),
         col("l_orderkey") === col("o_orderkey") &&

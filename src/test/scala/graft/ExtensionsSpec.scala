@@ -358,7 +358,10 @@ class ExtensionsSpec extends SparkSpec {
     val err = intercept[Exception] {
       spark.sql("SELECT knn_topk_keys(array(struct(CAST(1 AS BIGINT) AS id, array(1.0D) AS e, 1.0D AS nm)), array(1.0D), 1.0D, CAST(9 AS BIGINT), 1 + 1)").head()
     }
-    assert(err.getMessage.contains("literal") || err.getMessage != null)
+    // Pin the builder's literal-only validation specifically — a
+    // vacuous `|| msg != null` disjunct would pass for ANY failure.
+    assert(err.getMessage.contains("k must be an integer literal"),
+      s"expected the literal-k validation message, got: ${err.getMessage}")
   }
 
   test("minhash_signature: null array elements are skipped like the xxhash chain") {

@@ -371,4 +371,73 @@ class ScaleOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("raise tau"),
       s"wrong failure message: ${e.getMessage}")
   }
+
+  test("AQE skew join splits the hot key of the UNSALTED theta-range join") {
+    // thetaRangeSalted is the manual skew rewrite; this pins the
+    // AUTOMATIC one — the 100 TB story for q_join_theta_range's plain
+    // form is "AQE splits the hot key at runtime", so that claim is
+    // measured here, not narrated: on a forced-skew fixture the final
+    // adaptive plan must contain a skew-handled sort-merge join whose
+    // shuffle read splits one reducer partition into several
+    // PartialReducerPartitionSpec slices.
+    val s = spark
+    import s.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // fixture-sized skew thresholds: the hot key's reducer partition
+      // (~3000 rows) must read as "skewed" next to the ~3-row median
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      // keep the join a shuffled SMJ — a broadcast has no skew to split
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val hot = (0 until 3000).map(i => (i.toLong, 1L, new java.sql.Timestamp(base + i * 60000L)))
+      val cold = (0 until 600).map(i => (10000L + i, 2L + (i % 200), new java.sql.Timestamp(base + i * 90000L)))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-skew-").toString
+      (hot ++ cold).toDF("event_id", "user_id", "ts")
+        .withColumn("event_type", lit("click")).withColumn("value", lit(1.0))
+        .withColumn("props", lit("{}"))
+        .write.mode("overwrite").parquet(tmp + "/events.parquet")
+      val df = graft.operators.Relational.qJoinThetaRange(s, tmp)
+      // execute THIS DataFrame's own query execution — count() would
+      // plan (and adaptively execute) a different query, leaving
+      // df.queryExecution un-replanned
+      val n = df.collect().length
+      assert(n > 3000 * 4, s"forced-skew fixture produced only $n pairs")
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      val adaptive = df.queryExecution.executedPlan.collectFirst {
+        case a: AdaptiveSparkPlanExec => a
+      }.getOrElse(fail("no AdaptiveSparkPlanExec in the executed plan"))
+      // completed query stages are LEAF nodes — plain collect() stops
+      // at them, so flatten the stage tree recursively
+      def flat(p: SparkPlan): Seq[SparkPlan] = p match {
+        case q: QueryStageExec => q +: flat(q.plan)
+        case n => n +: n.children.flatMap(flat)
+      }
+      val nodes = flat(adaptive.executedPlan)
+      val smjs = nodes.collect { case j: SortMergeJoinExec => j }
+      assert(smjs.exists(_.isSkewJoin),
+        s"AQE did not mark the theta-range SMJ as a skew join:\n${adaptive.executedPlan}")
+      // the split itself: at least one shuffle read carries multiple
+      // partial slices of the same (skewed) reducer partition
+      val partialSlices = nodes.collect { case r: AQEShuffleReadExec =>
+        r.partitionSpecs.count(
+          _.isInstanceOf[org.apache.spark.sql.execution.PartialReducerPartitionSpec])
+      }
+      assert(partialSlices.exists(_ > 1),
+        s"skew-marked join did not split any reducer partition: $partialSlices")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
 }

@@ -63,7 +63,13 @@ class TablesSpec extends SparkSpec {
     // SQL or an operator gate assumes. On failure: check FIXTURES.md,
     // then decide loader adaptivity (the Tables.events pattern) or an
     // oracle-side cast — BOTH sides must agree, a one-sided cast just
-    // moves the mismatch.
+    // moves the mismatch. For DATE-column drift specifically
+    // (timestamp_ntz → date32), every Spark-side date comparison goes
+    // through ONE helper — `Tables.dateLit` — and the oracle
+    // convention is `TIMESTAMP 'YYYY-MM-DD'` literals, both of which
+    // coerce identically against date32 and timestamp columns, so
+    // that drift is a no-op (proved by the date32 round-trip test
+    // below); any other drift is a one-line dateLit fix.
     val dir = "/root/testdata/sf0.001"
     def typeOf(table: String, column: String): String = {
       val schema = spark.read.parquet(s"$dir/$table.parquet").schema
@@ -106,5 +112,32 @@ class TablesSpec extends SparkSpec {
     val tsType = typeOf("events", "ts")
     assert(tsType == "bigint" || tsType.startsWith("timestamp"),
       s"events.ts shipped as $tsType — neither known generation; extend Tables.events")
+  }
+
+  test("dateLit round-trips a forced date32 fixture generation") {
+    // If a future generation ships l_shipdate as parquet date32, every
+    // operator comparing through Tables.dateLit must keep returning
+    // the same rows with NO code change (Spark coerces DATE to
+    // TIMESTAMP-at-midnight in comparisons, exactly like DuckDB
+    // coerces date32 against TIMESTAMP literals — the documented
+    // oracle convention). Force that generation and prove the
+    // inclusive/exclusive boundary semantics survive.
+    val dir = Files.createTempDirectory("date32-gen").toFile.getAbsolutePath
+    val s = spark
+    import s.implicits._
+    Seq((1L, "1995-12-31"), (2L, "1996-01-01"), (3L, "1996-06-15"),
+        (4L, "1996-12-31"), (5L, "1997-01-01"))
+      .toDF("l_orderkey", "raw")
+      .withColumn("l_shipdate", col("raw").cast("date")) // parquet date32
+      .select("l_orderkey", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val li = Tables.lineitem(spark, dir)
+    assert(li.schema("l_shipdate").dataType == org.apache.spark.sql.types.DateType)
+    val got = li
+      .filter(col("l_shipdate") >= Tables.dateLit("1996-01-01") &&
+              col("l_shipdate") < Tables.dateLit("1997-01-01"))
+      .orderBy("l_orderkey").select("l_orderkey").as[Long].collect().toSeq
+    assert(got == Seq(2L, 3L, 4L),
+      s"date32 generation broke dateLit boundary semantics: got $got")
   }
 }
