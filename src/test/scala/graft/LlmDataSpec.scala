@@ -10,15 +10,21 @@ class LlmDataSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("minhash-LSH near-dup pairs: precision 1.0, recall >= 0.9 vs exact jaccard") {
-    val exact = LlmData.qDedupJaccard(spark, dir).select("a_id", "b_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = LlmData.qDedupMinhash(spark, dir).select("a_id", "b_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  test("minhash-LSH near-dup pairs: FORCED banded path equals the exact pair set") {
+    // exactGate = 0 forces the above-gate 16×2 banded pass (the 100 TB
+    // path) on the fixture; at/below the gate qDedupMinhash composes
+    // the session pair-graph artifact, so comparing THAT against
+    // qDedupJaccard would be vacuous (both read the same artifact).
+    // Fixture near-dups all sit at jac ≥ 0.818 where per-pair banded
+    // detection is 1 − 2·10⁻⁸, so the equality is deterministic —
+    // full rows including the jac values, not just the id pairs.
+    val exact = LlmData.qDedupJaccard(spark, dir)
+      .collect().map(_.toString).toSeq
+    val banded = LlmData.qDedupMinhashGated(spark, dir, exactGate = 0)
+      .collect().map(_.toString).toSeq
     assert(exact.nonEmpty, "fixture should contain planted near-dups")
-    assert(approx.subsetOf(exact), s"false positives: ${approx.diff(exact)}")
-    val recall = approx.intersect(exact).size.toDouble / exact.size
-    assert(recall >= 0.9, s"recall $recall below 0.9 (found ${approx.size}/${exact.size})")
+    assert(banded == exact,
+      s"banded (${banded.size} rows) diverged from exact (${exact.size} rows)")
   }
 
   test("dedup clusters are the connected components of the jaccard pair graph") {
