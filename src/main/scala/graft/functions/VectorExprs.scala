@@ -817,7 +817,126 @@ case class KnnTopkKeys(corpus: Expression, vec: Expression, nrm: Expression,
       nrm = newChildren(2), selfId = newChildren(3))
 }
 
+/** Per-document packed char-bigram occurrence counts:
+  * string → array<struct<bg: bigint, occ: bigint>> SORTED by bg
+  * ascending. The packing is PackedCharBigrams' (cp1·0x110000 + cp2),
+  * so the (bg, occ) rows equal exactly what
+  * `explode(packed_char_bigrams(t)) → groupBy(bg) count` produced —
+  * computed per ROW with no exploded stream through a hash aggregate.
+  * The langid/perplexity doc-side table derives from this kernel; the
+  * model side aggregates these already-counted rows (a shuffle of
+  * distinct-bigrams-per-doc rows with map-side partial aggregation,
+  * not of every bigram occurrence).
+  */
+case class PackedBigramCounts(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types.{StructField, StructType}
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("bg", LongType, nullable = false),
+                   StructField("occ", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "packed_bigram_counts"
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${t.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val js = input.toString
+    val n = js.codePointCount(0, js.length)
+    val arr = new Array[Long](if (n < 2) 0 else n - 1)
+    var idx = 0
+    var i = 0
+    var prev = -1
+    while (i < js.length) {
+      val cp = js.codePointAt(i)
+      if (prev >= 0) { arr(idx) = prev * 1114112L + cp; idx += 1 }
+      prev = cp
+      i += Character.charCount(cp)
+    }
+    java.util.Arrays.sort(arr)
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.catalyst.InternalRow]()
+    var j = 0
+    while (j < arr.length) {
+      var k = j
+      while (k < arr.length && arr(k) == arr(j)) k += 1
+      out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](arr(j), (k - j).toLong))
+      j = k
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PackedBigramCounts =
+    copy(child = newChild)
+}
+
+/** Per-document n-gram-LM scores for EVERY language in one pass: given
+  * the sorted (bg, occ) counts of a doc (PackedBigramCounts) and a
+  * driver-built term table (bgs sorted ascending; terms(l)(j) = the
+  * nano-unit-quantized log term of language l for bgs(j) — the same
+  * `round(log((cnt+1)/(tot+4096))·1e9)` longs the join-based scoring
+  * summed), returns array<bigint> of length L+1:
+  * [s_0 … s_{L−1}, Σocc]. Each s_l = Σ occ·terms(l)(bg) in exact
+  * int64 — identical values, partition-order independent, zero
+  * shuffle. The term table is O(langs · corpus bigram vocabulary) —
+  * the same driver/broadcast bound the pivoted-model join carried.
+  * Every doc bigram MUST be in bgs (the model is self-trained on the
+  * same corpus); a miss fails fast rather than mis-scoring.
+  */
+case class LangScores(child: Expression, bgs: Array[Long],
+                      terms: Array[Array[Long]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types.StructType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lang_scores"
+  override lazy val deterministic: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(st: StructType, _)
+          if st.length == 2 && st(0).dataType == LongType && st(1).dataType == LongType =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<struct<bg bigint, occ bigint>>, got ${t.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val counts = input.asInstanceOf[ArrayData]
+    val l = terms.length
+    val out = new Array[Long](l + 1)
+    var i = 0
+    val n = counts.numElements()
+    while (i < n) {
+      val row = counts.getStruct(i, 2)
+      val bg = row.getLong(0)
+      val occ = row.getLong(1)
+      val j = java.util.Arrays.binarySearch(bgs, bg)
+      require(j >= 0,
+        s"lang_scores: bigram $bg absent from the model term table " +
+          "(the model must be trained on the same corpus)")
+      var m = 0
+      while (m < l) { out(m) += occ * terms(m)(j); m += 1 }
+      out(l) += occ
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangScores =
+    copy(child = newChild)
+}
+
 object VectorExprs {
+  def packedBigramCounts(s: Column): Column =
+    GraftColumnShim.column(PackedBigramCounts(GraftColumnShim.expression(s)))
+
+  def langScores(counts: Column, bgs: Array[Long], terms: Array[Array[Long]]): Column =
+    GraftColumnShim.column(LangScores(GraftColumnShim.expression(counts), bgs, terms))
+
   def knnTopkKeys(corpus: Column, vec: Column, nrm: Column, selfId: Column, k: Int): Column =
     GraftColumnShim.column(KnnTopkKeys(GraftColumnShim.expression(corpus),
       GraftColumnShim.expression(vec), GraftColumnShim.expression(nrm),

@@ -2068,26 +2068,52 @@ object LlmData {
     * equivalence). The length filter keeps the sub-two-char guard (no
     * bigrams, as in the oracle's empty generate_series).
     */
-  private def docBigrams(s: SparkSession, dir: String): DataFrame =
-    docsNorm(s, dir)
-      .filter(length(col("norm_text")) >= 2)
-      .select(col("doc_id"), col("lang"),
-        explode(graft.functions.VectorExprs.packedCharBigrams(col("norm_text"))).as("bg"))
-
-  /** Per-doc bigram occurrence counts and the per-lang model derived
-    * from them — shared by language-ID and perplexity so the model
-    * definition (add-one smoothing base, count semantics) lives in
-    * exactly one place. ONE shuffle of the raw bigram stream; both
-    * tables cached (each is read by a fit and a scoring consumer).
+  /** Per-doc bigram count table via the compiled PackedBigramCounts
+    * kernel: (doc_id, lang, cnts array<struct<bg, occ>> sorted by bg)
+    * — one row per DOC, counted in-row, shared by language-ID and
+    * perplexity. Replaces the exploded-bigram-stream hash aggregate
+    * (1.48M rows → 463k at sf0.1, its own shuffle) with a per-row
+    * kernel; the empty filter keeps the sub-two-char guard (no
+    * bigrams, as in the oracle's empty generate_series).
     */
-  private def bigramCounts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val docBg = docBigrams(s, dir)
-      .groupBy("doc_id", "lang", "bg").agg(count(lit(1)).as("occ"))
-      .cache()
-    val model = docBg.groupBy(col("lang").as("m_lang"), col("bg").as("m_bg"))
-      .agg(sum(col("occ")).as("cnt"))
-      .cache()
-    (docBg, model)
+  private def docBigramCounts(s: SparkSession, dir: String): DataFrame =
+    docsNorm(s, dir)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.VectorExprs.packedBigramCounts(col("norm_text")).as("cnts"))
+      .filter(size(col("cnts")) > 0)
+
+  /** The per-lang add-one bigram LM fitted on docBigramCounts,
+    * collected to the driver as a term table for the LangScores
+    * kernel: (langs sorted, bgs sorted, terms(l)(j) = nano-unit log
+    * term — the shared model definition for langid and perplexity).
+    * Driver size is O(langs · corpus bigram vocabulary) — the same
+    * bound the earlier pivoted-model BROADCAST carried, so nothing
+    * new collects that did not already ship to every executor. None
+    * for a degenerate corpus (no doc with two chars). The aggregation
+    * shuffles already-counted (lang, bg, occ) rows with map-side
+    * partial aggregation — at most langs × V rows per partition — not
+    * the raw bigram stream.
+    */
+  private def bigramTermTable(docCnt: DataFrame):
+      Option[(Array[String], Array[Long], Array[Array[Long]])] = {
+    val modelRows = docCnt.select(col("lang"), explode(col("cnts")).as("c"))
+      .groupBy(col("lang"), col("c.bg").as("bg"))
+      .agg(sum(col("c.occ")).as("cnt"))
+      .collect()
+    if (modelRows.isEmpty) return None
+    val langs = modelRows.map(_.getString(0)).distinct.sorted
+    val totals = modelRows.groupBy(_.getString(0))
+      .map { case (l, rs) => l -> rs.map(_.getLong(2)).sum }
+    val bgs = modelRows.map(_.getLong(1)).distinct.sorted
+    val cnt = modelRows.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // Catalyst Round semantics (HALF_UP on the canonical decimal) —
+    // math.round would differ on negative .5 terms
+    def termN(c: Long, tot: Long): Long =
+      java.math.BigDecimal.valueOf(math.log((c + 1.0) / (tot + 4096.0)) * 1e9)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val terms = langs.map(l =>
+      bgs.map(bg => termN(cnt.getOrElse((l, bg), 0L), totals(l))))
+    Some((langs, bgs, terms))
   }
 
   /** Char-bigram n-gram language-ID, self-trained on the corpus:
@@ -2096,97 +2122,74 @@ object LlmData {
     * determinism. Output is the per-lang confusion matrix.
     */
   def qTextLangid(s: SparkSession, dir: String): DataFrame = {
-    // Pre-aggregate per-doc bigram occurrence counts FIRST: the raw
-    // bigram stream shuffles once, and the model (per-lang counts),
-    // lang totals and scoring all derive from the much smaller
-    // (doc, lang, bigram) pair table. occ·term equals the
-    // occurrence-wise sum, so scores (and the output) are unchanged.
-    val (docBg, model) = bigramCounts(s, dir)
-    val totals = model.groupBy("m_lang").agg(sum(col("cnt")).as("tot"))
-      .orderBy("m_lang").collect()
-      .map(r => r.getString(0) -> r.getLong(1))
-    // degenerate corpus (no doc with >= 2 chars): no model, no rows
-    if (totals.isEmpty) {
-      import s.implicits._
-      return s.emptyDataset[(String, String, Long)].toDF("lang", "predicted", "n")
+    // Two jobs total: (1) fit — aggregate the per-doc count table to
+    // the O(langs · V) term table (bigramTermTable); (2) score — ONE
+    // LangScores kernel eval per doc computes every language's score
+    // as exact int64 sums over the embedded term table, zero scoring
+    // shuffle (the join + per-(doc, lang) aggregate this replaces
+    // were the query's remaining exchanges). Order-independence
+    // firewall unchanged: each log term is quantized HALF_UP to
+    // nano-units and summed as int64. Magnitudes: |term_n| ≤ ~1e10,
+    // occ ≤ doc length, Σ ≪ 2⁶³.
+    val docCnt = docBigramCounts(s, dir).cache() // read by fit + scoring
+    bigramTermTable(docCnt) match {
+      // degenerate corpus (no doc with >= 2 chars): no model, no rows
+      case None =>
+        import s.implicits._
+        s.emptyDataset[(String, String, Long)].toDF("lang", "predicted", "n")
+      case Some((langs, bgs, terms)) =>
+        val scoreArr = slice(col("sc"), 1, langs.length)
+        // argmax: ties resolve to the alphabetically FIRST language
+        // (array_position returns the first match; langs is sorted)
+        val predicted = element_at(typedLit(langs.toSeq),
+          array_position(scoreArr, array_max(scoreArr)).cast("int"))
+        docCnt
+          .select(col("lang"),
+            graft.functions.VectorExprs.langScores(col("cnts"), bgs, terms).as("sc"))
+          .select(col("lang"), predicted.as("predicted"))
+          .groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "predicted")
     }
-    // The model is PIVOTED to one count column per language (languages
-    // and their totals are an O(langs) driver list), so scoring is ONE
-    // broadcast join over the (doc, bigram) table with |langs| score
-    // columns — not a ×|langs| row fan-out plus a per-doc-per-lang
-    // shuffle. Order-independence firewall in primitive LONGs: each
-    // log term is quantized HALF_UP to nano-units and summed as int64
-    // — exact, partition-order independent. Magnitudes: |term_n| ≤
-    // ~1e10, occ ≤ doc length, Σ ≪ 2⁶³.
-    // The log term depends only on (bigram, lang), so it is folded
-    // into the broadcast model table ONCE per (bigram, lang) — ≤ 4096
-    // bigram rows × |langs| columns — leaving the per-(doc, bigram)
-    // scoring join pure long multiply-adds (no transcendental in the
-    // hot path; same values, computed on the small side).
-    val modelWide = model.groupBy(col("m_bg").as("bg"))
-      .pivot("m_lang", totals.map(_._1)).agg(first(col("cnt")))
-      .select(col("bg") +: totals.map { case (l, tot) =>
-        round(log((coalesce(col(l), lit(0L)) + 1.0) / (tot + 4096.0)) * 1e9)
-          .cast("long").as(s"t_$l")
-      }.toSeq: _*)
-    val scoreCols = totals.toList.map { case (l, _) =>
-      sum(col("occ") * col(s"t_$l")).as(s"s_$l")
-    }
-    val scored = docBg.join(broadcast(modelWide), "bg")
-      .groupBy("doc_id", "lang")
-      .agg(scoreCols.head, scoreCols.tail: _*)
-    // argmax across the per-lang score columns; ties resolve to the
-    // alphabetically first language (same as the previous
-    // ORDER BY score DESC, m_lang tie-break)
-    // greatest() requires >= 2 args; a single-language corpus argmaxes
-    // to that language trivially
-    val mx =
-      if (totals.length == 1) col(s"s_${totals.head._1}")
-      else greatest(totals.map(t => col(s"s_${t._1}")): _*)
-    val predicted = totals.map(_._1).foldRight(lit(null).cast("string"): Column) {
-      case (l, acc) => when(col(s"s_$l") === mx, lit(l)).otherwise(acc)
-    }
-    scored.withColumn("predicted", predicted)
-      .groupBy(col("lang"), col("predicted"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy("lang", "predicted")
   }
 
   /** Bigram-LM perplexity quality scoring (the CCNet-style filter
     * signal): each document's mean negative log-likelihood under its
     * OWN language's self-trained add-one bigram model — fluent text
-    * scores low, gibberish high. Shares `docBigrams` and the langid
+    * scores low, gibberish high. Shares `docBigramCounts` and the langid
     * model shape; the exactness firewall is the same nano-unit long
     * trick (each log term quantized HALF_UP, summed as int64, one
     * double division at the end), so the result is partition-order
     * independent and engine-portable.
     *
-    * Scale shape: one shuffle of the raw bigram stream to per-doc
-    * pair counts; the model and totals aggregate the pair table; the
-    * scoring join is a broadcast of the (lang, bigram) model.
+    * Scale shape: the fit aggregates the per-doc count table to the
+    * O(langs · V) term table; scoring is one LangScores kernel eval
+    * per doc against its OWN language's terms (every (lang, bigram)
+    * of a doc is in its own lang's self-trained model by
+    * construction), zero scoring shuffle.
     */
   def qTextPerplexity(s: SparkSession, dir: String): DataFrame = {
-    val (docBg, model) = bigramCounts(s, dir)
-    val totals = model.groupBy("m_lang").agg(sum(col("cnt")).as("tot"))
-      .select(col("m_lang").as("t_lang"), col("tot"))
-    // Fold the log term into the broadcast model ONCE per
-    // (lang, bigram) — it depends on nothing else — so the scoring
-    // join is pure long multiply-adds (same langid optimization).
-    val modelT = model
-      .join(totals, col("m_lang") === col("t_lang"))
-      .select(col("m_lang"), col("m_bg"),
-        round(log((col("cnt") + 1.0) / (col("tot") + 4096.0)) * 1e9)
-          .cast("long").as("term_n"))
-    docBg
-      // inner join: every (lang, bigram) of a doc is in its own
-      // lang's self-trained model by construction
-      .join(broadcast(modelT), col("lang") === col("m_lang") && col("bg") === col("m_bg"))
-      .groupBy("doc_id", "lang")
-      .agg(sum(col("occ")).as("n_bigrams"),
-           sum(col("occ") * col("term_n")).as("s"))
-      .select(col("doc_id"), col("lang"), col("n_bigrams"),
-        round(-(col("s").cast("double") / 1e9) / col("n_bigrams"), 6).as("avg_nll"))
-      .orderBy("doc_id")
+    val docCnt = docBigramCounts(s, dir).cache() // read by fit + scoring
+    bigramTermTable(docCnt) match {
+      case None =>
+        import s.implicits._
+        s.emptyDataset[(Long, String, Long, Double)]
+          .toDF("doc_id", "lang", "n_bigrams", "avg_nll")
+      case Some((langs, bgs, terms)) =>
+        val l = langs.length
+        // sc = [s_lang0 … s_lang(L−1), Σocc]; pick the doc's own
+        // language's score (1-based element_at)
+        val ownIdx = array_position(typedLit(langs.toSeq), col("lang")).cast("int")
+        docCnt
+          .select(col("doc_id"), col("lang"),
+            graft.functions.VectorExprs.langScores(col("cnts"), bgs, terms).as("sc"))
+          .select(col("doc_id"), col("lang"),
+            element_at(col("sc"), lit(l + 1)).as("n_bigrams"),
+            element_at(col("sc"), ownIdx).as("s"))
+          .select(col("doc_id"), col("lang"), col("n_bigrams"),
+            round(-(col("s").cast("double") / 1e9) / col("n_bigrams"), 6).as("avg_nll"))
+          .orderBy("doc_id")
+    }
   }
 
   /** Deterministic document fingerprints, oracle-checked: the whole-
@@ -2480,7 +2483,7 @@ object LlmData {
 
   /** Shared per-doc bigram CTE — single source of truth for the
     * q_text_langid and q_text_perplexity oracles (mirrors the Spark
-    * side's shared `docBigrams`, so a change to the bigram definition
+    * side's shared `docBigramCounts` kernel, so a change to the bigram definition
     * cannot drift between the two oracle strings).
     */
   private val bigramCte =
