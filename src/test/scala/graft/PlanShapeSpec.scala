@@ -86,6 +86,21 @@ class PlanShapeSpec extends SparkSpec {
     pin("q_emb_knn", 2, 1)
   }
 
+  test("kernel-scored text shapes: zero scoring joins or shuffles") {
+    // langid: the LangScores kernel scores every language per doc
+    // in-row against the driver-embedded term table — the visible
+    // exchanges are ONLY the confusion-matrix agg + output sort (the
+    // fit's exchanges live behind the cached per-doc count table);
+    // crucially ZERO broadcasts: the model join this replaced is gone
+    pin("q_text_langid", 2, 0)
+    // perplexity: same kernel, own-language score per doc; no grouping
+    // at all — output sort only
+    pin("q_text_perplexity", 1, 0)
+    // minhash below the gate: composes the materialized pair-graph
+    // artifact — a parquet read + output sort, nothing else
+    pin("q_dedup_minhash", 1, 0)
+  }
+
   test("sketch shapes: set algebra on the sketch table, never on data") {
     // theta: doc rebalance + per-source sketch agg (on each join side —
     // the one-row-per-source table is rebuilt per side at plan time;
