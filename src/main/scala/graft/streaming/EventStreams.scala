@@ -149,6 +149,109 @@ object EventStreams {
       }
   }
 
+  case class MarkovState(lastType: String, lastUs: Long)
+  case class TransitionOut(user_id: Long, from_type: String, to_type: String,
+                           from_us: Long, to_us: Long)
+
+  /** Streaming Markov transition stream (batch twin: qEvMarkov's `tr`
+    * stage): one row per consecutive same-user event pair, in
+    * event-time order. State per user is the single last event —
+    * O(1), evicted 30 days past last activity (a documented horizon:
+    * a user returning after eviction starts a fresh chain, losing the
+    * one transition that spanned the dormancy — the same bounded-state
+    * tradeoff the attribution twin declares for its 7-day window).
+    * The transition-probability matrix is the downstream aggregation
+    * of this stream (count by (from, to) / row_total), exactly as the
+    * batch operator aggregates its lead() pairs.
+    */
+  def markov(events: DataFrame): Dataset[TransitionOut] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[MarkovState, TransitionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, evs, state: GroupState[MarkovState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = evs.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[TransitionOut]
+            var last = state.getOption
+            sorted.foreach { e =>
+              val us = tsMicros(e.ts)
+              last.foreach(l =>
+                out += TransitionOut(uid, l.lastType, e.event_type, l.lastUs, us))
+              last = Some(MarkovState(e.event_type, us))
+            }
+            last.foreach(state.update)
+            // watermark-vs-last-activity anchor (the batch-1
+            // zero-watermark pitfall — see funnel)
+            val lastMs = sorted.last.ts.getTime
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), lastMs) + 30L * 86400 * 1000)
+            out.iterator
+          }
+      }
+  }
+
+  case class RetentionState(cohortDay: Long, emitted: Int)
+  case class RetentionOut(user_id: Long, cohort_day: java.sql.Date, day_offset: Int)
+
+  /** Streaming cohort-retention increments (batch twin: qEvRetention):
+    * one row the FIRST time a user is active on cohort-day + offset
+    * (offset 0..7); `count(DISTINCT user_id)` by (cohort_day,
+    * day_offset) over this stream is the batch operator's
+    * active_users. State per user: first-seen epoch day + an 8-bit
+    * emitted mask — O(1), evictable once the watermark passes
+    * cohort + 8 days (no in-window event can then arrive non-late).
+    * Documented horizon: a user re-appearing AFTER eviction starts a
+    * new cohort — the standard bounded-state streaming-retention
+    * tradeoff (batch first-seen is unbounded by construction).
+    */
+  def retention(events: DataFrame): Dataset[RetentionOut] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetentionState, RetentionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, evs, state: GroupState[RetentionState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = evs.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+            // UTC epoch day — the session tz is pinned UTC, so this is
+            // the batch twin's to_date(ts)
+            def day(e: Ev): Long = Math.floorDiv(tsMicros(e.ts), 86400000000L)
+            var st = state.getOption.getOrElse(
+              RetentionState(day(sorted.head), 0))
+            val out = scala.collection.mutable.ArrayBuffer.empty[RetentionOut]
+            sorted.foreach { e =>
+              val off = (day(e) - st.cohortDay).toInt
+              if (off >= 0 && off <= 7 && (st.emitted & (1 << off)) == 0) {
+                st = st.copy(emitted = st.emitted | (1 << off))
+                out += RetentionOut(uid,
+                  java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(st.cohortDay)),
+                  off)
+              }
+            }
+            state.update(st)
+            // evictable once nothing in [cohort, cohort+7d] can arrive
+            // non-late; the max() keeps the timeout ahead of the
+            // current watermark as the API requires
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 60000L,
+              (st.cohortDay + 8) * 86400000L))
+            out.iterator
+          }
+      }
+  }
+
   /** Emits one row per user the moment the ordered
     * signup→click→purchase funnel completes. State is O(active users)
     * and dropped on event-time timeout past the watermark.

@@ -519,4 +519,126 @@ class StreamingSpec extends SparkSpec {
         s"state not evicted past the attribution window: $s3 rows for ~2 active users")
     } finally q.stop()
   }
+
+  test("file-source markov twin reproduces the batch transition counts") {
+    // aggregating the streamed transition rows must equal qEvMarkov's
+    // oracle-checked (from_type, to_type, n) counts on the real fixture
+    val dir = "/root/testdata/sf0.001"
+    val q = EventStreams.markov(EventStreams.readEvents(spark, dir)).writeStream
+      .format("memory").queryName("file_markov").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT from_type, to_type, count(*) AS n FROM file_markov GROUP BY 1, 2")
+        .collect().map(_.toString).sorted.toSeq
+      val batch = graft.operators.EventOps.qEvMarkov(spark, dir)
+        .select("from_type", "to_type", "n")
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streaming markov diverged (${streamed.length} vs ${batch.length} cells)")
+    } finally q.stop()
+  }
+
+  test("file-source retention twin reproduces the batch cohort matrix") {
+    val dir = "/root/testdata/sf0.001"
+    val q = EventStreams.retention(EventStreams.readEvents(spark, dir)).writeStream
+      .format("memory").queryName("file_retention").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        """SELECT cohort_day, day_offset, count(DISTINCT user_id) AS active_users
+          |FROM file_retention GROUP BY 1, 2""".stripMargin)
+        .collect().map(_.toString).sorted.toSeq
+      val batch = graft.operators.EventOps.qEvRetention(spark, dir)
+        .select(col("cohort_day"), col("day_offset").cast("int"), col("active_users"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streaming retention diverged (${streamed.length} vs ${batch.length} cells)")
+    } finally q.stop()
+  }
+
+  test("markov soak: O(1) state per user, cross-batch transition, dormancy eviction") {
+    val s = spark
+    import s.implicits._
+    def tsd(day: Int, minute: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-$day%02d ${minute / 60}%02d:${minute % 60}%02d:00")
+    val stream = MemoryStream[Ev](s)
+    val df = stream.toDF()
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val q = EventStreams.markov(df).writeStream
+      .format("memory").queryName("soak_markov").outputMode("append").start()
+    try {
+      // trigger 1: 40 users × 4 events — state must be ONE row per
+      // user (the last event), not 4
+      stream.addData(for (u <- 1 to 40; i <- 0 until 4)
+        yield Ev(u * 10L + i, tsd(1, u + i * 2), u.toLong, if (i % 2 == 0) "view" else "click"))
+      q.processAllAvailable()
+      val s1 = stateRows(q)
+      // trigger 2: user 1 returns next day — the cross-batch
+      // transition must pair with trigger-1's LAST event
+      stream.addData(Seq(Ev(9001, tsd(2, 1), 1L, "purchase")))
+      q.processAllAvailable()
+      val cross = s.sql(
+        "SELECT from_type FROM soak_markov WHERE user_id = 1 AND to_type = 'purchase'")
+        .collect().map(_.getString(0)).toSeq
+      assert(cross == Seq("click"), s"cross-batch transition wrong: $cross")
+      // triggers 3+4: jump far past the 30-day dormancy horizon, then
+      // advance the watermark again so the timeouts take hold
+      stream.addData(Seq(Ev(9002, tsd(15, 1), 998L, "view"))) // feb 15 vs jan: month boundary avoided
+      q.processAllAvailable()
+      stream.addData(Seq(Ev(9003,
+        Timestamp.valueOf("2024-03-20 00:01:00"), 997L, "view")))
+      q.processAllAvailable()
+      stream.addData(Seq(Ev(9004,
+        Timestamp.valueOf("2024-04-25 00:01:00"), 996L, "view")))
+      q.processAllAvailable()
+      val s4 = stateRows(q)
+      info(s"markov state rows: after trigger1=$s1, after dormancy=$s4")
+      assert(s1 >= 40 && s1 <= 41, s"state must be O(users): $s1 rows for 40 users")
+      assert(s4 <= 5,
+        s"dormant users not evicted past the 30-day horizon: $s4 rows")
+      // every streamed transition is strictly forward in event time
+      val bad = s.sql("SELECT count(*) FROM soak_markov WHERE to_us <= from_us").head().getLong(0)
+      assert(bad == 0, s"$bad non-forward transitions")
+    } finally q.stop()
+  }
+
+  test("retention soak: emitted mask dedups offsets, state evicted past cohort+8d") {
+    val s = spark
+    import s.implicits._
+    def tsd(day: Int, minute: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-$day%02d ${minute / 60}%02d:${minute % 60}%02d:00")
+    val stream = MemoryStream[Ev](s)
+    val df = stream.toDF()
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val q = EventStreams.retention(df).writeStream
+      .format("memory").queryName("soak_retention").outputMode("append").start()
+    try {
+      // trigger 1: 30 users, 3 events each on days 1 and 2 — exactly
+      // TWO rows per user (offsets 0, 1) despite 6 events
+      stream.addData(for (u <- 1 to 30; d <- 1 to 2; i <- 0 until 3)
+        yield Ev(u * 100L + d * 10 + i, tsd(d, u + i), u.toLong, "view"))
+      q.processAllAvailable()
+      val rows1 = s.sql("SELECT count(*) FROM soak_retention").head().getLong(0)
+      assert(rows1 == 60, s"expected 30 users × offsets {0,1} = 60 rows, got $rows1")
+      val s1 = stateRows(q)
+      // day-9 event for user 1 is past offset 7 — no new row, but the
+      // watermark (day 9 - 1 h) passes cohort+8d for every user
+      stream.addData(Seq(Ev(9001, tsd(10, 1), 1L, "view")))
+      q.processAllAvailable()
+      stream.addData(Seq(Ev(9002, tsd(25, 1), 999L, "view")))
+      q.processAllAvailable()
+      val s3 = stateRows(q)
+      val rows3 = s.sql("SELECT count(*) FROM soak_retention").head().getLong(0)
+      info(s"retention state rows: after trigger1=$s1, after advance=$s3")
+      // 60 + user 999's own cohort row; user 1's day-10 event (offset
+      // 9, past the window) must NOT have added one
+      assert(rows3 == 61, s"past-window events must not add rows: $rows3")
+      val u1 = s.sql("SELECT count(*) FROM soak_retention WHERE user_id = 1").head().getLong(0)
+      assert(u1 == 2, s"user 1 must keep exactly offsets {0,1}: $u1 rows")
+      assert(s1 >= 30, s"expected >= 30 state rows, got $s1")
+      assert(s3 <= 5,
+        s"state not evicted past cohort+8d: $s3 rows for ~2 in-horizon users")
+    } finally q.stop()
+  }
 }
