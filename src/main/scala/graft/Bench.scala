@@ -22,6 +22,7 @@ object Bench {
     // table is materialized once per pipeline run, then composed).
     graft.operators.LimeOps.clearStatsCache()
     graft.operators.LlmData.clearDedupArtifacts()
+    graft.operators.LayoutOps.clearLayoutArtifacts()
     // The shared dedup pair graphs are built HERE as their own named
     // entries, so every dedup consumer's number is an isolated-cold
     // read of the materialized artifact — not order-dependent on which
@@ -36,7 +37,13 @@ object Bench {
       // LIME consumer in the timed loop below reads the fitted model
       // (the production accounting — stats are fit once per table per
       // pipeline run) while the fit cost itself stays visible here.
-      "artifact_lime_stats" -> (() => graft.operators.LimeOps.limeStatsFit(spark, sfDir))
+      "artifact_lime_stats" -> (() => graft.operators.LimeOps.limeStatsFit(spark, sfDir)),
+      // Ingest-time physical layouts (bucketed orders/customer,
+      // nation-partitioned customer): built once per run here, so the
+      // layout queries below are honest reads of already-laid-out
+      // tables — the warehouse accounting the layouts model.
+      "artifact_bucketed" -> (() => graft.operators.LayoutOps.bucketedTables(spark, sfDir)._1),
+      "artifact_partitioned" -> (() => graft.operators.LayoutOps.partitionedCustomer(spark, sfDir))
     ).map { case (name, build) =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()

@@ -21,9 +21,11 @@ object SparkEntry {
     * free at session exit.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ EventOps.queries ++ LlmData.queries ++ LimeOps.queries
+    Relational.queries ++ EventOps.queries ++ LlmData.queries ++ LimeOps.queries ++
+      LayoutOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ EventOps.oracle ++ LlmData.oracle ++ LimeOps.oracle
+    Relational.oracle ++ EventOps.oracle ++ LlmData.oracle ++ LimeOps.oracle ++
+      LayoutOps.oracle
 }

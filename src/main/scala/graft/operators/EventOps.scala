@@ -281,7 +281,60 @@ object EventOps {
       .orderBy("purchase_id")
   }
 
+  /** Top-20 session paths: the ordered event-type sequence of each
+    * 30-minute-gap session (same boundary rule as qEvSession),
+    * ranked by frequency — the "what do users actually do" query
+    * behind funnel design and sequence-model training data. Path
+    * assembly is ONE per-session aggregate: collect_list of
+    * (ts, event_id, type) structs, array_sort (struct order = field
+    * order, so ties on ts break on event_id exactly like the
+    * oracle's string_agg ORDER BY ts, event_id), then a project to
+    * the '>'-joined type sequence. The path table is
+    * O(distinct paths) — the global top-20 runs on counts, never on
+    * events; full (n DESC, path ASC) ordering makes the cut
+    * deterministic in both engines.
+    */
+  def qEvSesspath(s: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byTs))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+             unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(collect_list(struct(col("ts"), col("event_id"), col("event_type"))).as("evs"))
+      .select(array_join(
+        expr("transform(array_sort(evs), x -> x.event_type)"), ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_ev_sesspath" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessioned AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |), paths AS (
+        |  SELECT user_id, session_id,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM sessioned GROUP BY user_id, session_id
+        |)
+        |SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "q_ev_attribution" ->
       """WITH e AS (
         |  SELECT event_id, ts, user_id, event_type FROM events
@@ -453,6 +506,7 @@ object EventOps {
     "q_ev_anomaly" -> (qEvAnomaly _),
     "q_ev_entropy" -> (qEvEntropy _),
     "q_ev_markov" -> (qEvMarkov _),
+    "q_ev_sesspath" -> (qEvSesspath _),
     "q_ev_hourly" -> (qEvHourly _),
     "q_ev_attribution" -> (qEvAttribution _)
   )

@@ -1830,6 +1830,35 @@ object LlmData {
       .orderBy("source")
   }
 
+  /** Epoch planning on top of the temperature mixture: given a fixed
+    * training token budget, each source's target token allocation is
+    * its α = 0.5 temperature share of the budget, and `epochs` is how
+    * many times its corpus must repeat to meet that target (the
+    * up-sampling factor small high-weight sources pay; `n_passes` is
+    * the whole number of corpus passes to schedule). All allocation
+    * arithmetic is EXACT int64 — target = ⌊B·aw/z⌋ and
+    * ⌈target/n_tokens⌉ as integer ops (every product < 2⁵³, so even
+    * the cross-check ratios are exact) — only the reported `epochs`
+    * ratio is a rounded double of two exact longs. Shape: the same
+    * O(sources) aggregate + scalar broadcast as qMixTemperature —
+    * corpus-size-independent beyond the one token-count scan.
+    */
+  def qMixEpochs(s: SparkSession, dir: String): DataFrame = {
+    val budget = 10000000L // training token budget B
+    val per = docsNorm(s, dir)
+      .select(col("source"), size(expr(wordsExpr)).as("ntok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).cast("long").as("n_tokens"))
+      .withColumn("aw", floor(sqrt(col("n_tokens"))).cast("long"))
+    val tot = per.agg(sum(col("aw")).as("z"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr(s"$budget * aw div z").as("target_tokens"),
+        expr(s"($budget * aw div z + n_tokens - 1) div n_tokens").as("n_passes"),
+        round(expr(s"$budget * aw div z") / col("n_tokens").cast("double"), 4).as("epochs"))
+      .orderBy("source")
+  }
+
   /** Per-dimension embedding health profile — the dead/drifted-dimension
     * check run before training on a new embedding snapshot: count, mean,
     * variance, min, max for each of the 64 dimensions. Sums fold as
@@ -3020,6 +3049,24 @@ object LlmData {
         |  ROUND(aw * 1.0 / z, 6) AS temp_share,
         |  ROUND((aw * 1.0 / z) / (n_tokens * 1.0 / t), 6) AS boost
         |FROM a, tot ORDER BY source""".stripMargin,
+    // Allocation arithmetic is exact int64 in both engines (// is
+    // DuckDB's integer floor-div on BIGINT, div is Spark's); only the
+    // final epochs ratio is a rounded double of two exact longs.
+    "q_mix_epochs" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1
+        |), a AS (
+        |  SELECT *, CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS aw FROM per
+        |), tot AS (
+        |  SELECT CAST(SUM(aw) AS BIGINT) AS z FROM a
+        |)
+        |SELECT source, n_docs, n_tokens,
+        |  10000000 * aw // z AS target_tokens,
+        |  (10000000 * aw // z + n_tokens - 1) // n_tokens AS n_passes,
+        |  ROUND((10000000 * aw // z) / CAST(n_tokens AS DOUBLE), 4) AS epochs
+        |FROM a, tot ORDER BY source""".stripMargin,
     // Exact-decimal Σx / Σx² (order-free), doubles only in the final
     // identical ratios; dim is 0-based to match posexplode.
     "q_emb_dim_stats" ->
@@ -3266,6 +3313,7 @@ object LlmData {
     "q_text_novelty" -> (qTextNovelty _),
     "q_mix_weights" -> (qMixWeights _),
     "q_mix_temperature" -> (qMixTemperature _),
+    "q_mix_epochs" -> (qMixEpochs _),
     "q_src_csv" -> (qSrcCsv _),
     "q_src_jsonl" -> (qSrcJsonl _),
     "q_src_orc" -> (qSrcOrc _),

@@ -101,6 +101,19 @@ class PlanShapeSpec extends SparkSpec {
     pin("q_dedup_minhash", 1, 0)
   }
 
+  test("layout/event shapes: path assembly reuses the user exchange") {
+    // sesspath: ONE user_id exchange feeds both session windows AND
+    // the (user, session) collect_list aggregate (its partial/final
+    // pair runs exchange-free on the user_id distribution); the only
+    // other shuffle is the O(paths) count agg — top-20 is a
+    // TakeOrdered, no global sort exchange
+    pin("q_ev_sesspath", 2, 0)
+    // epochs: same O(sources) shape as temperature — doc rebalance +
+    // token aggs on the per-source and total branches + one scalar
+    // broadcast; allocation arithmetic adds nothing
+    pin("q_mix_epochs", 6, 1)
+  }
+
   test("sketch shapes: set algebra on the sketch table, never on data") {
     // theta: doc rebalance + per-source sketch agg (on each join side —
     // the one-row-per-source table is rebuilt per side at plan time;
