@@ -92,10 +92,12 @@ object EventOps {
       .orderBy("event_type")
   }
 
-  /** Ordered signup→click→purchase funnel per user. Three aggregation
-    * passes over user_id — state O(users), no event-level blowup.
+  /** Per-user ordered signup→click→purchase first-times — the shared
+    * core of qEvFunnel (membership) and qEvFunnelTime (latency).
+    * Three aggregation passes over user_id — state O(users), no
+    * event-level blowup.
     */
-  def qEvFunnel(s: SparkSession, dir: String): DataFrame = {
+  private def funnelTimes(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir)
     val s1 = e.groupBy("user_id")
       .agg(min(when(col("event_type") === "signup", col("ts"))).as("signup_ts"))
@@ -104,15 +106,45 @@ object EventOps {
       .agg(
         min(col("signup_ts")).as("signup_ts"),
         min(when(col("event_type") === "click" && col("ts") > col("signup_ts"), col("ts"))).as("click_ts"))
-    val s3 = e.join(s2, "user_id")
+    e.join(s2, "user_id")
       .groupBy("user_id")
       .agg(
         min(col("signup_ts")).as("signup_ts"),
         min(col("click_ts")).as("click_ts"),
         min(when(col("event_type") === "purchase" && col("ts") > col("click_ts"), col("ts"))).as("purchase_ts"))
-    s3.select(col("user_id"), col("signup_ts"), col("click_ts"), col("purchase_ts"),
+  }
+
+  /** Ordered signup→click→purchase funnel per user. */
+  def qEvFunnel(s: SparkSession, dir: String): DataFrame =
+    funnelTimes(s, dir)
+      .select(col("user_id"), col("signup_ts"), col("click_ts"), col("purchase_ts"),
         (col("signup_ts").isNotNull && col("click_ts").isNotNull && col("purchase_ts").isNotNull).as("completed"))
       .orderBy("user_id")
+
+  /** Funnel step latencies: median and p90 time between consecutive
+    * funnel steps, over the users who reached each step — the "where
+    * does the funnel stall" companion to qEvFunnel's membership
+    * counts. The gap streams are O(users) rows (one per user per
+    * reached step), so the percentile aggregate runs on the tiny
+    * per-step groups, never on events; `percentile` ≡ DuckDB
+    * quantile_cont (linear interpolation — the q_agg_quantile-proven
+    * equivalence) over exact int64 µs gaps, with the µs→s division
+    * and ROUND(6) applied to the SAME double in both engines.
+    */
+  def qEvFunnelTime(s: SparkSession, dir: String): DataFrame = {
+    val ft = funnelTimes(s, dir).cache() // feeds both step-gap streams
+    def gaps(step: String, from: Column, to: Column) =
+      ft.filter(from.isNotNull && to.isNotNull)
+        .select(lit(step).as("step"),
+          (unix_micros(to) - unix_micros(from)).as("gap_us"))
+    gaps("1_signup_to_click", col("signup_ts"), col("click_ts"))
+      .union(gaps("2_click_to_purchase", col("click_ts"), col("purchase_ts")))
+      .groupBy("step")
+      .agg(
+        count(lit(1)).as("n_users"),
+        round(expr("percentile(gap_us, 0.5)") / 1000000.0, 6).as("med_s"),
+        round(expr("percentile(gap_us, 0.9)") / 1000000.0, 6).as("p90_s"))
+      .orderBy("step")
   }
 
   /** Dedup keep-first on (user_id, event_type) — the deterministic
@@ -486,6 +518,31 @@ object EventOps {
         |SELECT user_id, signup_ts, click_ts, purchase_ts,
         |  (signup_ts IS NOT NULL AND click_ts IS NOT NULL AND purchase_ts IS NOT NULL) AS completed
         |FROM s3 ORDER BY user_id""".stripMargin,
+    "q_ev_funnel_time" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts
+        |  FROM events GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, MIN(s1.signup_ts) AS signup_ts,
+        |    MIN(CASE WHEN e.event_type = 'click' AND e.ts > s1.signup_ts THEN e.ts END) AS click_ts
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, MIN(s2.signup_ts) AS signup_ts, MIN(s2.click_ts) AS click_ts,
+        |    MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.click_ts THEN e.ts END) AS purchase_ts
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id GROUP BY e.user_id
+        |), gaps AS (
+        |  SELECT '1_signup_to_click' AS step,
+        |    epoch_us(click_ts) - epoch_us(signup_ts) AS gap_us
+        |  FROM s3 WHERE signup_ts IS NOT NULL AND click_ts IS NOT NULL
+        |  UNION ALL
+        |  SELECT '2_click_to_purchase' AS step,
+        |    epoch_us(purchase_ts) - epoch_us(click_ts) AS gap_us
+        |  FROM s3 WHERE click_ts IS NOT NULL AND purchase_ts IS NOT NULL
+        |)
+        |SELECT step, COUNT(*) AS n_users,
+        |  ROUND(quantile_cont(gap_us, 0.5) / 1000000.0, 6) AS med_s,
+        |  ROUND(quantile_cont(gap_us, 0.9) / 1000000.0, 6) AS p90_s
+        |FROM gaps GROUP BY step ORDER BY step""".stripMargin,
     "q_ev_dedup_stream" ->
       """SELECT user_id, event_type, event_id, ts FROM (
         |  SELECT user_id, event_type, event_id, ts,
@@ -501,6 +558,7 @@ object EventOps {
     "q_ev_session" -> (qEvSession _),
     "q_ev_late_watermark" -> (qEvLateWatermark _),
     "q_ev_funnel" -> (qEvFunnel _),
+    "q_ev_funnel_time" -> (qEvFunnelTime _),
     "q_ev_dedup_stream" -> (qEvDedupStream _),
     "q_ev_retention" -> (qEvRetention _),
     "q_ev_anomaly" -> (qEvAnomaly _),

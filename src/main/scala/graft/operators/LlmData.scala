@@ -1989,6 +1989,41 @@ object LlmData {
       .orderBy("rnk")
   }
 
+  /** Per-source distinctive vocabulary: top-5 unigrams per source by
+    * PMI-style keyword score ln((c_sw/n_s)/(c_w/N)) — "what is IN this
+    * source" — the corpus-composition audit run before choosing
+    * mixture weights (a source whose keywords are boilerplate gets
+    * down-weighted; one with domain terms earns its share). Same
+    * float firewall as q_text_pmi: both products of the ratio are
+    * exact int64-valued doubles (< 2⁵³), so the division and LN see
+    * identical arguments in both engines, and ranking runs on the
+    * ROUNDED score (word tiebreak) so the top-5 boundary is
+    * deterministic. Shape: one token-keyed count shuffle; every join
+    * after it runs on the (source, word)-sized COUNT table, never on
+    * corpus rows; the per-source top-5 window partitions by source.
+    */
+  def qTextKeywords(s: SparkSession, dir: String): DataFrame = {
+    val sw = docsNorm(s, dir)
+      .select(col("source"), explode(expr(wordsExpr)).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("csw"))
+      .cache() // feeds per-source totals, per-word totals and scoring
+    val perSrc = sw.groupBy("source").agg(sum(col("csw")).as("ns"))
+    val perWord = sw.groupBy("w").agg(sum(col("csw")).as("cw"))
+    val tot = perWord.agg(sum(col("cw")).as("n"))
+    val win = Window.partitionBy("source").orderBy(col("score").desc, col("w"))
+    sw.filter(col("csw") >= 5)
+      .join(perSrc, "source")
+      .join(perWord, "w")
+      .crossJoin(broadcast(tot))
+      .withColumn("score", round(log(
+        col("csw").cast("double") * col("n") /
+        (col("ns").cast("double") * col("cw"))), 6))
+      .withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= 5)
+      .select("source", "w", "csw", "score", "rnk")
+      .orderBy("source", "rnk")
+  }
+
   /** C4-style heuristic filter (Raffel et al. 2020 §2.2, adapted to a
     * corpus with no sentence/line structure, so the line-level rules
     * collapse to document level): word-count bounds, alphabetic-token
@@ -3146,6 +3181,29 @@ object LlmData {
         |  CROSS JOIN tt CROSS JOIN bt
         |), r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, bg) AS rnk FROM j)
         |SELECT bg, cb, c1, c2, pmi, rnk FROM r WHERE rnk <= 50 ORDER BY rnk""".stripMargin,
+    // Same LN firewall as q_text_pmi: both ratio products are exact
+    // int64-valued doubles, ranking on the ROUNDED score.
+    "q_text_keywords" ->
+      """WITH d AS (
+        |  SELECT source, list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS ws
+        |  FROM documents
+        |), w AS (SELECT source, unnest(ws) AS w FROM d),
+        |sw AS (SELECT source, w, COUNT(*) AS csw FROM w GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(SUM(csw) AS BIGINT) AS ns FROM sw GROUP BY 1),
+        |cwt AS (SELECT w, CAST(SUM(csw) AS BIGINT) AS cw FROM sw GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM cwt),
+        |scored AS (
+        |  SELECT sw.source, sw.w, sw.csw,
+        |    ROUND(LN(CAST(sw.csw AS DOUBLE) * n /
+        |      (CAST(ns.ns AS DOUBLE) * cwt.cw)), 6) AS score
+        |  FROM sw JOIN ns ON sw.source = ns.source JOIN cwt ON sw.w = cwt.w
+        |  CROSS JOIN tot WHERE sw.csw >= 5
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, w) AS rnk
+        |  FROM scored
+        |)
+        |SELECT source, w, csw, score, rnk FROM r WHERE rnk <= 5
+        |ORDER BY source, rnk""".stripMargin,
     // regexp_full_match('[a-z]+') ≡ Spark's anchored rlike '^[a-z]+$'
     "q_quality_c4" ->
       """WITH d AS (
@@ -3320,6 +3378,7 @@ object LlmData {
     "q_agg_approx_topk" -> (qAggApproxTopk _),
     "q_emb_dim_stats" -> (qEmbDimStats _),
     "q_text_pmi" -> (qTextPmi _),
+    "q_text_keywords" -> (qTextKeywords _),
     "q_quality_c4" -> (qQualityC4 _),
     "q_emb_outlier" -> (qEmbOutlier _),
     "q_sample_importance" -> (qSampleImportance _),

@@ -440,4 +440,41 @@ class ScaleOpsSpec extends SparkSpec {
       case (k, None) => s.conf.unset(k)
     }
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffled join") {
+    // The third big-join pruning mechanism after broadcast and DPP:
+    // when a shuffled join's build side is small AND selectively
+    // filtered, Spark injects a bloom-filter semi-join — the fact
+    // side tests might_contain(join key) BEFORE the shuffle, so rows
+    // that cannot match never leave their input partition. At 100 TB
+    // this turns "shuffle the whole fact table to drop 99% of it in
+    // the join" into "shuffle ~1%". Thresholds here are fixture-
+    // scaled (the application-side floor defaults to 10 GB); the
+    // MECHANISM asserted is the production one.
+    val s = spark
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir).filter(col("p_brand") === "Brand#1")
+      val j = li.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand").agg(count(lit(1)).as("n"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no bloom-filter semi-join injected on the fact scan:\n$plan")
+      // the filter is a pre-shuffle reduction, never a result change
+      val expect = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .filter(col("p_brand") === "Brand#1").count()
+      assert(j.collect().map(_.getLong(1)).sum == expect)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
 }
