@@ -930,7 +930,70 @@ case class LangScores(child: Expression, bgs: Array[Long],
     copy(child = newChild)
 }
 
+/** Per-row product-quantization code assignment: for each of the M
+  * subspaces, the index of the nearest codebook centroid (L2, ties →
+  * smallest index — the array_position-of-min rule of the higher-order
+  * chain it replaces). The codebook arrives as a driver-side
+  * [M][K][subDim] array (the LangScores model-embedding idiom), so one
+  * compiled argmin loop per row replaces M·K interpreted
+  * zip_with/aggregate lambda evals — the same escalation that took
+  * q_emb_knn from 6.5 s to 1.7 s. Distances accumulate left-to-right
+  * per element, bit-identical to `aggregate(zip_with(...))`.
+  */
+case class PqCodes(child: Expression, cb: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_codes"
+  override lazy val deterministic: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double>, got ${t.sql}")
+    }
+  private val m = cb.length
+  private val k = cb(0).length
+  private val subDim = cb(0)(0).length
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    // dimension mismatch is a data bug — truncating would silently
+    // assign codes from a prefix (the knn_topk_keys rule)
+    require(v.numElements() == m * subDim,
+      s"pq_codes: vector dim ${v.numElements()} != M·subDim = ${m * subDim}")
+    val out = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      val base = mi * subDim
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var ki = 0
+      while (ki < k) {
+        val c = cb(mi)(ki)
+        var d = 0.0
+        var j = 0
+        while (j < subDim) {
+          val t = v.getDouble(base + j) - c(j); d += t * t; j += 1
+        }
+        if (d < bestD) { bestD = d; best = ki }
+        ki += 1
+      }
+      out(mi) = best
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
+}
+
 object VectorExprs {
+  def pqCodes(v: Column, cb: Array[Array[Array[Double]]]): Column =
+    GraftColumnShim.column(PqCodes(GraftColumnShim.expression(v),
+      cb.map(_.map(_.clone))))
+
   def packedBigramCounts(s: Column): Column =
     GraftColumnShim.column(PackedBigramCounts(GraftColumnShim.expression(s)))
 

@@ -345,6 +345,44 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("pq_codes matches the transform + array_position-of-min chain") {
+    import org.apache.spark.sql.functions._
+    // reference form = the interpreted higher-order chain the kernel
+    // replaced; identical codes on the real fixture pins the per-
+    // subspace L2 accumulation order and the smallest-index tie rule
+    val M = 8; val K = 16; val subDim = 8
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val cb: Array[Array[Array[Double]]] =
+      emb.orderBy("vec_id").limit(K).collect()
+        .map(_.getSeq[Double](1).toArray) match {
+          case rows => Array.tabulate(M, K)((m, k) =>
+            rows(k).slice(m * subDim, (m + 1) * subDim))
+        }
+    val chainCodes = (0 until M).map { m =>
+      val cbm = typedlit(cb(m).map(_.toSeq).toSeq)
+      val sub = slice(col("v"), m * subDim + 1, subDim)
+      val dists = transform(cbm, c =>
+        aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    val both = emb.select(col("vec_id"),
+      graft.functions.VectorExprs.pqCodes(col("v"), cb).as("kernel"),
+      array(chainCodes: _*).as("chain")).collect()
+    assert(both.length == 500)
+    both.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"pq_codes kernel/chain divergence for vec_id ${r.getLong(0)}")
+    }
+    // dimension mismatch fails fast, never truncates
+    val err = intercept[Exception] {
+      emb.select(graft.functions.VectorExprs.pqCodes(
+        slice(col("v"), 1, 63), cb)).collect()
+    }
+    assert(err.getMessage.contains("pq_codes"), err.getMessage)
+  }
+
   test("knn_topk_keys callable from SQL; k must be a literal") {
     val r = spark.sql(
       """SELECT knn_topk_keys(

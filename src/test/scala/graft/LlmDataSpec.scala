@@ -232,6 +232,30 @@ class LlmDataSpec extends SparkSpec {
     assert(recall >= 0.5, s"two-level IVF recall $recall vs brute force")
   }
 
+  test("PQ ANN: ADC recall >= 0.5 of exact L2 top-10, deterministic") {
+    // exact L2 top-10 per probe, driver-side brute force (the fixture
+    // embeddings are unit-norm, so this is also the cosine ranking)
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val exact = vecs.filter(_._1 < 5).flatMap { case (pid, pv) =>
+      vecs.filter(_._1 != pid)
+        .map { case (cid, cv) =>
+          (cid, cv.zip(pv).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy { case (cid, d) => (d, cid) }.take(10)
+        .map { case (cid, _) => (pid, cid) }
+    }.toSet
+    val a = LlmData.qEmbPqAnn(spark, dir)
+      .select("probe_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = LlmData.qEmbPqAnn(spark, dir)
+      .select("probe_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq, "PQ ADC result drifted between runs")
+    val recall = exact.count(a.toSet.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"PQ ADC recall $recall vs exact L2")
+  }
+
   test("jaccard: bitset and prefix-filter strategies produce identical pairs") {
     val s = spark
     import s.implicits._

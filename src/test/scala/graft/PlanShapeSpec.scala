@@ -114,6 +114,21 @@ class PlanShapeSpec extends SparkSpec {
     pin("q_mix_epochs", 6, 1)
   }
 
+  test("corpus-statistic shapes: counts reduce once, analytics run on count tables") {
+    // vocab coverage: docsNorm rebalance + ONE (lang, word) count
+    // shuffle + the ranking window's lang exchange + output sort; the
+    // per-lang rollup reuses the window's lang partitioning (no fifth
+    // exchange) and nothing later touches the token stream
+    pin("q_text_vocab_coverage", 4, 0)
+    // KS drift: the raw table reduces in three independent partial-
+    // agged shuffles (per-(source,len), per-len, per-source) + the
+    // scalar total; everything after runs on the O(sources × lengths)
+    // grid — the len/count sides and the total arrive as the ONLY
+    // three broadcasts, and the CDF window + final rollup + output
+    // sort all reuse the per-source exchange (one more shuffle)
+    pin("q_stat_ks_drift", 5, 3)
+  }
+
   test("sketch shapes: set algebra on the sketch table, never on data") {
     // theta: doc rebalance + per-source sketch agg (on each join side —
     // the one-row-per-source table is rebuilt per side at plan time;
