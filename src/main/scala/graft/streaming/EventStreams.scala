@@ -68,6 +68,23 @@ object EventStreams {
               col("session_window.end").as("session_end"),
               col("user_id"), col("n_events"))
 
+  /** Per-session event-type paths (batch twin: the per-session stage
+    * of EventOps.qEvSesspath): one row per closed 30-min-gap session
+    * with its ordered event-type path — the sequence-model training
+    * feed. The top-20 path-count rollup is a SECOND aggregation and
+    * runs downstream of the sink (streaming allows one stateful agg
+    * per query); state is O(open sessions), the same session_window
+    * primitive and watermark as `session` above. Path order = struct
+    * array_sort on (ts, event_id, event_type) — the batch rule.
+    */
+  def sesspath(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(collect_list(struct(col("ts"), col("event_id"), col("event_type"))).as("evs"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+        array_join(expr("transform(array_sort(evs), x -> x.event_type)"), ">").as("path"))
+
   /** First event per (user_id, event_type) — the same key set as the
     * batch twin qEvDedupStream (event_id alone is unique in this data,
     * which would make the dedup a no-op).

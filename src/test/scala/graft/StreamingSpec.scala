@@ -272,6 +272,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source sesspath twin reproduces the batch top-20 paths") {
+    // the twin emits one row per session with its ordered path; the
+    // top-20 count rollup is the documented downstream stage — run it
+    // here over the sink and pin row equality with qEvSesspath
+    val dir = "/root/testdata/sf0.001"
+    val q = EventStreams.sesspath(EventStreams.readEvents(spark, dir)).writeStream
+      .format("memory").queryName("file_sesspath").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        """SELECT path, COUNT(*) AS n_sessions FROM file_sesspath
+          |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val batch = graft.operators.EventOps.qEvSesspath(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        s"sesspath twin diverged: ${streamed.take(3)} vs ${batch.take(3)}")
+    } finally q.stop()
+  }
+
+  test("sesspath twin: a session spanning two triggers merges into one path") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[Ev](s)
+    val events = input.toDF()
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val q = EventStreams.sesspath(events).writeStream
+      .format("memory").queryName("sesspath_merge").outputMode("complete").start()
+    try {
+      // trigger 1: two events 10 min apart (open session)
+      input.addData(Ev(1L, ts(0), 7L, "signup"), Ev(2L, ts(10), 7L, "click"))
+      q.processAllAvailable()
+      // trigger 2: 20 min after the last event — within the 30-min gap,
+      // session_window must MERGE it into the same session's path
+      input.addData(Ev(3L, ts(30), 7L, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, path FROM sesspath_merge")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows == Seq((7L, "signup>click>purchase")),
+        s"expected one merged session path, got $rows")
+    } finally q.stop()
+  }
+
   test("file-source dedup twin keeps exactly the batch key set") {
     // dropDuplicatesWithinWatermark keeps the first ARRIVING record
     // per key while the batch twin keeps the earliest by event time —
