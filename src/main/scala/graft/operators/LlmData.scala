@@ -2211,6 +2211,40 @@ object LlmData {
       .orderBy("source")
   }
 
+  /** Categorical drift audit — the χ² companion to qStatKsDrift's
+    * continuous KS: per-source χ² contribution against independence
+    * of the source × lang contingency table (expected eᵢⱼ = nᵢ·nⱼ/N).
+    * A source whose language mix diverges from the corpus-wide mix
+    * carries a large contribution — the "this crawl dump is all one
+    * language" screen before mixture weighting. Shape: the raw table
+    * reduces to the O(sources × langs) contingency table in one
+    * partial-agged shuffle; the margins are O(sources)/O(langs)
+    * tables (lang margin + total broadcast); per-cell terms are
+    * rounded to exact nano-unit longs before the cross-row sum (the
+    * q_text_zipf micro-unit firewall — double addition order never
+    * leaks into results).
+    */
+  def qStatChi2(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).select(col("source"), col("lang"))
+    val o = docs.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+    val ns = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val nl = docs.groupBy("lang").agg(count(lit(1)).as("cl"))
+    val tot = docs.agg(count(lit(1)).as("nn"))
+    o.join(broadcast(ns), "source")
+      .join(broadcast(nl), "lang")
+      .crossJoin(broadcast(tot))
+      .withColumn("e",
+        col("n_docs").cast("double") * col("cl") / col("nn"))
+      .withColumn("term_nano",
+        round((col("c") - col("e")) * (col("c") - col("e")) / col("e") * lit(1e9))
+          .cast("long"))
+      .groupBy("source", "n_docs")
+      .agg(sum(col("term_nano")).as("chi2_nano"))
+      .select(col("source"), col("n_docs"),
+        round(col("chi2_nano").cast("double") / lit(1e9), 6).as("chi2_contrib"))
+      .orderBy("source")
+  }
+
   /** C4-style heuristic filter (Raffel et al. 2020 §2.2, adapted to a
     * corpus with no sentence/line structure, so the line-level rules
     * collapse to document level): word-count bounds, alphabetic-token
@@ -3407,6 +3441,24 @@ object LlmData {
         |  ROUND(CAST(SUM(CASE WHEN rnk <= 100 THEN cnt ELSE 0 END) AS DOUBLE) /
         |    CAST(SUM(cnt) AS BIGINT), 6) AS coverage
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_stat_chi2" ->
+      """WITH d AS (SELECT source, lang FROM documents),
+        |o AS (SELECT source, lang, COUNT(*) AS c FROM d GROUP BY 1, 2),
+        |ns AS (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY 1),
+        |nl AS (SELECT lang, COUNT(*) AS cl FROM d GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS nn FROM d),
+        |cells AS (
+        |  SELECT o.source, ns.n_docs,
+        |    CAST(ROUND(
+        |      (o.c - CAST(ns.n_docs AS DOUBLE) * nl.cl / nn) *
+        |      (o.c - CAST(ns.n_docs AS DOUBLE) * nl.cl / nn) /
+        |      (CAST(ns.n_docs AS DOUBLE) * nl.cl / nn) * 1000000000.0) AS BIGINT)
+        |      AS term_nano
+        |  FROM o JOIN ns USING (source) JOIN nl USING (lang) CROSS JOIN t
+        |)
+        |SELECT source, n_docs,
+        |  ROUND(CAST(SUM(term_nano) AS DOUBLE) / 1000000000.0, 6) AS chi2_contrib
+        |FROM cells GROUP BY 1, 2 ORDER BY source""".stripMargin,
     "q_stat_ks_drift" ->
       """WITH d AS (SELECT source, n_chars FROM documents),
         |sx AS (SELECT source, n_chars, COUNT(*) AS c FROM d GROUP BY 1, 2),
@@ -3616,6 +3668,7 @@ object LlmData {
     "q_agg_theta_sets" -> (qAggThetaSets _),
     "q_text_vocab_coverage" -> (qTextVocabCoverage _),
     "q_stat_ks_drift" -> (qStatKsDrift _),
+    "q_stat_chi2" -> (qStatChi2 _),
     "q_emb_pq_ann" -> (qEmbPqAnn _)
   )
 }

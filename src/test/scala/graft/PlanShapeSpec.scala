@@ -127,6 +127,11 @@ class PlanShapeSpec extends SparkSpec {
     // three broadcasts, and the CDF window + final rollup + output
     // sort all reuse the per-source exchange (one more shuffle)
     pin("q_stat_ks_drift", 5, 3)
+    // chi2: contingency-table agg + three margin aggs (each margin
+    // arriving as a broadcast: source, lang, total) + the per-source
+    // rollup + output sort; the O(S×L) cell table never reshuffles
+    // for a join
+    pin("q_stat_chi2", 6, 3)
   }
 
   test("sketch shapes: set algebra on the sketch table, never on data") {
