@@ -148,6 +148,30 @@ object LimeOps {
     LimeText.explainText(documents(s, dir).filter(col("doc_id") < 5), "doc_id", "text",
       LimeConfig(nSamples = 64, kFeatures = 10, kernelWidth = Some(25.0)))
 
+  /** LIME image explanations over the multimodal plumbing: each probe
+    * embedding serialized to its F32LE storage bytes (the qMmFeatures
+    * object-store stand-in) becomes an opaque 8×8 "image" blob;
+    * LimeImage decodes, grid-segments into 16 superpixels, and
+    * explains the stand-in classifier. The decode step is the
+    * documented pluggable seam for real codecs.
+    */
+  def limeExplainImage(s: SparkSession, dir: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    val images = embeddings(s, dir)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val bb = java.nio.ByteBuffer.allocate(4 * v.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        v.foreach(bb.putFloat)
+        (id, bb.array())
+      }
+      .toDF("doc_id", "payload")
+    graft.lime.LimeImage.explainImage(images)
+  }
+
   def spLimePick(s: SparkSession, dir: String): DataFrame = {
     val expl = Lime.explainTabular(instances(s, dir, 10), "instance_id", limeFeatures,
       LimeConfig(nSamples = 256, kFeatures = 4))
@@ -239,6 +263,7 @@ object LimeOps {
     "lime_explain_tabular" -> (limeExplainTabular _),
     "lime_explain_cat" -> (limeExplainCat _),
     "lime_explain_text" -> (limeExplainText _),
+    "lime_image" -> (limeExplainImage _),
     "sp_lime_pick" -> (spLimePick _)
   )
 }

@@ -174,6 +174,43 @@ class LimeSpec extends SparkSpec {
     e1.zip(e2).foreach { case (a, b) => assert(a.getString(2) == b.getString(2)) }
   }
 
+  test("explainImage: deterministic, recovers the dominant superpixel") {
+    val e1 = LimeOps.limeExplainImage(spark, dir).collect()
+    val e2 = LimeOps.limeExplainImage(spark, dir).collect()
+    assert(e1.nonEmpty && e1.length == e2.length)
+    e1.zip(e2).foreach { case (a, b) => assert(a.toString == b.toString) }
+    // 5 probe images × top-5 superpixels, ranks 1..5, spix ∈ [0, 16)
+    assert(e1.map(_.getLong(0)).distinct.length == 5)
+    e1.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+    }
+    assert(e1.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 16))
+    // planted-signal recovery: the black box is linear, so each
+    // superpixel's true masking effect is |c_kept − c_masked| (the
+    // score delta when it is hidden); LIME's top-1 per image must be
+    // the ground-truth argmax, recomputed here from the raw pixels
+    // with the same sign function and grid rule
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .filter("vec_id < 5")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    def segOf(p: Int): Int = (p / 8 / 2) * 4 + (p % 8 / 2)
+    e1.filter(_.getInt(1) == 1).foreach { r =>
+      val x = vecs(r.getLong(0))
+      val eff = Array.fill(16)(0.0)
+      val sx = Array.fill(16)(0.0); val ss = Array.fill(16)(0.0)
+      for (p <- x.indices) {
+        val s = segOf(p)
+        eff(s) += graft.lime.LimeImage.pixelSign(p) * x(p)
+        sx(s) += x(p); ss(s) += graft.lime.LimeImage.pixelSign(p)
+      }
+      val delta = (0 until 16).map(s => math.abs(eff(s) - sx(s) / 4.0 * ss(s)))
+      val truth = delta.zipWithIndex.maxBy(t => (t._1, -t._2))._2
+      assert(r.getInt(2) == truth,
+        s"image ${r.getLong(0)}: LIME top-1 spix ${r.getInt(2)} != ground truth $truth")
+    }
+  }
+
   test("SP-LIME picks distinct instances with non-increasing gains") {
     val picked = LimeOps.spLimePick(spark, dir).collect()
     assert(picked.length == 3)
