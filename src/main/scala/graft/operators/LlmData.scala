@@ -2069,6 +2069,39 @@ object LlmData {
         round(col("w"), 6).as("weight"), round(col("u"), 6).as("u"))
       .orderBy("doc_id")
 
+  /** Reproducible train/val/test split assignment + balance audit:
+    * every doc lands in a split by two-step Lehmer hash bucket
+    * (80/10/10) — replayable across engines, runs, and partitionings,
+    * the property rand()-based splitting lacks and the one that makes
+    * eval sets auditable (any doc's split is recomputable from its
+    * id). Output is the per-(source, split) census with each split's
+    * share WITHIN its source — the skew check that hash splitting
+    * treated every source fairly. Shape: the split expression is a
+    * pure narrow projection; ONE partial-agged shuffle reduces the
+    * corpus to the O(sources × 3) census, and the per-source share
+    * join runs on that tiny table. Counts exact int64; shares are one
+    * identical double division both engines.
+    */
+  def qSampleSplit(s: SparkSession, dir: String): DataFrame = {
+    val census = documents(s, dir)
+      .withColumn("bucket",
+        ((col("doc_id") * 48271L) % 2147483647L * 48271L) % 2147483647L % 100L)
+      .withColumn("split",
+        when(col("bucket") < 80, lit("train"))
+          .when(col("bucket") < 90, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    // per-source totals via a window over the tiny census (a join
+    // against a separate per-source agg would re-evaluate the corpus
+    // scan for the second branch)
+    val w = Window.partitionBy("source")
+    census.withColumn("src_docs", sum(col("n_docs")).over(w))
+      .select(col("source"), col("split"), col("n_docs"), col("n_chars"),
+        round(col("n_docs").cast("double") / col("src_docs"), 6).as("share"))
+      .orderBy("source", "split")
+  }
+
   /** Collocation mining: pointwise mutual information of adjacent word
     * pairs — the phrase-vocabulary signal ("new york" behaves as one
     * token) used when sizing a tokenizer merge list. All counts are
@@ -2881,6 +2914,26 @@ object LlmData {
         |  CAST(COUNT(*) FILTER (WHERE x > 0) AS DOUBLE) AS f2,
         |  CAST(COUNT(*) FILTER (WHERE x < 0) AS DOUBLE) AS f3
         |FROM e GROUP BY vec_id ORDER BY doc_id""".stripMargin,
+    "q_sample_split" ->
+      """WITH d AS (
+        |  SELECT source, n_chars,
+        |    CASE WHEN ((doc_id * 48271) % 2147483647 * 48271) % 2147483647 % 100 < 80
+        |      THEN 'train'
+        |      WHEN ((doc_id * 48271) % 2147483647 * 48271) % 2147483647 % 100 < 90
+        |      THEN 'val' ELSE 'test' END AS split
+        |  FROM documents
+        |), census AS (
+        |  SELECT source, split, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |  FROM d GROUP BY 1, 2
+        |), s AS (
+        |  SELECT source, CAST(SUM(n_docs) AS BIGINT) AS src_docs
+        |  FROM census GROUP BY 1
+        |)
+        |SELECT census.source AS source, split, n_docs, n_chars,
+        |  ROUND(CAST(n_docs AS DOUBLE) / src_docs, 6) AS share
+        |FROM census JOIN s ON census.source = s.source
+        |ORDER BY census.source, split""".stripMargin,
     "q_sample_hash" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE ((doc_id * 48271) % 2147483647) % 10 = 0
@@ -3615,6 +3668,7 @@ object LlmData {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hash" -> (qSampleHash _),
+    "q_sample_split" -> (qSampleSplit _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_budget" -> (qSampleBudget _),
     "q_dedup_crosssrc" -> (qDedupCrosssrc _),

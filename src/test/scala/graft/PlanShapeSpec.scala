@@ -132,6 +132,11 @@ class PlanShapeSpec extends SparkSpec {
     // rollup + output sort; the O(S×L) cell table never reshuffles
     // for a join
     pin("q_stat_chi2", 6, 3)
+    // split census: ONE corpus reduction to the (source, split) census
+    // + the per-source share window's exchange + output sort; the
+    // per-source total comes from a window over the census, not a
+    // join (which would re-evaluate the corpus scan)
+    pin("q_sample_split", 3, 0)
   }
 
   test("sketch shapes: set algebra on the sketch table, never on data") {
