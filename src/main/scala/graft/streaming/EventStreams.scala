@@ -320,4 +320,55 @@ object EventStreams {
           }
       }
   }
+
+  case class StepGapOut(user_id: Long, step: String, gap_us: Long)
+
+  /** Streaming funnel step latencies (batch twin: the per-user gap
+    * streams of qEvFunnelTime — the median/p90 rollup is a second
+    * aggregation and runs downstream of the sink, the sesspath rule).
+    * Same per-user first-times state machine and 24 h retention as
+    * `funnel`, but a gap row is emitted the moment a STEP completes —
+    * signup→click gaps flow for users who never purchase, matching
+    * the batch query's per-step populations.
+    */
+  def funnelTime(events: DataFrame): Dataset[StepGapOut] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StepGapOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, evs, state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(FunnelState(None, None, None))
+            val out = Seq.newBuilder[StepGapOut]
+            val sorted = evs.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+            sorted.foreach { e =>
+              val us = tsMicros(e.ts)
+              e.event_type match {
+                case "signup" if st.signupUs.isEmpty => st = st.copy(signupUs = Some(us))
+                case "click" if st.signupUs.isDefined && st.clickUs.isEmpty &&
+                  us > st.signupUs.get =>
+                  st = st.copy(clickUs = Some(us))
+                  out += StepGapOut(uid, "1_signup_to_click", us - st.signupUs.get)
+                case "purchase" if st.clickUs.isDefined && st.purchaseUs.isEmpty &&
+                  us > st.clickUs.get =>
+                  st = st.copy(purchaseUs = Some(us))
+                  out += StepGapOut(uid, "2_click_to_purchase", us - st.clickUs.get)
+                case _ =>
+              }
+            }
+            state.update(st)
+            // same timeout-anchoring rule as funnel (see its comment)
+            val lastMs = sorted.last.ts.getTime
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), lastMs) + 24L * 3600 * 1000)
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -315,6 +315,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source funnel-time twin reproduces the batch step latencies") {
+    // the twin emits per-user gap rows as steps complete; the
+    // median/p90 rollup runs downstream of the sink — run it here and
+    // pin row equality with qEvFunnelTime
+    val dir = "/root/testdata/sf0.001"
+    val q = EventStreams.funnelTime(EventStreams.readEvents(spark, dir)).writeStream
+      .format("memory").queryName("file_funnel_time").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        """SELECT step, COUNT(*) AS n_users,
+          |  ROUND(percentile(gap_us, 0.5) / 1000000.0, 6) AS med_s,
+          |  ROUND(percentile(gap_us, 0.9) / 1000000.0, 6) AS p90_s
+          |FROM file_funnel_time GROUP BY step ORDER BY step""".stripMargin)
+        .collect().map(_.toString).toSeq
+      val batch = graft.operators.EventOps.qEvFunnelTime(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        s"funnel-time twin diverged: $streamed vs $batch")
+    } finally q.stop()
+  }
+
+  test("funnel-time twin emits a step-1 gap for a user who never purchases") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[Ev](s)
+    val events = input.toDF()
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val q = EventStreams.funnelTime(events).writeStream
+      .format("memory").queryName("funnel_time_partial").outputMode("append").start()
+    try {
+      input.addData(Ev(1L, ts(0), 9L, "signup"), Ev(2L, ts(7), 9L, "click"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, step, gap_us FROM funnel_time_partial")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(rows == Seq((9L, "1_signup_to_click", 7L * 60 * 1000000)),
+        s"expected one step-1 gap row, got $rows")
+    } finally q.stop()
+  }
+
   test("file-source dedup twin keeps exactly the batch key set") {
     // dropDuplicatesWithinWatermark keeps the first ARRIVING record
     // per key while the batch twin keeps the earliest by event time —
