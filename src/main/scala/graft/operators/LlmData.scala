@@ -1285,22 +1285,30 @@ object LlmData {
     * of ADC top-10 vs exact L2 top-10 ≥ 0.5 on the fixture, plus
     * bit-identical determinism across two independent builds.
     */
-  def qEmbPqAnn(s: SparkSession, dir: String): DataFrame = {
+  def qEmbPqAnn(s: SparkSession, dir: String): DataFrame =
+    pqAnn(embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id")),
+      trainCap = 2048)
+
+  /** PQ core with the training-sample cap exposed so ScaleOpsSpec can
+    * FORCE the sampled-training path on the fixture (at harness scale
+    * N < 2048, so the production gate never binds otherwise).
+    */
+  private[graft] def pqAnn(emb0: DataFrame, trainCap: Int): DataFrame = {
     val M = 8; val K = 16; val iters = 3; val topK = 10
     val subDim = EmbDim / M
     def sub(vc: Column, m: Int): Column = slice(vc, m * subDim + 1, subDim)
     def dist2(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
-    val emb = embeddings(s, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    val emb = emb0
       .cache() // read K+1 times: init sample, iters× assignment, final codes
-    // Codebooks train on a hash-sample (TrainCap smallest-hash
+    // Codebooks train on a hash-sample (trainCap smallest-hash
     // vectors) — the standard PQ practice and the 100 TB answer: the
     // codebook is a tiny model, its fit never needs the full corpus,
     // and only the ONE final assignment pass does O(N·K·d) work.
-    val TrainCap = 2048
+    val TrainCap = trainCap
     val train = emb.withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h", "vec_id").limit(TrainCap)
       .select("vec_id", "v")

@@ -318,6 +318,39 @@ class ScaleOpsSpec extends SparkSpec {
     assert(LlmData.mhBandsFor(0.3, LlmData.MhBandRows, LlmData.MhRecallTarget) == 34L)
   }
 
+  test("PQ sampled-training path forced: tiny codebook sample still deterministic + useful") {
+    import graft.operators.LlmData
+    import org.apache.spark.sql.functions.col
+    // at fixture scale N < 2048, so qEmbPqAnn's production gate never
+    // binds; force trainCap = 64 (an 8× sub-sample of the 500-vector
+    // corpus) — the path a 100 TB corpus always takes
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .repartition(8, col("vec_id"))
+    val a = LlmData.pqAnn(emb, trainCap = 64)
+      .collect().map(_.toString).toSeq
+    val b = LlmData.pqAnn(emb, trainCap = 64)
+      .collect().map(_.toString).toSeq
+    assert(a.nonEmpty && a == b, "sampled-training PQ drifted between runs")
+    // exact L2 top-10 ground truth (unit-norm fixture)
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val exact = vecs.filter(_._1 < 5).flatMap { case (pid, pv) =>
+      vecs.filter(_._1 != pid)
+        .map { case (cid, cv) =>
+          (cid, cv.zip(pv).map { case (x, y) => (x - y) * (x - y) }.sum) }
+        .sortBy { case (cid, d) => (d, cid) }.take(10)
+        .map { case (cid, _) => (pid, cid) }
+    }.toSet
+    val got = LlmData.pqAnn(emb, trainCap = 64)
+      .select("probe_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    assert(recall >= 0.4,
+      s"sampled-training PQ recall $recall vs exact L2 — codebook useless")
+  }
+
   test("skewed-graph closure: 100k-spoke hub + long chain, O(log d) rounds") {
     import graft.operators.LlmData
     val s = spark
