@@ -2198,19 +2198,57 @@ object LlmData {
     * word ASC) — the same deterministic-cut rule as q_text_keywords.
     */
   def qTextVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val twoPhase =
+      parquetRowCount(s, s"$dir/documents.parquet") > VocabCoverageGate
+    vocabCoverage(docsNorm(s, dir), twoPhase)
+  }
+
+  /** Corpus-size gate for the vocab-coverage ranking strategy (read
+    * from parquet footers, no job — the qEmbKnn idiom): below, one
+    * per-lang window ranks the whole vocab (langs ≪ cores but the
+    * sorts are tiny); above, the two-phase bucket top-k below.
+    */
+  private val VocabCoverageGate = 65536L
+
+  private[graft] def vocabCoverage(docs: DataFrame, twoPhase: Boolean): DataFrame = {
     val k = 100
-    val lw = docsNorm(s, dir)
+    val lw = docs
       .select(col("lang"), explode(expr(wordsExpr)).as("w"))
       .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
-    val win = Window.partitionBy("lang").orderBy(col("cnt").desc, col("w"))
-    lw.withColumn("rnk", row_number().over(win))
-      .groupBy("lang").agg(
-        count(lit(1)).as("vocab_size"),
-        sum(col("cnt")).as("total_tokens"),
-        sum(when(col("rnk") <= k, col("cnt")).otherwise(lit(0L))).as("topk_tokens"))
-      .withColumn("coverage",
-        round(col("topk_tokens").cast("double") / col("total_tokens"), 6))
-      .orderBy("lang")
+    if (!twoPhase) {
+      // below-gate: one window, rollup reuses its lang partitioning
+      val win = Window.partitionBy("lang").orderBy(col("cnt").desc, col("w"))
+      lw.withColumn("rnk", row_number().over(win))
+        .groupBy("lang").agg(
+          count(lit(1)).as("vocab_size"),
+          sum(col("cnt")).as("total_tokens"),
+          sum(when(col("rnk") <= k, col("cnt")).otherwise(lit(0L))).as("topk_tokens"))
+        .withColumn("coverage",
+          round(col("topk_tokens").cast("double") / col("total_tokens"), 6))
+        .orderBy("lang")
+    } else {
+      // Two-phase top-k: rank within (lang, word-hash bucket) first —
+      // 64-way parallel partial top-100s — then rank the
+      // O(langs·64·k) candidate table. A single per-lang window sorts
+      // each language's ENTIRE vocab in one task (langs ≪ cores, the
+      // skew point at web-corpus vocab sizes); the global top-100 is
+      // always a subset of the union of bucket top-100s, so the cut
+      // is lossless and the answer identical.
+      val lwC = lw.cache() // feeds the candidate pass AND the totals
+      val wB = Window.partitionBy("lang", "b").orderBy(col("cnt").desc, col("w"))
+      val wL = Window.partitionBy("lang").orderBy(col("cnt").desc, col("w"))
+      val top = lwC.withColumn("b", pmod(xxhash64(col("w")), lit(64)))
+        .withColumn("rb", row_number().over(wB)).filter(col("rb") <= k)
+        .withColumn("rnk", row_number().over(wL)).filter(col("rnk") <= k)
+        .groupBy("lang").agg(sum(col("cnt")).as("topk_tokens"))
+      lwC.groupBy("lang").agg(
+          count(lit(1)).as("vocab_size"),
+          sum(col("cnt")).as("total_tokens"))
+        .join(broadcast(top), "lang")
+        .select(col("lang"), col("vocab_size"), col("total_tokens"), col("topk_tokens"),
+          round(col("topk_tokens").cast("double") / col("total_tokens"), 6).as("coverage"))
+        .orderBy("lang")
+    }
   }
 
   /** Distribution-drift monitor: two-sample Kolmogorov–Smirnov

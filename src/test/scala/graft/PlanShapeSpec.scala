@@ -115,10 +115,12 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("corpus-statistic shapes: counts reduce once, analytics run on count tables") {
-    // vocab coverage: docsNorm rebalance + ONE (lang, word) count
-    // shuffle + the ranking window's lang exchange + output sort; the
-    // per-lang rollup reuses the window's lang partitioning (no fifth
-    // exchange) and nothing later touches the token stream
+    // vocab coverage (below-gate path at fixture scale): docsNorm
+    // rebalance + ONE (lang, word) count shuffle + the ranking
+    // window's lang exchange + output sort; the per-lang rollup
+    // reuses the window's lang partitioning. Above the 65,536-doc
+    // gate the two-phase bucket top-k replaces the single window
+    // (ScaleOpsSpec forces that path and pins output equality)
     pin("q_text_vocab_coverage", 4, 0)
     // KS drift: the raw table reduces in three independent partial-
     // agged shuffles (per-(source,len), per-len, per-source) + the

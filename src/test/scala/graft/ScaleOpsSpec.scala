@@ -351,6 +351,24 @@ class ScaleOpsSpec extends SparkSpec {
       s"sampled-training PQ recall $recall vs exact L2 — codebook useless")
   }
 
+  test("vocab coverage: FORCED two-phase bucket top-k equals the single-window path") {
+    import graft.operators.LlmData
+    // both strategies over the same fixture docs: the bucket union
+    // provably contains the global top-100, so rows must be identical
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn(
+        "norm_text",
+        org.apache.spark.sql.functions.lower(
+          org.apache.spark.sql.functions.trim(
+            org.apache.spark.sql.functions.col("text"))))
+    val one = LlmData.vocabCoverage(docs, twoPhase = false)
+      .collect().map(_.toString).toSeq
+    val two = LlmData.vocabCoverage(docs, twoPhase = true)
+      .collect().map(_.toString).toSeq
+    assert(one.nonEmpty && one == two,
+      s"two-phase vocab coverage diverged from single-window: $two vs $one")
+  }
+
   test("skewed-graph closure: 100k-spoke hub + long chain, O(log d) rounds") {
     import graft.operators.LlmData
     val s = spark
