@@ -1285,17 +1285,25 @@ object LlmData {
     * of ADC top-10 vs exact L2 top-10 ≥ 0.5 on the fixture, plus
     * bit-identical determinism across two independent builds.
     */
-  def qEmbPqAnn(s: SparkSession, dir: String): DataFrame =
+  def qEmbPqAnn(s: SparkSession, dir: String): DataFrame = {
+    val n = parquetRowCount(s, s"$dir/embeddings.parquet")
     pqAnn(embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .repartition(s.sparkContext.defaultParallelism, col("vec_id")),
-      trainCap = 2048)
+      trainCap = 2048,
+      // above the gate, the ADC shortlist cut runs two-phase so no
+      // task ever sorts one probe's whole candidate set (vocab-
+      // coverage rule); below, the flat per-probe window is cheaper
+      twoPhaseCut = n > 65536L)
+  }
 
-  /** PQ core with the training-sample cap exposed so ScaleOpsSpec can
-    * FORCE the sampled-training path on the fixture (at harness scale
-    * N < 2048, so the production gate never binds otherwise).
+  /** PQ core with the training-sample cap and the shortlist-cut
+    * strategy exposed so ScaleOpsSpec can FORCE the scale paths on
+    * the fixture (at harness scale N < 2048 and < the cut gate, so
+    * neither production gate binds otherwise).
     */
-  private[graft] def pqAnn(emb0: DataFrame, trainCap: Int): DataFrame = {
+  private[graft] def pqAnn(emb0: DataFrame, trainCap: Int,
+      twoPhaseCut: Boolean = false): DataFrame = {
     val M = 8; val K = 16; val iters = 3; val topK = 10
     val subDim = EmbDim / M
     def sub(vc: Column, m: Int): Column = slice(vc, m * subDim + 1, subDim)
@@ -1364,10 +1372,25 @@ object LlmData {
     // vectors of just R candidates per probe are fetched through a
     // vec_id-keyed join — O(probes·R) rows at any corpus size
     val shortR = 50
-    val wAdc = Window.partitionBy("probe_id").orderBy(col("adist"), col("vec_id"))
-    val shortlist = codes.crossJoin(broadcast(probes.drop("pv")))
+    val scored = codes.crossJoin(broadcast(probes.drop("pv")))
       .filter(col("probe_id") =!= col("vec_id"))
       .withColumn("adist", adist)
+    // Two-phase shortlist cut above the gate (the vocab-coverage
+    // rule): a flat per-probe window sorts all N candidates of one
+    // probe in a single task; ranking within (probe, vec_id-hash
+    // bucket) first — 64-way partial top-50s — then ranking the
+    // O(probes·64·R) candidate table is lossless (the union of
+    // bucket top-50s contains the global top-50).
+    val pre =
+      if (!twoPhaseCut) scored
+      else {
+        val wB = Window.partitionBy("probe_id", "b")
+          .orderBy(col("adist"), col("vec_id"))
+        scored.withColumn("b", pmod(xxhash64(col("vec_id")), lit(64)))
+          .withColumn("rb", row_number().over(wB)).filter(col("rb") <= shortR)
+      }
+    val wAdc = Window.partitionBy("probe_id").orderBy(col("adist"), col("vec_id"))
+    val shortlist = pre
       .withColumn("arnk", row_number().over(wAdc))
       .filter(col("arnk") <= shortR)
       .select("probe_id", "vec_id")

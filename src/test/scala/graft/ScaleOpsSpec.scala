@@ -332,6 +332,11 @@ class ScaleOpsSpec extends SparkSpec {
     val b = LlmData.pqAnn(emb, trainCap = 64)
       .collect().map(_.toString).toSeq
     assert(a.nonEmpty && a == b, "sampled-training PQ drifted between runs")
+    // the above-gate two-phase ADC shortlist cut is lossless: forced
+    // here, it must reproduce the flat-window rows exactly
+    val c = LlmData.pqAnn(emb, trainCap = 64, twoPhaseCut = true)
+      .collect().map(_.toString).toSeq
+    assert(c == a, "two-phase ADC shortlist diverged from the flat window")
     // exact L2 top-10 ground truth (unit-norm fixture)
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
       .selectExpr("vec_id", "cast(embedding as array<double>) as v")
