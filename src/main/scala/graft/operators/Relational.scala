@@ -338,6 +338,48 @@ object Relational {
 
   /** Deterministic stddev: exact decimal sum/sumsq, one double sqrt at
     * the end — no accumulation-order float drift (LIME stats pass). */
+  /** Welch's two-sample t statistic of each market segment's account
+    * balances against the rest of the customers — the experiment-
+    * readout primitive (segment vs control mean difference in units
+    * of pooled standard error), with the |t| > 1.96 two-sided 5%
+    * decision. ONE partial-agged shuffle reduces customers to the
+    * O(segments) census of exact decimal (n, Σx, Σx²); the rest-side
+    * moments are decimal SUBTRACTIONS from the windowed totals (no
+    * second scan — the q_sample_split window rule), and every double
+    * expression is structurally identical in the oracle so the
+    * statistic hash-matches. The empty window partition holds only
+    * the segment census (O(segments) rows, never customers).
+    */
+  def qStatTtest(s: SparkSession, dir: String): DataFrame = {
+    val x = d2(col("c_acctbal"))
+    val census = customer(s, dir).groupBy("c_mktsegment").agg(
+      count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sxx"))
+    val w = Window.partitionBy()
+    val withTot = census
+      .withColumn("nn", sum(col("n")).over(w))
+      .withColumn("tsx", sum(col("sx")).over(w))
+      .withColumn("tsxx", sum(col("sxx")).over(w))
+      .withColumn("n2", col("nn") - col("n"))
+      .withColumn("s2", col("tsx") - col("sx"))
+      .withColumn("ss2", col("tsxx") - col("sxx"))
+    val m1 = col("sx").cast("double") / col("n")
+    val m2 = col("s2").cast("double") / col("n2")
+    val v1 = (col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double") / col("n")) /
+      (col("n") - lit(1.0))
+    val v2 = (col("ss2").cast("double") -
+      col("s2").cast("double") * col("s2").cast("double") / col("n2")) /
+      (col("n2") - lit(1.0))
+    withTot
+      .withColumn("t_stat",
+        round((m1 - m2) / sqrt(v1 / col("n") + v2 / col("n2")), 6))
+      .select(col("c_mktsegment"), col("n").as("n_seg"),
+        round(m1, 6).as("mean_seg"), round(m2, 6).as("mean_rest"),
+        col("t_stat"),
+        (abs(col("t_stat")) > lit(1.96)).as("significant"))
+      .orderBy("c_mktsegment")
+  }
+
   def qAggStats(s: SparkSession, dir: String): DataFrame = {
     def stats(c: String, p: String): Seq[Column] = {
       val x = d2(col(c))
@@ -1677,6 +1719,31 @@ object Relational {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_stat_ttest" ->
+      """WITH census AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n,
+        |    SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sx,
+        |    SUM(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2))) AS sxx
+        |  FROM customer GROUP BY 1
+        |), t AS (
+        |  SELECT c_mktsegment, n, sx, sxx,
+        |    SUM(n) OVER () - n AS n2,
+        |    SUM(sx) OVER () - sx AS s2,
+        |    SUM(sxx) OVER () - sxx AS ss2
+        |  FROM census
+        |)
+        |SELECT c_mktsegment, n AS n_seg,
+        |  ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean_seg,
+        |  ROUND(CAST(s2 AS DOUBLE) / n2, 6) AS mean_rest,
+        |  ROUND((CAST(sx AS DOUBLE) / n - CAST(s2 AS DOUBLE) / n2) /
+        |    SQRT(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1.0)) / n
+        |       + ((CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2) / (n2 - 1.0)) / n2), 6)
+        |    AS t_stat,
+        |  ABS(ROUND((CAST(sx AS DOUBLE) / n - CAST(s2 AS DOUBLE) / n2) /
+        |    SQRT(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1.0)) / n
+        |       + ((CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2) / (n2 - 1.0)) / n2), 6)) > 1.96
+        |    AS significant
+        |FROM t ORDER BY c_mktsegment""".stripMargin,
     "q_agg_stats" -> {
       def st(c: String, p: String): String =
         s"""  ROUND(CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS ${p}_avg,
@@ -1865,6 +1932,7 @@ object Relational {
     "q_agg_grouping_sets" -> (qAggGroupingSets _),
     "q_agg_cube" -> (qAggCube _),
     "q_agg_stats" -> (qAggStats _),
+    "q_stat_ttest" -> (qStatTtest _),
     "q_agg_quantile" -> (qAggQuantile _),
     "q_agg_mode_freq" -> (qAggModeFreq _),
     "q_agg_corr" -> (qAggCorr _),

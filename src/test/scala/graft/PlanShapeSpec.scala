@@ -134,6 +134,10 @@ class PlanShapeSpec extends SparkSpec {
     // rollup + output sort; the O(S×L) cell table never reshuffles
     // for a join
     pin("q_stat_chi2", 6, 3)
+    // t-test: ONE customer reduction to the per-segment decimal
+    // census + output sort; the rest-side moments come from the
+    // empty-partition window over the O(segments) census (never rows)
+    pin("q_stat_ttest", 2, 0)
     // split census: ONE corpus reduction to the (source, split) census
     // + the per-source share window's exchange + output sort; the
     // per-source total comes from a window over the census, not a
