@@ -356,6 +356,45 @@ class ScaleOpsSpec extends SparkSpec {
       s"sampled-training PQ recall $recall vs exact L2 — codebook useless")
   }
 
+  test("parquet aggregate pushdown: count/min/max answered from footers, not a scan") {
+    // the fourth big-scan avoidance mechanism after partition
+    // pruning, DPP, and runtime bloom filters: a bare
+    // count/min/max over parquet can be answered from row-group
+    // footer statistics — at 100 TB, metadata reads instead of a
+    // table scan. Needs the DSv2 read path + the pushdown flag, both
+    // scoped to this test and restored after.
+    val s = spark
+    val prevV1 = s.conf.get("spark.sql.sources.useV1SourceList")
+    val prevPush = s.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    try {
+      s.conf.set("spark.sql.sources.useV1SourceList", "")
+      s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      val agg = s.read.parquet(s"$dir/lineitem.parquet")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.min("l_orderkey").as("min_k"),
+          org.apache.spark.sql.functions.max("l_orderkey").as("max_k"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation"),
+        s"expected PushedAggregation in the scan:\n$plan")
+      val viaFooter = agg.collect().head
+      // restore confs, then re-run on the ordinary V1 scan path —
+      // the footer answer must equal the real scan's
+      s.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+      s.conf.set("spark.sql.parquet.aggregatePushdown", prevPush)
+      val viaScan = s.read.parquet(s"$dir/lineitem.parquet")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.min("l_orderkey"),
+          org.apache.spark.sql.functions.max("l_orderkey")).collect().head
+      assert(viaFooter.toString == viaScan.toString,
+        s"footer answer $viaFooter != scan answer $viaScan")
+    } finally {
+      s.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+      s.conf.set("spark.sql.parquet.aggregatePushdown", prevPush)
+    }
+  }
+
   test("vocab coverage: FORCED two-phase bucket top-k equals the single-window path") {
     import graft.operators.LlmData
     // both strategies over the same fixture docs: the bucket union
