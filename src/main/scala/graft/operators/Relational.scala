@@ -380,6 +380,53 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Mann–Whitney U rank-sum test (tie-corrected z, no continuity
+    * correction) of each market segment's balances vs the rest — the
+    * nonparametric companion to qStatTtest for skewed metrics where a
+    * mean test misleads. Scale shape: ranks are NEVER assigned to
+    * rows; the pooled ranking folds to the per-distinct-VALUE count
+    * grid (the qStatKsDrift trick): avg-rank of value v =
+    * cum_before(v) + (cnt(v)+1)/2, kept in exact 2×rank integer units
+    * so every rank sum is an exact long and the only doubles are the
+    * identical closing expressions both engines evaluate. The global
+    * cumulative window runs over the O(distinct cents) grid — bounded
+    * by the VALUE RANGE (≈1.1M possible cents), not row count; the
+    * tie term Σ(t³−t) sums as exact decimal(38,0).
+    */
+  def qStatMannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val cents = (d2(col("c_acctbal")) * lit(100)).cast("long")
+    val cust = customer(s, dir).select(col("c_mktsegment"), cents.as("v"))
+    val vc = cust.groupBy("v").agg(count(lit(1)).as("cnt")).cache()
+    val wCum = Window.orderBy("v")
+    val grid = vc
+      .withColumn("cumb", sum(col("cnt")).over(wCum) - col("cnt"))
+      .withColumn("ar2", lit(2) * col("cumb") + col("cnt") + lit(1))
+      .select(col("v"), col("ar2"))
+    val tot = vc.agg(
+      sum(col("cnt")).as("nn"),
+      sum((col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+        .cast("decimal(38,0)")).as("tiesum"))
+    val sv = cust.groupBy("c_mktsegment", "v").agg(count(lit(1)).as("csv"))
+    val rs = sv.join(grid, "v")
+      .groupBy("c_mktsegment")
+      .agg(sum(col("csv") * col("ar2")).as("rs2"), sum(col("csv")).as("n1"))
+      .crossJoin(broadcast(tot))
+      .withColumn("n2", col("nn") - col("n1"))
+    // 2U = 2R1 − n1(n1+1); E[2U] = n1·n2;
+    // Var[2U] = n1·n2/3 · ((N+1) − Σ(t³−t)/(N(N−1)))
+    val u2 = col("rs2") - col("n1") * (col("n1") + lit(1L))
+    val z = (u2 - col("n1") * col("n2")).cast("double") /
+      sqrt(col("n1").cast("double") * col("n2") / lit(3.0) *
+        ((col("nn") + lit(1L)).cast("double") -
+          col("tiesum").cast("double") /
+            (col("nn").cast("double") * (col("nn") - lit(1L)))))
+    rs.select(col("c_mktsegment"), col("n1").as("n_seg"),
+        round(u2.cast("double") / lit(2.0), 6).as("u_stat"),
+        round(z, 6).as("z_stat"))
+      .withColumn("significant", abs(col("z_stat")) > lit(1.96))
+      .orderBy("c_mktsegment")
+  }
+
   def qAggStats(s: SparkSession, dir: String): DataFrame = {
     def stats(c: String, p: String): Seq[Column] = {
       val x = d2(col(c))
@@ -1719,6 +1766,38 @@ object Relational {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_stat_mannwhitney" ->
+      """WITH cust AS (
+        |  SELECT c_mktsegment,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM customer
+        |), vc AS (SELECT v, COUNT(*) AS cnt FROM cust GROUP BY 1),
+        |grid AS (
+        |  SELECT v, 2 * (SUM(cnt) OVER (ORDER BY v) - cnt) + cnt + 1 AS ar2
+        |  FROM vc
+        |), tot AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS nn,
+        |    SUM(CAST(cnt * cnt * cnt - cnt AS DECIMAL(38,0))) AS tiesum
+        |  FROM vc
+        |), sv AS (
+        |  SELECT c_mktsegment, v, COUNT(*) AS csv FROM cust GROUP BY 1, 2
+        |), rs AS (
+        |  SELECT c_mktsegment,
+        |    CAST(SUM(csv * ar2) AS BIGINT) AS rs2,
+        |    CAST(SUM(csv) AS BIGINT) AS n1
+        |  FROM sv JOIN grid USING (v) GROUP BY 1
+        |)
+        |SELECT c_mktsegment, n1 AS n_seg,
+        |  ROUND(CAST(rs2 - n1 * (n1 + 1) AS DOUBLE) / 2.0, 6) AS u_stat,
+        |  ROUND(CAST(rs2 - n1 * (n1 + 1) - n1 * (nn - n1) AS DOUBLE) /
+        |    SQRT(CAST(n1 AS DOUBLE) * (nn - n1) / 3.0 *
+        |      (CAST(nn + 1 AS DOUBLE) - CAST(tiesum AS DOUBLE) /
+        |        (CAST(nn AS DOUBLE) * (nn - 1)))), 6) AS z_stat,
+        |  ABS(ROUND(CAST(rs2 - n1 * (n1 + 1) - n1 * (nn - n1) AS DOUBLE) /
+        |    SQRT(CAST(n1 AS DOUBLE) * (nn - n1) / 3.0 *
+        |      (CAST(nn + 1 AS DOUBLE) - CAST(tiesum AS DOUBLE) /
+        |        (CAST(nn AS DOUBLE) * (nn - 1)))), 6)) > 1.96 AS significant
+        |FROM rs CROSS JOIN tot ORDER BY c_mktsegment""".stripMargin,
     "q_stat_ttest" ->
       """WITH census AS (
         |  SELECT c_mktsegment, COUNT(*) AS n,
@@ -1933,6 +2012,7 @@ object Relational {
     "q_agg_cube" -> (qAggCube _),
     "q_agg_stats" -> (qAggStats _),
     "q_stat_ttest" -> (qStatTtest _),
+    "q_stat_mannwhitney" -> (qStatMannWhitney _),
     "q_agg_quantile" -> (qAggQuantile _),
     "q_agg_mode_freq" -> (qAggModeFreq _),
     "q_agg_corr" -> (qAggCorr _),

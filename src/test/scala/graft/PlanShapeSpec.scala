@@ -134,6 +134,14 @@ class PlanShapeSpec extends SparkSpec {
     // rollup + output sort; the O(S×L) cell table never reshuffles
     // for a join
     pin("q_stat_chi2", 6, 3)
+    // mann-whitney: the CACHED per-value count table (its reduction
+    // hidden behind the InMemoryRelation) + the single-partition
+    // gather feeding the value-ordered rank window + the (segment,
+    // value) reduction + the per-segment rank-sum agg + output sort;
+    // the rank grid and the scalar totals arrive as the two
+    // broadcasts — ranks are never assigned to rows, and the global
+    // window's task is bounded by the VALUE RANGE, not row count
+    pin("q_stat_mannwhitney", 5, 2)
     // t-test: ONE customer reduction to the per-segment decimal
     // census + output sort; the rest-side moments come from the
     // empty-partition window over the O(segments) census (never rows)
