@@ -380,6 +380,50 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Deterministic Poisson-bootstrap 95% CI for each segment's mean
+    * balance — the industry-standard bootstrap at scale (per
+    * replicate, each row gets an independent Poisson(1) weight, so
+    * resampling never materializes resamples): B = 100 replicates,
+    * weights drawn from the two-step Lehmer hash of (row, replicate)
+    * through a truncated-at-7 inverse Poisson CDF (identical literal
+    * cut-points both engines). Replicate means use exact decimal
+    * weighted sums, so the only doubles are the same closing
+    * divisions; the CI is `percentile` over the B means (≡ DuckDB
+    * quantile_cont, the q_agg_quantile-proven equivalence).
+    *
+    * Scale shape: the ×B fan-out is a NARROW explode that partial-
+    * aggregates to O(segments·B) rows before its one exchange — the
+    * raw table never shuffles; replicate determinism means any
+    * executor re-run reproduces the same weights (rand() bootstraps
+    * are neither replayable nor retry-safe).
+    */
+  def qStatBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val B = 100
+    // P(Poisson(1) <= k), k = 0..6; identical 12-digit literals in
+    // the oracle SQL
+    val cdf = Seq(0.367879441171, 0.735758882343, 0.919698602929,
+      0.980988306458, 0.996340153340, 0.999406005720, 0.999916980812)
+    val h = (((col("c_custkey") * lit(101L) + col("b")) * lit(48271L)) % lit(2147483647L)
+      * lit(48271L)) % lit(2147483647L)
+    val u = h.cast("double") / lit(2147483647.0)
+    val k = cdf.zipWithIndex.foldRight(lit(7): Column) { case ((c, i), rest) =>
+      when(u < lit(c), lit(i)).otherwise(rest)
+    }
+    val reps = customer(s, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), d2(col("c_acctbal")).as("x"))
+      .withColumn("b", explode(sequence(lit(1), lit(B))))
+      .withColumn("k", k)
+      .groupBy("c_mktsegment", "b")
+      .agg(sum(col("k") * col("x")).as("wsum"), sum(col("k")).as("wn"))
+      .withColumn("mean_b", col("wsum").cast("double") / col("wn"))
+    reps.groupBy("c_mktsegment")
+      .agg(
+        round(expr("percentile(mean_b, 0.025)"), 6).as("ci_lo"),
+        round(expr("percentile(mean_b, 0.975)"), 6).as("ci_hi"),
+        count(lit(1)).as("n_reps"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Mann–Whitney U rank-sum test (tie-corrected z, no continuity
     * correction) of each market segment's balances vs the rest — the
     * nonparametric companion to qStatTtest for skewed metrics where a
@@ -1766,6 +1810,31 @@ object Relational {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_stat_bootstrap" ->
+      """WITH reps AS (
+        |  SELECT c_mktsegment, b,
+        |    CASE
+        |      WHEN u < 0.367879441171 THEN 0 WHEN u < 0.735758882343 THEN 1
+        |      WHEN u < 0.919698602929 THEN 2 WHEN u < 0.980988306458 THEN 3
+        |      WHEN u < 0.996340153340 THEN 4 WHEN u < 0.999406005720 THEN 5
+        |      WHEN u < 0.999916980812 THEN 6 ELSE 7 END AS k,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS x
+        |  FROM (
+        |    SELECT c_mktsegment, c_acctbal, b.b,
+        |      CAST((((c_custkey * 101 + b.b) * 48271) % 2147483647 * 48271) % 2147483647 AS DOUBLE)
+        |        / 2147483647.0 AS u
+        |    FROM customer CROSS JOIN (SELECT UNNEST(generate_series(1, 100)) AS b) b
+        |  ) t
+        |), means AS (
+        |  SELECT c_mktsegment, b,
+        |    CAST(SUM(k * x) AS DOUBLE) / CAST(SUM(k) AS BIGINT) AS mean_b
+        |  FROM reps GROUP BY 1, 2
+        |)
+        |SELECT c_mktsegment,
+        |  ROUND(quantile_cont(mean_b, 0.025), 6) AS ci_lo,
+        |  ROUND(quantile_cont(mean_b, 0.975), 6) AS ci_hi,
+        |  COUNT(*) AS n_reps
+        |FROM means GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
     "q_stat_mannwhitney" ->
       """WITH cust AS (
         |  SELECT c_mktsegment,
@@ -2013,6 +2082,7 @@ object Relational {
     "q_agg_stats" -> (qAggStats _),
     "q_stat_ttest" -> (qStatTtest _),
     "q_stat_mannwhitney" -> (qStatMannWhitney _),
+    "q_stat_bootstrap" -> (qStatBootstrap _),
     "q_agg_quantile" -> (qAggQuantile _),
     "q_agg_mode_freq" -> (qAggModeFreq _),
     "q_agg_corr" -> (qAggCorr _),

@@ -134,6 +134,11 @@ class PlanShapeSpec extends SparkSpec {
     // rollup + output sort; the O(S×L) cell table never reshuffles
     // for a join
     pin("q_stat_chi2", 6, 3)
+    // bootstrap: the ×B replicate fan-out is a NARROW explode that
+    // partial-aggregates to O(segments·B) weighted sums before its
+    // one exchange + the per-segment percentile agg + output sort —
+    // the raw table never shuffles and nothing broadcasts
+    pin("q_stat_bootstrap", 3, 0)
     // mann-whitney: the CACHED per-value count table (its reduction
     // hidden behind the InMemoryRelation) + the single-partition
     // gather feeding the value-ordered rank window + the (segment,
