@@ -2313,6 +2313,49 @@ object LlmData {
       .orderBy("source")
   }
 
+  /** Sample-ratio-mismatch (SRM) check on the q_sample_split hash
+    * split — the experiment-hygiene test run before trusting ANY
+    * split readout: χ² of observed per-split doc counts against the
+    * declared 80/10/10 design, per source and for the corpus. An SRM
+    * hit means the assignment itself is broken (biased hash, lost
+    * rows) and every downstream metric is suspect. Shape: reuses the
+    * split census reduction (ONE partial-agged shuffle to O(sources ×
+    * 3) rows); expected counts are exact-integer-derived doubles
+    * (n·80/100); per-cell terms round to exact nano-unit longs before
+    * the cross-row sum (the q_stat_chi2 firewall). χ²(2 dof) 5%
+    * critical value 5.991.
+    */
+  def qStatSrm(s: SparkSession, dir: String): DataFrame = {
+    val census = documents(s, dir)
+      .withColumn("bucket",
+        ((col("doc_id") * 48271L) % 2147483647L * 48271L) % 2147483647L % 100L)
+      .withColumn("split",
+        when(col("bucket") < 80, lit("train"))
+          .when(col("bucket") < 90, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("o"))
+      .cache() // feeds the per-source totals AND the grid join
+    // full source × split grid so an EMPTY cell still contributes its
+    // (0 − e)²/e term — the exact signature of a catastrophic SRM
+    val splits = s.createDataFrame(Seq(
+      ("train", 80L), ("val", 10L), ("test", 10L))).toDF("split", "pct")
+    census.groupBy("source").agg(sum(col("o")).as("n"))
+      .crossJoin(broadcast(splits))
+      .join(census, Seq("source", "split"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("e", (col("n") * col("pct")).cast("double") / lit(100))
+      .withColumn("term_nano",
+        round((col("o") - col("e")) * (col("o") - col("e")) / col("e") * lit(1e9))
+          .cast("long"))
+      .groupBy("source", "n")
+      .agg(sum(col("term_nano")).as("chi2_nano"))
+      .select(col("source"), col("n").as("n_docs"),
+        round(col("chi2_nano").cast("double") / lit(1e9), 6).as("srm_chi2"))
+      .withColumn("srm_detected", col("srm_chi2") > lit(5.991))
+      .orderBy("source")
+  }
+
   /** Categorical drift audit — the χ² companion to qStatKsDrift's
     * continuous KS: per-source χ² contribution against independence
     * of the source × lang contingency table (expected eᵢⱼ = nᵢ·nⱼ/N).
@@ -3563,6 +3606,34 @@ object LlmData {
         |  ROUND(CAST(SUM(CASE WHEN rnk <= 100 THEN cnt ELSE 0 END) AS DOUBLE) /
         |    CAST(SUM(cnt) AS BIGINT), 6) AS coverage
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_stat_srm" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CASE WHEN ((doc_id * 48271) % 2147483647 * 48271) % 2147483647 % 100 < 80
+        |      THEN 'train'
+        |      WHEN ((doc_id * 48271) % 2147483647 * 48271) % 2147483647 % 100 < 90
+        |      THEN 'val' ELSE 'test' END AS split
+        |  FROM documents
+        |), census AS (
+        |  SELECT source, split, COUNT(*) AS o FROM d GROUP BY 1, 2
+        |), s AS (
+        |  SELECT source, CAST(SUM(o) AS BIGINT) AS n FROM census GROUP BY 1
+        |), grid AS (
+        |  SELECT s.source, s.n, sp.split, sp.pct, COALESCE(census.o, 0) AS o
+        |  FROM s CROSS JOIN (VALUES ('train', 80), ('val', 10), ('test', 10)) AS sp(split, pct)
+        |  LEFT JOIN census ON census.source = s.source AND census.split = sp.split
+        |), cells AS (
+        |  SELECT source, n,
+        |    CAST(ROUND(
+        |      (o - CAST(n * pct AS DOUBLE) / 100) *
+        |      (o - CAST(n * pct AS DOUBLE) / 100) /
+        |      (CAST(n * pct AS DOUBLE) / 100) * 1000000000.0) AS BIGINT) AS term_nano
+        |  FROM grid
+        |)
+        |SELECT source, n AS n_docs,
+        |  ROUND(CAST(SUM(term_nano) AS DOUBLE) / 1000000000.0, 6) AS srm_chi2,
+        |  ROUND(CAST(SUM(term_nano) AS DOUBLE) / 1000000000.0, 6) > 5.991 AS srm_detected
+        |FROM cells GROUP BY 1, 2 ORDER BY source""".stripMargin,
     "q_stat_chi2" ->
       """WITH d AS (SELECT source, lang FROM documents),
         |o AS (SELECT source, lang, COUNT(*) AS c FROM d GROUP BY 1, 2),
@@ -3792,6 +3863,7 @@ object LlmData {
     "q_text_vocab_coverage" -> (qTextVocabCoverage _),
     "q_stat_ks_drift" -> (qStatKsDrift _),
     "q_stat_chi2" -> (qStatChi2 _),
+    "q_stat_srm" -> (qStatSrm _),
     "q_emb_pq_ann" -> (qEmbPqAnn _)
   )
 }

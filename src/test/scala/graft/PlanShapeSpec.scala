@@ -134,6 +134,12 @@ class PlanShapeSpec extends SparkSpec {
     // rollup + output sort; the O(S×L) cell table never reshuffles
     // for a join
     pin("q_stat_chi2", 6, 3)
+    // SRM: the CACHED split census (its corpus reduction hidden) +
+    // the per-source totals agg + the per-source χ² rollup + output
+    // sort; the literal 3-row split-design table and the totals side
+    // are the two broadcasts — empty cells enter via the grid join so
+    // a catastrophic mismatch (a lost split) still registers
+    pin("q_stat_srm", 2, 2)
     // bootstrap: the ×B replicate fan-out is a NARROW explode that
     // partial-aggregates to O(segments·B) weighted sums before its
     // one exchange + the per-segment percentile agg + output sort —
