@@ -86,6 +86,27 @@ object Relational {
         outD(sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount"))))).as("revenue"))
       .orderBy("o_orderpriority")
 
+  /** Shuffled hash join — the third fact-fact join strategy after
+    * broadcast (q_join_bhj) and sort-merge (q_join_smj): both sides
+    * shuffle on the key but the smaller side BUILDS A HASH MAP
+    * instead of sorting, skipping both sides' sorts — the right
+    * choice when one side is much smaller than the other yet too big
+    * to broadcast (at 100 TB: a pruned fact against the full fact).
+    * Per-partition build memory is bounded by the smaller side's
+    * partition size — the shuffle partitioning knob, not a broadcast
+    * budget. PlanShapeSpec pins the ShuffledHashJoin node so a silent
+    * fallback to SMJ fails the suite.
+    */
+  def qJoinShj(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .filter(col("o_orderstatus") === "F").hint("shuffle_hash")
+      .join(lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderstatus", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        outD(sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount"))))).as("revenue"))
+      .orderBy("o_orderstatus", "l_linestatus")
+
   def qJoinOuter(s: SparkSession, dir: String): DataFrame =
     customer(s, dir)
       .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
@@ -1680,6 +1701,13 @@ object Relational {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_shj" ->
+      """SELECT o_orderstatus, l_linestatus, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderstatus, l_linestatus
+        |ORDER BY o_orderstatus, l_linestatus""".stripMargin,
     "q_join_outer" ->
       """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
         |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
@@ -2060,6 +2088,7 @@ object Relational {
     "q_project_expr" -> (qProjectExpr _),
     "q_join_bhj" -> (qJoinBhj _),
     "q_join_smj" -> (qJoinSmj _),
+    "q_join_shj" -> (qJoinShj _),
     "q_join_outer" -> (qJoinOuter _),
     "q_join_full" -> (qJoinFull _),
     "q_join_semi" -> (qJoinSemi _),

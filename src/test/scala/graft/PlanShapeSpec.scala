@@ -114,6 +114,18 @@ class PlanShapeSpec extends SparkSpec {
     pin("q_mix_epochs", 6, 1)
   }
 
+  test("join strategy triad: the shuffle_hash hint yields a ShuffledHashJoin") {
+    // broadcast (q_join_bhj) and sort-merge (q_join_smj) are pinned
+    // above; this pins the third strategy — both sides shuffle but
+    // the filtered side BUILDS instead of sorting. A silent fallback
+    // to SMJ (hint dropped, conf regression) fails here
+    val (s, b, plan) = exchanges("q_join_shj")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected ShuffledHashJoin in the plan:\n${plan.take(2000)}")
+    assert(s == 4 && b == 0,
+      s"q_join_shj plan shape drifted: shuffles $s (want 4), broadcasts $b (want 0)")
+  }
+
   test("corpus-statistic shapes: counts reduce once, analytics run on count tables") {
     // vocab coverage (below-gate path at fixture scale): docsNorm
     // rebalance + ONE (lang, word) count shuffle + the ranking
