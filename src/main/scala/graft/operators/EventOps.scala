@@ -288,6 +288,35 @@ object EventOps {
     * of a mapGroupsWithState attribution stream; no self-join, no
     * event×event blowup at any scale.
     */
+  /** Purchase-context interval join: every (purchase, click) pair of
+    * the SAME user with the click in the hour before the purchase —
+    * the conversion-context feed (one row per influencing click,
+    * unlike q_ev_attribution's single last touch). Batch shape: the
+    * user_id equi-join carries the pairing (ONE key exchange per
+    * side), the hour window is a post-join residual — the
+    * q_join_theta_range rule, never a time-only cross join. The
+    * streaming twin (EventStreams.ctxJoin) is the engine's
+    * stream-stream interval join: both sides watermarked, the range
+    * condition bounding both event times so join state evicts.
+    */
+  def qEvCtxjoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    p.join(c, "user_id")
+      .filter(unix_micros(col("click_ts")) >=
+          unix_micros(col("purchase_ts")) - 3600L * 1000000L &&
+        unix_micros(col("click_ts")) < unix_micros(col("purchase_ts")))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000")
+          .as("gap_s"))
+      .orderBy("user_id", "purchase_id", "click_id")
+  }
+
   def qEvAttribution(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir)
       .filter(col("event_type").isin("view", "click", "purchase"))
@@ -518,6 +547,14 @@ object EventOps {
         |SELECT user_id, signup_ts, click_ts, purchase_ts,
         |  (signup_ts IS NOT NULL AND click_ts IS NOT NULL AND purchase_ts IS NOT NULL) AS completed
         |FROM s3 ORDER BY user_id""".stripMargin,
+    "q_ev_ctxjoin" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        |  (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_s
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |ORDER BY p.user_id, purchase_id, click_id""".stripMargin,
     "q_ev_funnel_time" ->
       """WITH s1 AS (
         |  SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts
@@ -559,6 +596,7 @@ object EventOps {
     "q_ev_late_watermark" -> (qEvLateWatermark _),
     "q_ev_funnel" -> (qEvFunnel _),
     "q_ev_funnel_time" -> (qEvFunnelTime _),
+    "q_ev_ctxjoin" -> (qEvCtxjoin _),
     "q_ev_dedup_stream" -> (qEvDedupStream _),
     "q_ev_retention" -> (qEvRetention _),
     "q_ev_anomaly" -> (qEvAnomaly _),

@@ -321,6 +321,33 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join (batch twin: qEvCtxjoin): purchases
+    * joined to the same user's clicks in the preceding hour, both
+    * sides watermarked so Spark can bound the join state — clicks
+    * hold long enough to meet a future purchase (join window + the
+    * purchase side's lateness), purchases evict on their own
+    * watermark. The range condition bounds BOTH event times, which is
+    * what makes state cleanup possible at all; without it a
+    * stream-stream join's state grows forever.
+    */
+  def ctxJoin(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    p.join(c, expr(
+        """p_user = c_user AND
+          |click_ts >= purchase_ts - INTERVAL 1 HOUR AND
+          |click_ts < purchase_ts""".stripMargin))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000")
+          .as("gap_s"))
+  }
+
   case class StepGapOut(user_id: Long, step: String, gap_us: Long)
 
   /** Streaming funnel step latencies (batch twin: the per-user gap

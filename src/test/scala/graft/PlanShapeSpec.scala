@@ -108,6 +108,11 @@ class PlanShapeSpec extends SparkSpec {
     // other shuffle is the O(paths) count agg — top-20 is a
     // TakeOrdered, no global sort exchange
     pin("q_ev_sesspath", 2, 0)
+    // ctxjoin: the interval pairing rides the user_id EQUI-join (at
+    // fixture scale the filtered purchase side broadcasts; at corpus
+    // scale both sides shuffle on user_id) with the hour window as a
+    // post-join residual — never a time-only cross join; + output sort
+    pin("q_ev_ctxjoin", 1, 1)
     // epochs: same O(sources) shape as temperature — doc rebalance +
     // token aggs on the per-source and total branches + one scalar
     // broadcast; allocation arithmetic adds nothing

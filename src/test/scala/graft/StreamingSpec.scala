@@ -355,6 +355,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream-stream interval join reproduces the batch context pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val q = EventStreams.ctxJoin(EventStreams.readEvents(spark, dir)).writeStream
+      .format("memory").queryName("file_ctxjoin").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT user_id, purchase_id, click_id, gap_s FROM file_ctxjoin")
+        .collect().map(_.toString).sorted.toSeq
+      val batch = graft.operators.EventOps.qEvCtxjoin(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        s"ctxjoin twin diverged: ${streamed.length} vs ${batch.length} pairs; " +
+        s"only-streamed=${streamed.diff(batch).take(3)} only-batch=${batch.diff(streamed).take(3)}")
+    } finally q.stop()
+  }
+
+  test("stream-stream join: click in one trigger meets a purchase in the next") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[Ev](s)
+    val events = input.toDF()
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val q = EventStreams.ctxJoin(events).writeStream
+      .format("memory").queryName("ctxjoin_xbatch").outputMode("append").start()
+    try {
+      input.addData(Ev(1L, ts(0), 5L, "click"))
+      q.processAllAvailable()
+      // purchase 40 min later arrives in the NEXT trigger — the click
+      // must still be in join state and pair with it
+      input.addData(Ev(2L, ts(40), 5L, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, purchase_id, click_id, gap_s FROM ctxjoin_xbatch")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(rows == Seq((5L, 2L, 1L, 40L * 60)),
+        s"expected the cross-trigger pair, got $rows")
+    } finally q.stop()
+  }
+
   test("file-source dedup twin keeps exactly the batch key set") {
     // dropDuplicatesWithinWatermark keeps the first ARRIVING record
     // per key while the batch twin keeps the earliest by event time —
