@@ -395,6 +395,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join soak: click state evicts once the watermark passes the window") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[Ev](s)
+    val events = input.toDF()
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val q = EventStreams.ctxJoin(events).writeStream
+      .format("memory").queryName("ctxjoin_soak").outputMode("append").start()
+    try {
+      // trigger 1: 30 clicks — 30 rows of click-side join state
+      input.addData((1 to 30).map(i => Ev(i, ts(i % 10), i.toLong, "click")))
+      q.processAllAvailable()
+      val s1 = stateRows(q)
+      // trigger 2: hour 8 on BOTH sides — the query watermark is the
+      // MIN across inputs, so the purchase side must also advance (a
+      // purchase stream that never fires would pin the watermark at 0
+      // and no click could ever evict)
+      input.addData(Seq(Ev(900, ts(480), 900L, "click"),
+        Ev(910, ts(480), 910L, "purchase")))
+      q.processAllAvailable()
+      // trigger 3: applies the advanced watermark on entry → eviction
+      input.addData(Seq(Ev(901, ts(485), 901L, "click"),
+        Ev(911, ts(485), 911L, "purchase")))
+      q.processAllAvailable()
+      val s3 = stateRows(q)
+      info(s"ctxjoin state rows: after trigger1=$s1, after trigger3=$s3")
+      assert(s1 >= 30, s"expected >= 30 click-state rows after trigger 1, got $s1")
+      assert(s3 <= 5,
+        s"join state not bounded by watermark: $s3 rows for 2 live clicks (32 seen)")
+    } finally q.stop()
+  }
+
   test("file-source dedup twin keeps exactly the batch key set") {
     // dropDuplicatesWithinWatermark keeps the first ARRIVING record
     // per key while the batch twin keeps the earliest by event time —
