@@ -317,6 +317,35 @@ object EventOps {
       .orderBy("user_id", "purchase_id", "click_id")
   }
 
+  /** Cold-purchase report — the LEFT-OUTER face of qEvCtxjoin: every
+    * purchase with its count of influencing clicks (the preceding
+    * hour, same user), INCLUDING purchases with none — the "organic
+    * conversion" segment a pure inner join silently drops. Shape:
+    * same user_id equi-join + hour residual, then a per-purchase
+    * rollup; the streaming twin (EventStreams.ctxJoinOuter) is the
+    * watermarked LEFT-OUTER stream-stream join, whose null rows can
+    * only emit once the watermark proves no matching click can still
+    * arrive — the subtlety the spec pins.
+    */
+  def qEvCtxjoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    p.join(c,
+        col("user_id") === col("c_user") &&
+          unix_micros(col("click_ts")) >=
+            unix_micros(col("purchase_ts")) - 3600L * 1000000L &&
+          unix_micros(col("click_ts")) < unix_micros(col("purchase_ts")),
+        "left")
+      .groupBy("user_id", "purchase_id")
+      .agg(count(col("click_ts")).as("n_clicks"))
+      .withColumn("organic", col("n_clicks") === 0)
+      .orderBy("user_id", "purchase_id")
+  }
+
   def qEvAttribution(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir)
       .filter(col("event_type").isin("view", "click", "purchase"))
@@ -547,6 +576,15 @@ object EventOps {
         |SELECT user_id, signup_ts, click_ts, purchase_ts,
         |  (signup_ts IS NOT NULL AND click_ts IS NOT NULL AND purchase_ts IS NOT NULL) AS completed
         |FROM s3 ORDER BY user_id""".stripMargin,
+    "q_ev_ctxjoin_outer" ->
+      """SELECT p.user_id, p.event_id AS purchase_id,
+        |  COUNT(c.ts) AS n_clicks, COUNT(c.ts) = 0 AS organic
+        |FROM events p LEFT JOIN events c
+        |  ON p.user_id = c.user_id AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.user_id, p.event_id
+        |ORDER BY p.user_id, purchase_id""".stripMargin,
     "q_ev_ctxjoin" ->
       """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
         |  (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_s
@@ -597,6 +635,7 @@ object EventOps {
     "q_ev_funnel" -> (qEvFunnel _),
     "q_ev_funnel_time" -> (qEvFunnelTime _),
     "q_ev_ctxjoin" -> (qEvCtxjoin _),
+    "q_ev_ctxjoin_outer" -> (qEvCtxjoinOuter _),
     "q_ev_dedup_stream" -> (qEvDedupStream _),
     "q_ev_retention" -> (qEvRetention _),
     "q_ev_anomaly" -> (qEvAnomaly _),

@@ -348,6 +348,35 @@ object EventStreams {
           .as("gap_s"))
   }
 
+  /** LEFT-OUTER stream-stream interval join (batch twin:
+    * qEvCtxjoinOuter's pre-rollup pair stream): purchases keep a row
+    * even with no influencing click — but the null-click row can only
+    * emit once the watermark PROVES no matching click can still
+    * arrive (Spark holds the unmatched purchase in state until then).
+    * Consequence pinned by the spec: a purchase near the head of the
+    * stream emits its organic row only after later event time
+    * advances the watermark past its window — and purchases near the
+    * end of a bounded replay never flush, which is why the file-
+    * source comparison must restrict to watermark-closed purchases.
+    * The n_clicks rollup runs downstream of the sink.
+    */
+  def ctxJoinOuter(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    p.join(c, expr(
+        """p_user = c_user AND
+          |click_ts >= purchase_ts - INTERVAL 1 HOUR AND
+          |click_ts < purchase_ts""".stripMargin), "leftOuter")
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("purchase_ts"), col("click_id"))
+  }
+
   case class StepGapOut(user_id: Long, step: String, gap_us: Long)
 
   /** Streaming funnel step latencies (batch twin: the per-user gap

@@ -113,6 +113,8 @@ class PlanShapeSpec extends SparkSpec {
     // scale both sides shuffle on user_id) with the hour window as a
     // post-join residual — never a time-only cross join; + output sort
     pin("q_ev_ctxjoin", 1, 1)
+    // outer face: same join shape + the per-purchase rollup exchange
+    pin("q_ev_ctxjoin_outer", 2, 1)
     // epochs: same O(sources) shape as temperature — doc rebalance +
     // token aggs on the per-source and total branches + one scalar
     // broadcast; allocation arithmetic adds nothing

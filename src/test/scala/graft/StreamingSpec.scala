@@ -395,6 +395,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("LEFT-OUTER stream join: the organic row emits only after the watermark closes the window") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[Ev](s)
+    val events = input.toDF()
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val q = EventStreams.ctxJoinOuter(events).writeStream
+      .format("memory").queryName("ctxjoin_outer_hold").outputMode("append").start()
+    try {
+      // a clickless purchase: its organic row CANNOT emit yet — a
+      // matching click might still arrive within the watermark
+      input.addData(Ev(1L, ts(10), 3L, "purchase"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM ctxjoin_outer_hold").count() == 0,
+        "organic row emitted before the watermark proved no click can arrive")
+      // advance BOTH sides' event time far past the window + delays
+      input.addData(Seq(Ev(2L, ts(600), 99L, "click"), Ev(3L, ts(600), 99L, "purchase")))
+      q.processAllAvailable()
+      input.addData(Seq(Ev(4L, ts(610), 98L, "click"), Ev(5L, ts(610), 98L, "purchase")))
+      q.processAllAvailable()
+      val organic = spark.sql(
+        "SELECT user_id, purchase_id FROM ctxjoin_outer_hold WHERE click_id IS NULL")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(organic.contains((3L, 1L)),
+        s"expected the held organic row for user 3 after watermark advance, got $organic")
+    } finally q.stop()
+  }
+
   test("stream-stream join soak: click state evicts once the watermark passes the window") {
     val s = spark
     import s.implicits._
@@ -424,6 +452,46 @@ class StreamingSpec extends SparkSpec {
       assert(s1 >= 30, s"expected >= 30 click-state rows after trigger 1, got $s1")
       assert(s3 <= 5,
         s"join state not bounded by watermark: $s3 rows for 2 live clicks (32 seen)")
+    } finally q.stop()
+  }
+
+  test("file-source LEFT-OUTER stream join matches batch on watermark-closed purchases") {
+    val dir = "/root/testdata/sf0.001"
+    val q = EventStreams.ctxJoinOuter(EventStreams.readEvents(spark, dir)).writeStream
+      .format("memory").queryName("file_ctxjoin_outer").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a bounded replay never flushes outer rows near the stream end
+      // (the watermark stops at max event time − delay), so compare
+      // only purchases whose join window is provably closed: 3 h
+      // before the stream's end. The real boundary is the GLOBAL
+      // watermark (min over sides of max-event-time − delay, i.e. the
+      // click side's 2 h delay measured from the last CLICK, which
+      // can itself trail the last purchase) minus the 1 h window —
+      // measured ≈ 5.5 h on this fixture (organic rows emitted up to
+      // 16:42 with stream end 23:26); 8 h is a conservative margin
+      val ev = graft.Tables.events(spark, dir)
+      val maxMs = ev.agg(org.apache.spark.sql.functions.max("ts"))
+        .head().getTimestamp(0).getTime
+      val closed = ev.filter(col("event_type") === "purchase")
+        .collect()
+        .filter(_.getAs[java.sql.Timestamp]("ts").getTime <= maxMs - 8L * 3600 * 1000)
+        .map(_.getAs[Long]("event_id")).toSet
+      val streamed = spark.sql(
+        """SELECT user_id, purchase_id, COUNT(click_id) AS n_clicks
+          |FROM file_ctxjoin_outer GROUP BY 1, 2""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .filter(t => closed(t._2)).toSet
+      val batch = graft.operators.EventOps.qEvCtxjoinOuter(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .filter(t => closed(t._2)).toSet
+      assert(closed.nonEmpty && streamed == batch,
+        s"outer twin diverged on ${closed.size} closed purchases: " +
+        s"only-streamed=${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
+      // the outer semantics must actually be exercised: at least one
+      // organic (zero-click) purchase in the compared set
+      assert(batch.exists(_._3 == 0L),
+        "fixture has no organic purchase in the closed window — outer path untested")
     } finally q.stop()
   }
 
