@@ -2598,7 +2598,14 @@ object LlmData {
     * of a doc is in its own lang's self-trained model by
     * construction), zero scoring shuffle.
     */
-  def qTextPerplexity(s: SparkSession, dir: String): DataFrame = {
+  def qTextPerplexity(s: SparkSession, dir: String): DataFrame =
+    perDocNll(s, dir).orderBy("doc_id")
+
+  /** Per-doc own-language avg negative log-likelihood (the
+    * qTextPerplexity body, unsorted) — shared with the CCNet-style
+    * bucket assignment below.
+    */
+  private def perDocNll(s: SparkSession, dir: String): DataFrame = {
     val docCnt = docBigramCounts(s, dir).cache() // read by fit + scoring
     bigramTermTable(docCnt) match {
       case None =>
@@ -2618,8 +2625,36 @@ object LlmData {
             element_at(col("sc"), ownIdx).as("s"))
           .select(col("doc_id"), col("lang"), col("n_bigrams"),
             round(-(col("s").cast("double") / 1e9) / col("n_bigrams"), 6).as("avg_nll"))
-          .orderBy("doc_id")
     }
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): each
+    * language's docs split into head/middle/tail TERCILES of the
+    * language-model avg negative log-likelihood — the quality
+    * stratification CCNet ships before sampling (head = most fluent
+    * third, tail = the candidates for dropping). Thresholds are
+    * per-language `percentile` cuts of the hash-matched per-doc score
+    * (≡ DuckDB quantile_cont, the q_agg_quantile equivalence) rounded
+    * before comparison; the O(langs) threshold table broadcasts back;
+    * per-bucket mean NLL goes through the ×1e6 exact-long firewall so
+    * no cross-row double sum leaks. Zero-bigram docs (undefined NLL)
+    * are excluded in both engines.
+    */
+  def qTextPplBucket(s: SparkSession, dir: String): DataFrame = {
+    val ppl = perDocNll(s, dir).filter(col("n_bigrams") > 0).cache()
+    val th = ppl.groupBy("lang").agg(
+      round(expr("percentile(avg_nll, 0.33333333D)"), 6).as("t1"),
+      round(expr("percentile(avg_nll, 0.66666667D)"), 6).as("t2"))
+    ppl.join(broadcast(th), "lang")
+      .withColumn("bucket",
+        when(col("avg_nll") <= col("t1"), lit("1_head"))
+          .when(col("avg_nll") <= col("t2"), lit("2_middle"))
+          .otherwise(lit("3_tail")))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(round(col("avg_nll") * lit(1e6)).cast("long")).cast("double") /
+          count(lit(1)) / lit(1e6), 6).as("mean_nll"))
+      .orderBy("lang", "bucket")
   }
 
   /** Deterministic document fingerprints, oracle-checked: the whole-
@@ -3785,6 +3820,39 @@ object LlmData {
         |SELECT doc_id, lang, n_bigrams,
         |  ROUND(-(CAST(s AS DOUBLE) / 1000000000.0) / n_bigrams, 6) AS avg_nll
         |FROM scored ORDER BY doc_id""".stripMargin,
+    "q_text_ppl_bucket" ->
+      s"""WITH $bigramCte, docbg AS (
+        |  SELECT doc_id, lang, bg, COUNT(*) AS occ FROM bigrams GROUP BY 1, 2, 3
+        |), model AS (
+        |  SELECT lang AS m_lang, bg AS m_bg, SUM(occ) AS cnt FROM docbg GROUP BY 1, 2
+        |), totals AS (
+        |  SELECT m_lang, SUM(cnt) AS tot FROM model GROUP BY 1
+        |), scored AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(SUM(d.occ) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(d.occ * CAST(ROUND(LN((m.cnt + 1.0) / (t.tot + 4096.0)) * 1000000000.0) AS BIGINT)) AS BIGINT) AS s
+        |  FROM docbg d
+        |  JOIN model m ON m.m_lang = d.lang AND m.m_bg = d.bg
+        |  JOIN totals t ON t.m_lang = d.lang
+        |  GROUP BY 1, 2
+        |), ppl AS (
+        |  SELECT doc_id, lang,
+        |    ROUND(-(CAST(s AS DOUBLE) / 1000000000.0) / n_bigrams, 6) AS avg_nll
+        |  FROM scored WHERE n_bigrams > 0
+        |), th AS (
+        |  SELECT lang AS t_lang,
+        |    ROUND(quantile_cont(avg_nll, 0.33333333), 6) AS t1,
+        |    ROUND(quantile_cont(avg_nll, 0.66666667), 6) AS t2
+        |  FROM ppl GROUP BY 1
+        |)
+        |SELECT lang,
+        |  CASE WHEN avg_nll <= t1 THEN '1_head'
+        |       WHEN avg_nll <= t2 THEN '2_middle' ELSE '3_tail' END AS bucket,
+        |  COUNT(*) AS n_docs,
+        |  ROUND(CAST(SUM(CAST(ROUND(avg_nll * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |    / COUNT(*) / 1000000.0, 6) AS mean_nll
+        |FROM ppl JOIN th ON ppl.lang = th.t_lang
+        |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
     "q_text_langid" ->
       s"""WITH $bigramCte, model AS (
         |  SELECT lang AS m_lang, bg, COUNT(*) AS cnt FROM bigrams GROUP BY lang, bg
@@ -3834,6 +3902,7 @@ object LlmData {
     "q_text_quality" -> (qTextQuality _),
     "q_text_langid" -> (qTextLangid _),
     "q_text_perplexity" -> (qTextPerplexity _),
+    "q_text_ppl_bucket" -> (qTextPplBucket _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_text_winnow" -> (qTextWinnow _),
     "q_dedup_winnow" -> (qDedupWinnow _),
