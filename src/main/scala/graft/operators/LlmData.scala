@@ -2113,16 +2113,39 @@ object LlmData {
     * join runs on that tiny table. Counts exact int64; shares are one
     * identical double division both engines.
     */
-  def qSampleSplit(s: SparkSession, dir: String): DataFrame = {
-    val census = documents(s, dir)
-      .withColumn("bucket",
-        ((col("doc_id") * 48271L) % 2147483647L * 48271L) % 2147483647L % 100L)
+  /** The per-(source, split) census of the 80/10/10 two-step-Lehmer
+    * hash assignment — the ONE statement of the split design, shared
+    * by q_sample_split and the SRM check (a divergence between the
+    * assignment audited and the assignment used would defeat SRM).
+    * The SQL twin is [[splitCensusCte]].
+    */
+  private def splitCensus(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .withColumn("bucket", lehmer(lehmer(col("doc_id"))) % 100L)
       .withColumn("split",
         when(col("bucket") < 80, lit("train"))
           .when(col("bucket") < 90, lit("val"))
           .otherwise(lit("test")))
       .groupBy("source", "split")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+
+  /** Oracle-side twin of [[splitCensus]] (DuckDB CTE fragment). */
+  private val splitCensusCte =
+    """d AS (
+      |  SELECT source, n_chars,
+      |    CASE WHEN ((doc_id * 48271) % 2147483647 * 48271) % 2147483647 % 100 < 80
+      |      THEN 'train'
+      |      WHEN ((doc_id * 48271) % 2147483647 * 48271) % 2147483647 % 100 < 90
+      |      THEN 'val' ELSE 'test' END AS split
+      |  FROM documents
+      |), census AS (
+      |  SELECT source, split, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      |  FROM d GROUP BY 1, 2
+      |)""".stripMargin
+
+  def qSampleSplit(s: SparkSession, dir: String): DataFrame = {
+    val census = splitCensus(s, dir)
     // per-source totals via a window over the tiny census (a join
     // against a separate per-source agg would re-evaluate the corpus
     // scan for the second branch)
@@ -2326,15 +2349,8 @@ object LlmData {
     * critical value 5.991.
     */
   def qStatSrm(s: SparkSession, dir: String): DataFrame = {
-    val census = documents(s, dir)
-      .withColumn("bucket",
-        ((col("doc_id") * 48271L) % 2147483647L * 48271L) % 2147483647L % 100L)
-      .withColumn("split",
-        when(col("bucket") < 80, lit("train"))
-          .when(col("bucket") < 90, lit("val"))
-          .otherwise(lit("test")))
-      .groupBy("source", "split")
-      .agg(count(lit(1)).as("o"))
+    val census = splitCensus(s, dir)
+      .select(col("source"), col("split"), col("n_docs").as("o"))
       .cache() // feeds the per-source totals AND the grid join
     // full source × split grid so an EMPTY cell still contributes its
     // (0 − e)²/e term — the exact signature of a catastrophic SRM
@@ -3062,18 +3078,7 @@ object LlmData {
         |  CAST(COUNT(*) FILTER (WHERE x < 0) AS DOUBLE) AS f3
         |FROM e GROUP BY vec_id ORDER BY doc_id""".stripMargin,
     "q_sample_split" ->
-      """WITH d AS (
-        |  SELECT source, n_chars,
-        |    CASE WHEN ((doc_id * 48271) % 2147483647 * 48271) % 2147483647 % 100 < 80
-        |      THEN 'train'
-        |      WHEN ((doc_id * 48271) % 2147483647 * 48271) % 2147483647 % 100 < 90
-        |      THEN 'val' ELSE 'test' END AS split
-        |  FROM documents
-        |), census AS (
-        |  SELECT source, split, COUNT(*) AS n_docs,
-        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
-        |  FROM d GROUP BY 1, 2
-        |), s AS (
+      s"""WITH $splitCensusCte, s AS (
         |  SELECT source, CAST(SUM(n_docs) AS BIGINT) AS src_docs
         |  FROM census GROUP BY 1
         |)
@@ -3642,21 +3647,14 @@ object LlmData {
         |    CAST(SUM(cnt) AS BIGINT), 6) AS coverage
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     "q_stat_srm" ->
-      """WITH d AS (
-        |  SELECT source,
-        |    CASE WHEN ((doc_id * 48271) % 2147483647 * 48271) % 2147483647 % 100 < 80
-        |      THEN 'train'
-        |      WHEN ((doc_id * 48271) % 2147483647 * 48271) % 2147483647 % 100 < 90
-        |      THEN 'val' ELSE 'test' END AS split
-        |  FROM documents
-        |), census AS (
-        |  SELECT source, split, COUNT(*) AS o FROM d GROUP BY 1, 2
+      s"""WITH $splitCensusCte, c2 AS (
+        |  SELECT source, split, n_docs AS o FROM census
         |), s AS (
-        |  SELECT source, CAST(SUM(o) AS BIGINT) AS n FROM census GROUP BY 1
+        |  SELECT source, CAST(SUM(o) AS BIGINT) AS n FROM c2 GROUP BY 1
         |), grid AS (
-        |  SELECT s.source, s.n, sp.split, sp.pct, COALESCE(census.o, 0) AS o
+        |  SELECT s.source, s.n, sp.split, sp.pct, COALESCE(c2.o, 0) AS o
         |  FROM s CROSS JOIN (VALUES ('train', 80), ('val', 10), ('test', 10)) AS sp(split, pct)
-        |  LEFT JOIN census ON census.source = s.source AND census.split = sp.split
+        |  LEFT JOIN c2 ON c2.source = s.source AND c2.split = sp.split
         |), cells AS (
         |  SELECT source, n,
         |    CAST(ROUND(

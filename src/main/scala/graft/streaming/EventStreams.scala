@@ -110,7 +110,14 @@ object EventStreams {
     t.getTime / 1000 * 1000000L + t.getNanos / 1000
 
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
-  case class FunnelState(signupUs: Option[Long], clickUs: Option[Long], purchaseUs: Option[Long])
+  /** lastUs = max event time EVER SEEN for the user, carried so the
+    * retention timeout can never move backwards when a later batch
+    * delivers older (but in-watermark) events for the same user — a
+    * watermark-plus-this-batch anchor would re-arm the timeout EARLIER
+    * and evict live funnel state (review-found eviction edge).
+    */
+  case class FunnelState(signupUs: Option[Long], clickUs: Option[Long],
+    purchaseUs: Option[Long], lastUs: Long = 0L)
   case class FunnelOut(user_id: Long, signup_us: Long, click_us: Long, purchase_us: Long)
 
   case class TouchState(touchId: Long, touchType: String, touchUs: Long)
@@ -273,6 +280,46 @@ object EventStreams {
     * signup→click→purchase funnel completes. State is O(active users)
     * and dropped on event-time timeout past the watermark.
     */
+  /** The SHARED per-batch funnel state machine (one copy for funnel
+    * and funnelTime — review-found lockstep risk): advance `st0` over
+    * this batch's events in event-time order and return the new state
+    * plus the step completions `(step, gapUs)` in completion order.
+    */
+  private def advanceFunnel(st0: FunnelState, evs: Seq[Ev]): (FunnelState, Seq[(String, Long)]) = {
+    var st = st0
+    val gaps = Seq.newBuilder[(String, Long)]
+    val sorted = evs.sortBy(e => (tsMicros(e.ts), e.event_id))
+    sorted.foreach { e =>
+      val us = tsMicros(e.ts)
+      e.event_type match {
+        case "signup" if st.signupUs.isEmpty => st = st.copy(signupUs = Some(us))
+        case "click" if st.signupUs.isDefined && st.clickUs.isEmpty &&
+          us > st.signupUs.get =>
+          st = st.copy(clickUs = Some(us))
+          gaps += (("1_signup_to_click", us - st.signupUs.get))
+        case "purchase" if st.clickUs.isDefined && st.purchaseUs.isEmpty &&
+          us > st.clickUs.get =>
+          st = st.copy(purchaseUs = Some(us))
+          gaps += (("2_click_to_purchase", us - st.clickUs.get))
+        case _ =>
+      }
+    }
+    (st.copy(lastUs = math.max(st0.lastUs, tsMicros(sorted.last.ts))), gaps.result())
+  }
+
+  /** Anchor the 24 h retention to the group's LAST ACTIVITY EVER (the
+    * state-carried lastUs), not the watermark alone: in the first
+    * micro-batch the watermark is still 0 (it advances after a
+    * batch), so a watermark-relative timeout would land in 1970 and
+    * the first real watermark advance would evict every batch-1 user;
+    * and a later batch of OLDER in-watermark events must not pull an
+    * armed timeout backwards. max(watermark, …) keeps the timeout
+    * valid (it must exceed the current watermark) without shortening.
+    */
+  private def armFunnelTimeout(state: GroupState[FunnelState], st: FunnelState): Unit =
+    state.setTimeoutTimestamp(
+      math.max(state.getCurrentWatermarkMs(), st.lastUs / 1000) + 24L * 3600 * 1000)
+
   def funnel(events: DataFrame): Dataset[FunnelOut] = {
     val s = events.sparkSession
     import s.implicits._
@@ -286,34 +333,11 @@ object EventStreams {
         case (uid, evs, state: GroupState[FunnelState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var st = state.getOption.getOrElse(FunnelState(None, None, None))
-            val done0 = st.purchaseUs.isDefined
-            // process in event-time order for correct funnel ordering
-            val sorted = evs.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
-            sorted.foreach { e =>
-              val us = tsMicros(e.ts)
-              e.event_type match {
-                case "signup" if st.signupUs.isEmpty => st = st.copy(signupUs = Some(us))
-                case "click" if st.signupUs.isDefined && st.clickUs.isEmpty &&
-                  us > st.signupUs.get => st = st.copy(clickUs = Some(us))
-                case "purchase" if st.clickUs.isDefined && st.purchaseUs.isEmpty &&
-                  us > st.clickUs.get => st = st.copy(purchaseUs = Some(us))
-                case _ =>
-              }
-            }
+            val st0 = state.getOption.getOrElse(FunnelState(None, None, None))
+            val done0 = st0.purchaseUs.isDefined
+            val (st, _) = advanceFunnel(st0, evs.toSeq)
             state.update(st)
-            // anchor the 24 h retention to the group's LAST ACTIVITY,
-            // not the watermark alone: in the first micro-batch the
-            // watermark is still 0 (it advances after a batch), so a
-            // watermark-relative timeout would land in 1970 and the
-            // first real watermark advance would evict every batch-1
-            // user — stream-initial users would silently lose their
-            // funnel (caught by the multi-trigger soak in
-            // StreamingSpec). max() keeps the timeout valid (it must
-            // exceed the current watermark) without shortening it.
-            val lastMs = sorted.last.ts.getTime
-            state.setTimeoutTimestamp(
-              math.max(state.getCurrentWatermarkMs(), lastMs) + 24L * 3600 * 1000)
+            armFunnelTimeout(state, st)
             if (!done0 && st.purchaseUs.isDefined)
               Iterator(FunnelOut(uid, st.signupUs.get, st.clickUs.get, st.purchaseUs.get))
             else Iterator.empty
@@ -330,23 +354,32 @@ object EventStreams {
     * what makes state cleanup possible at all; without it a
     * stream-stream join's state grows forever.
     */
-  def ctxJoin(events: DataFrame): DataFrame = {
-    val p = events.filter(col("event_type") === "purchase")
+  // ===== shared sides of the context interval join (ONE statement of
+  // the window and both watermark delays — the inner and outer faces
+  // must never disagree on them) =====
+
+  private def purchaseSide(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", "1 hour")
-    val c = events.filter(col("event_type") === "click")
+
+  private def clickSide(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
       .withWatermark("click_ts", "2 hours")
-    p.join(c, expr(
-        """p_user = c_user AND
-          |click_ts >= purchase_ts - INTERVAL 1 HOUR AND
-          |click_ts < purchase_ts""".stripMargin))
+
+  private def ctxJoinCond =
+    expr("""p_user = c_user AND
+           |click_ts >= purchase_ts - INTERVAL 1 HOUR AND
+           |click_ts < purchase_ts""".stripMargin)
+
+  def ctxJoin(events: DataFrame): DataFrame =
+    purchaseSide(events).join(clickSide(events), ctxJoinCond)
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
         expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000")
           .as("gap_s"))
-  }
 
   /** LEFT-OUTER stream-stream interval join (batch twin:
     * qEvCtxjoinOuter's pre-rollup pair stream): purchases keep a row
@@ -360,22 +393,10 @@ object EventStreams {
     * source comparison must restrict to watermark-closed purchases.
     * The n_clicks rollup runs downstream of the sink.
     */
-  def ctxJoinOuter(events: DataFrame): DataFrame = {
-    val p = events.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-        col("ts").as("purchase_ts"))
-      .withWatermark("purchase_ts", "1 hour")
-    val c = events.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-        col("ts").as("click_ts"))
-      .withWatermark("click_ts", "2 hours")
-    p.join(c, expr(
-        """p_user = c_user AND
-          |click_ts >= purchase_ts - INTERVAL 1 HOUR AND
-          |click_ts < purchase_ts""".stripMargin), "leftOuter")
+  def ctxJoinOuter(events: DataFrame): DataFrame =
+    purchaseSide(events).join(clickSide(events), ctxJoinCond, "leftOuter")
       .select(col("p_user").as("user_id"), col("purchase_id"),
         col("purchase_ts"), col("click_id"))
-  }
 
   case class StepGapOut(user_id: Long, step: String, gap_us: Long)
 
@@ -400,30 +421,11 @@ object EventStreams {
         case (uid, evs, state: GroupState[FunnelState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var st = state.getOption.getOrElse(FunnelState(None, None, None))
-            val out = Seq.newBuilder[StepGapOut]
-            val sorted = evs.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
-            sorted.foreach { e =>
-              val us = tsMicros(e.ts)
-              e.event_type match {
-                case "signup" if st.signupUs.isEmpty => st = st.copy(signupUs = Some(us))
-                case "click" if st.signupUs.isDefined && st.clickUs.isEmpty &&
-                  us > st.signupUs.get =>
-                  st = st.copy(clickUs = Some(us))
-                  out += StepGapOut(uid, "1_signup_to_click", us - st.signupUs.get)
-                case "purchase" if st.clickUs.isDefined && st.purchaseUs.isEmpty &&
-                  us > st.clickUs.get =>
-                  st = st.copy(purchaseUs = Some(us))
-                  out += StepGapOut(uid, "2_click_to_purchase", us - st.clickUs.get)
-                case _ =>
-              }
-            }
+            val st0 = state.getOption.getOrElse(FunnelState(None, None, None))
+            val (st, gaps) = advanceFunnel(st0, evs.toSeq)
             state.update(st)
-            // same timeout-anchoring rule as funnel (see its comment)
-            val lastMs = sorted.last.ts.getTime
-            state.setTimeoutTimestamp(
-              math.max(state.getCurrentWatermarkMs(), lastMs) + 24L * 3600 * 1000)
-            out.result().iterator
+            armFunnelTimeout(state, st)
+            gaps.iterator.map { case (step, gapUs) => StepGapOut(uid, step, gapUs) }
           }
       }
   }

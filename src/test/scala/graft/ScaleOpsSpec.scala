@@ -327,8 +327,8 @@ class ScaleOpsSpec extends SparkSpec {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .selectExpr("vec_id", "cast(embedding as array<double>) as v")
       .repartition(8, col("vec_id"))
-    val a = LlmData.pqAnn(emb, trainCap = 64)
-      .collect().map(_.toString).toSeq
+    val aRows = LlmData.pqAnn(emb, trainCap = 64).collect()
+    val a = aRows.map(_.toString).toSeq
     val b = LlmData.pqAnn(emb, trainCap = 64)
       .collect().map(_.toString).toSeq
     assert(a.nonEmpty && a == b, "sampled-training PQ drifted between runs")
@@ -348,9 +348,10 @@ class ScaleOpsSpec extends SparkSpec {
         .sortBy { case (cid, d) => (d, cid) }.take(10)
         .map { case (cid, _) => (pid, cid) }
     }.toSet
-    val got = LlmData.pqAnn(emb, trainCap = 64)
-      .select("probe_id", "vec_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // derive the pair set from the rows already collected for the
+    // determinism check — no fourth pqAnn run
+    val got = aRows
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
     val recall = exact.count(got.contains).toDouble / exact.size
     assert(recall >= 0.4,
       s"sampled-training PQ recall $recall vs exact L2 — codebook useless")
