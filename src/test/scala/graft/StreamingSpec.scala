@@ -423,6 +423,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel timeout never moves backwards on older in-watermark events") {
+    // regression pin for the review-found eviction edge: the timeout
+    // anchors to the MAX event time ever seen per user, so a later
+    // batch delivering an OLDER (still in-watermark) event must not
+    // re-arm the timeout earlier and evict live state
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[Ev](s)
+    val events = input.toDF()
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val q = EventStreams.funnel(events).writeStream
+      .format("memory").queryName("funnel_anchor").outputMode("append").start()
+    try {
+      // t1: user 1 signs up at hour 100 → anchor 100 h, timeout 124 h
+      input.addData(Ev(1L, ts(6000), 1L, "signup"))
+      q.processAllAvailable()
+      // t2: an OLDER in-watermark event for user 1 (hour 99.5; the
+      // watermark is ~99 h). A this-batch anchor would re-arm the
+      // timeout to 123.5 h — earlier than the armed 124 h
+      input.addData(Ev(2L, ts(5970), 1L, "view"))
+      q.processAllAvailable()
+      // t3: filler pushes the watermark into (123.5 h, 124 h): with
+      // the backwards anchor user 1 would be EVICTED here
+      input.addData(Ev(3L, ts(7485), 9L, "view"))
+      q.processAllAvailable()
+      // t4: user 1 completes at hour 125 — only possible if the
+      // signup state survived t3
+      input.addData(Seq(Ev(4L, ts(7500), 1L, "click"), Ev(5L, ts(7501), 1L, "purchase")))
+      q.processAllAvailable()
+      val done = spark.sql("SELECT user_id FROM funnel_anchor")
+        .collect().map(_.getLong(0)).toSeq
+      assert(done == Seq(1L),
+        s"funnel state was evicted by a backwards-moving timeout: $done")
+    } finally q.stop()
+  }
+
   test("stream-stream join soak: click state evicts once the watermark passes the window") {
     val s = spark
     import s.implicits._
