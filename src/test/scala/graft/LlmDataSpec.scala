@@ -256,6 +256,29 @@ class LlmDataSpec extends SparkSpec {
     assert(recall >= 0.5, s"PQ ADC recall $recall vs exact L2")
   }
 
+  test("PCA whitening: deterministic, descending spectrum, unit whitened variance") {
+    val a = LlmData.qEmbWhiten(spark, dir).collect()
+    val b = LlmData.qEmbWhiten(spark, dir).collect()
+    assert(a.length == 8 && a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "PCA whitening drifted between runs")
+    val eig = a.map(_.getDouble(1)); val evr = a.map(_.getDouble(2))
+    val wv = a.map(_.getDouble(3))
+    assert(eig.forall(_ > 0), s"non-positive eigenvalue: ${eig.toSeq}")
+    assert(evr.sliding(2).forall { case Array(x, y) => x >= y },
+      s"explained variance not descending: ${evr.toSeq}")
+    // THE whitening property: each projection has unit variance over
+    // the corpus (computed distributed, not on the driver)
+    wv.foreach(v => assert(math.abs(v - 1.0) <= 0.05,
+      s"whitened variance $v not ≈ 1"))
+    // the eigensolve really diagonalizes: driver cross-check of the
+    // Jacobi on a small known matrix
+    val m = Array(Array(2.0, 1.0), Array(1.0, 2.0))
+    val (vals, vecs) = LlmData.jacobiEigen(m)
+    assert(math.abs(vals(0) - 3.0) < 1e-9 && math.abs(vals(1) - 1.0) < 1e-9)
+    val dot = vecs(0).zip(vecs(1)).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot) < 1e-9, s"eigenvectors not orthogonal: $dot")
+  }
+
   test("jaccard: bitset and prefix-filter strategies produce identical pairs") {
     val s = spark
     import s.implicits._
