@@ -10,6 +10,14 @@ object Verify {
     // (builder-local preflight of a new operator; the driver always
     // passes exactly two args and gets the full sweep)
     val only = args.drop(2).toSet
+    // fail fast on unknown names: a typo would otherwise select nothing,
+    // write no output, and exit 0 — indistinguishable from success
+    val unknown = only.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[verify] unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")

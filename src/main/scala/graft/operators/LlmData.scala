@@ -1256,11 +1256,11 @@ object LlmData {
   /** Product-quantization ANN (`q_emb_pq_ann`) — the memory-side
     * member of the ANN family (Jégou, Douze & Schmid, "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011): each
-    * vector is compressed to M = 4 codebook codes (one per 16-dim
+    * vector is compressed to M = 8 codebook codes (one per 8-dim
     * subspace, K = 16 centroids each), and probes rank candidates by
     * asymmetric-distance computation (ADC) — a per-probe M×K lookup
     * table of exact subspace distances, summed by code — instead of
-    * touching raw vectors. 64 float dims become 4 small ints per
+    * touching raw vectors. 64 float dims become 8 small ints per
     * vector; at 100 TB that is the difference between an index that
     * fits in cluster RAM and one that does not.
     *
@@ -2072,13 +2072,14 @@ object LlmData {
       .select(col("vec_id"), col("pos").as("i"),
         round(col("col") * lit(1e9)).cast("long").as("xn"))
       .cache() // dim sums + pair products
-    // dim sums + count (exact)
+    // dim sums + count (exact; decimal(38,0) like the pair products —
+    // a plain long Σxn would wrap silently past ~9e9 rows)
     val dimRows = flatV.groupBy("i")
-      .agg(sum(col("xn")).as("sx"), count(lit(1)).as("n"))
+      .agg(sum(col("xn").cast("decimal(38,0)")).as("sx"), count(lit(1)).as("n"))
       .collect().sortBy(_.getInt(0))
     val n = dimRows.head.getLong(2).toDouble
     val dims = dimRows.length
-    val mean = dimRows.map(_.getLong(1).toDouble / 1e9 / n)
+    val mean = dimRows.map(_.getDecimal(1).doubleValue() / 1e9 / n)
     // upper-triangle pair products, exact decimal sums
     val cells = flatV.as("a")
       .join(flatV.select(col("vec_id"), col("i").as("j"), col("xn").as("yn")), "vec_id")
@@ -2104,7 +2105,7 @@ object LlmData {
         zip_with(zip_with(col("v"), meanLit, (x, m) => x - m), uLit, (d, w) => d * w),
         lit(0.0), (acc, t) => acc + t) / lit(math.sqrt(lam))
       emb.select(round(z * lit(1e6)).cast("long").as("zn"))
-        .agg(sum(col("zn")).as("sz"),
+        .agg(sum(col("zn").cast("decimal(38,0)")).as("sz"),
           sum((col("zn") * col("zn")).cast("decimal(38,0)")).as("szz"),
           count(lit(1)).as("nn"))
         .select(lit(c).as("component"),
@@ -2526,8 +2527,14 @@ object LlmData {
     val ns = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
     val nl = docs.groupBy("lang").agg(count(lit(1)).as("cl"))
     val tot = docs.agg(count(lit(1)).as("nn"))
-    o.join(broadcast(ns), "source")
-      .join(broadcast(nl), "lang")
+    // Full source × lang grid (margins cross-joined, observed counts
+    // left-joined, COALESCE to 0): a (source, lang) cell with zero docs
+    // still contributes its (0-e)²/e = e term — exactly the largest
+    // terms when a crawl dump is all one language. The qStatSrm split
+    // grid uses the same construction.
+    ns.crossJoin(broadcast(nl))
+      .join(o, Seq("source", "lang"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
       .crossJoin(broadcast(tot))
       .withColumn("e",
         col("n_docs").cast("double") * col("cl") / col("nn"))
@@ -3808,14 +3815,19 @@ object LlmData {
         |ns AS (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY 1),
         |nl AS (SELECT lang, COUNT(*) AS cl FROM d GROUP BY 1),
         |t AS (SELECT COUNT(*) AS nn FROM d),
+        |grid AS (
+        |  SELECT ns.source, ns.n_docs, nl.lang, nl.cl, COALESCE(o.c, 0) AS c
+        |  FROM ns CROSS JOIN nl
+        |  LEFT JOIN o ON o.source = ns.source AND o.lang = nl.lang
+        |),
         |cells AS (
-        |  SELECT o.source, ns.n_docs,
+        |  SELECT source, n_docs,
         |    CAST(ROUND(
-        |      (o.c - CAST(ns.n_docs AS DOUBLE) * nl.cl / nn) *
-        |      (o.c - CAST(ns.n_docs AS DOUBLE) * nl.cl / nn) /
-        |      (CAST(ns.n_docs AS DOUBLE) * nl.cl / nn) * 1000000000.0) AS BIGINT)
+        |      (c - CAST(n_docs AS DOUBLE) * cl / nn) *
+        |      (c - CAST(n_docs AS DOUBLE) * cl / nn) /
+        |      (CAST(n_docs AS DOUBLE) * cl / nn) * 1000000000.0) AS BIGINT)
         |      AS term_nano
-        |  FROM o JOIN ns USING (source) JOIN nl USING (lang) CROSS JOIN t
+        |  FROM grid CROSS JOIN t
         |)
         |SELECT source, n_docs,
         |  ROUND(CAST(SUM(term_nano) AS DOUBLE) / 1000000000.0, 6) AS chi2_contrib

@@ -452,8 +452,10 @@ object Relational {
     * rows; the pooled ranking folds to the per-distinct-VALUE count
     * grid (the qStatKsDrift trick): avg-rank of value v =
     * cum_before(v) + (cnt(v)+1)/2, kept in exact 2×rank integer units
-    * so every rank sum is an exact long and the only doubles are the
-    * identical closing expressions both engines evaluate. The global
+    * so every rank sum is exact — accumulated as decimal(38,0), since
+    * Σ csv·ar2 ≈ 2·n1·N would wrap a long once n1·N nears 2⁶² — and
+    * the only doubles are the identical closing expressions both
+    * engines evaluate. The global
     * cumulative window runs over the O(distinct cents) grid — bounded
     * by the VALUE RANGE (≈1.1M possible cents), not row count; the
     * tie term Σ(t³−t) sums as exact decimal(38,0).
@@ -474,7 +476,8 @@ object Relational {
     val sv = cust.groupBy("c_mktsegment", "v").agg(count(lit(1)).as("csv"))
     val rs = sv.join(grid, "v")
       .groupBy("c_mktsegment")
-      .agg(sum(col("csv") * col("ar2")).as("rs2"), sum(col("csv")).as("n1"))
+      .agg(sum((col("csv") * col("ar2")).cast("decimal(38,0)")).as("rs2"),
+        sum(col("csv")).as("n1"))
       .crossJoin(broadcast(tot))
       .withColumn("n2", col("nn") - col("n1"))
     // 2U = 2R1 − n1(n1+1); E[2U] = n1·n2;
