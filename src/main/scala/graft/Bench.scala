@@ -73,7 +73,14 @@ object Bench {
     // abs: a failed query's negative marker must not LOWER the total —
     // a fast failure would otherwise read as a speedup
     val total = if (results.nonEmpty) results.map(r => math.abs(r._2)).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Explicit artifact accounting: the one-time shared-artifact build
+    // cost (pair graphs, fitted LIME stats, physical layouts) as its
+    // own field, so cross-round comparisons can't silently shift
+    // per-query cost into artifact rows (or vice versa) — the
+    // artifacts_total + per-query split is auditable from the JSON
+    // alone (BASELINE.md forward rule).
+    val artifactsTotal = artifacts.map(r => math.abs(r._2)).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","artifacts_total":$artifactsTotal,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -989,6 +989,57 @@ case class PqCodes(child: Expression, cb: Array[Array[Array[Double]]])
     copy(child = newChild)
 }
 
+/** Per-row centered dense mat-vec: out[i] = Σ_d mat[i][d]·(v[d] − mean[d])
+  * — the orthonormal rotation step of the OPQ path (q_emb_opq_ann): the
+  * PCA basis rows arrive permuted by the eigenvalue-allocation order, so
+  * the output's consecutive subDim-blocks are the variance-balanced OPQ
+  * subspaces. The matrix is a driver-side [outDim][dim] model array (the
+  * PqCodes idiom); one compiled loop per row replaces outDim interpreted
+  * aggregate(zip_with(...)) lambda evals. Rotation + centering preserve
+  * L2 distances exactly, so downstream exact re-ranks stay honest.
+  */
+case class MatVec(child: Expression, mat: Array[Array[Double]],
+    mean: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "mat_vec"
+  override lazy val deterministic: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double>, got ${t.sql}")
+    }
+  private val outDim = mat.length
+  private val dim = if (outDim == 0) 0 else mat(0).length
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    // dimension mismatch is a data bug — a silent prefix matvec would
+    // rotate into garbage (the pq_codes rule)
+    require(v.numElements() == dim,
+      s"mat_vec: vector dim ${v.numElements()} != matrix dim $dim")
+    val centered = new Array[Double](dim)
+    var d = 0
+    while (d < dim) { centered(d) = v.getDouble(d) - mean(d); d += 1 }
+    val out = new Array[Double](outDim)
+    var i = 0
+    while (i < outDim) {
+      val row = mat(i)
+      var acc = 0.0
+      var j = 0
+      while (j < dim) { acc += row(j) * centered(j); j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MatVec =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   def pqCodes(v: Column, cb: Array[Array[Array[Double]]]): Column =
     GraftColumnShim.column(PqCodes(GraftColumnShim.expression(v),
@@ -1034,4 +1085,8 @@ object VectorExprs {
 
   def hyperplaneSigs(v: Column, seed: Long, tables: Int, bits: Int, dim: Int): Column =
     GraftColumnShim.column(HyperplaneSigs(GraftColumnShim.expression(v), seed, tables, bits, dim))
+
+  def matVec(v: Column, mat: Array[Array[Double]], mean: Array[Double]): Column =
+    GraftColumnShim.column(MatVec(GraftColumnShim.expression(v),
+      mat.map(_.clone), mean.clone))
 }

@@ -1405,6 +1405,87 @@ object LlmData {
       .orderBy("probe_id", "rnk")
   }
 
+  /** Optimized product quantization (`q_emb_opq_ann`) — PQ after the
+    * variance-balancing PCA rotation (Ge, He, Ke & Sun, "Optimized
+    * Product Quantization", CVPR 2013, parametric solution §3.3):
+    * plain PQ quantizes fixed coordinate blocks, so correlated or
+    * variance-skewed dims starve some subspace codebooks — the known
+    * recall failure mode on real embeddings. OPQ first rotates into
+    * the PCA basis (the q_emb_whiten rotation — its scaladoc has
+    * always named this composition) and permutes the eigen-directions
+    * by EIGENVALUE ALLOCATION: greedy assignment of descending
+    * eigenvalues into M buckets balancing each bucket's variance
+    * PRODUCT, so every subspace codebook carries comparable signal.
+    *
+    * Scale shape: the rotation is an O(model) 64×64 matrix from the
+    * shared exact-decimal pcaBasis (one extra pass over the corpus +
+    * the O(d²) cell exchange); application is the compiled MatVec
+    * kernel — one per-row loop, then the unchanged pqAnn pipeline.
+    * Rotation + centering preserve L2 exactly, so the exact re-rank
+    * and the output distances are the SAME metric as q_emb_pq_ann —
+    * the two operators are directly comparable, which is precisely
+    * what the recall spec does (recall(OPQ) ≥ recall(PQ) on a
+    * correlated fixture, planted by construction; on isotropic data
+    * OPQ ≡ PQ up to ties, as the paper notes).
+    *
+    * Spec-graded (oracle=— like the ANN family): bit-identical
+    * determinism across independent builds, recall vs exact L2 ≥ the
+    * PQ row's bound, and recall(OPQ) ≥ recall(PQ) on the correlated
+    * fixture with the measured delta recorded in BASELINE.md.
+    */
+  def qEmbOpqAnn(s: SparkSession, dir: String): DataFrame = {
+    val n = parquetRowCount(s, s"$dir/embeddings.parquet")
+    opqAnn(embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id")),
+      trainCap = 2048,
+      twoPhaseCut = n > 65536L)
+  }
+
+  /** Eigenvalue allocation (OPQ parametric solution): assign the d
+    * eigen-directions to M buckets of d/M dims each, greedily placing
+    * each eigenvalue (descending — jacobiEigen's order) into the open
+    * bucket with the smallest log-variance-product. Ties break to the
+    * smallest bucket index; the within-bucket order is insertion
+    * order, so the permutation is fully deterministic. Returns the
+    * rotated-row order: output dim i reads eigenvector perm(i).
+    */
+  private[graft] def eigenAllocation(eigVals: Array[Double], m: Int): Array[Int] = {
+    val d = eigVals.length
+    require(d % m == 0, s"eigenvalue allocation: dim $d not divisible by M=$m")
+    val cap = d / m
+    val logSum = Array.fill(m)(0.0)
+    val buckets = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    for (i <- 0 until d) {
+      var best = -1; var bestV = Double.PositiveInfinity
+      for (b <- 0 until m if buckets(b).length < cap)
+        if (logSum(b) < bestV) { bestV = logSum(b); best = b }
+      buckets(best) += i
+      // floor tiny/zero eigenvalues so one degenerate direction can't
+      // -Inf a bucket and swallow every remaining dim
+      logSum(best) += math.log(math.max(eigVals(i), 1e-12))
+    }
+    buckets.flatMap(_.iterator).toArray
+  }
+
+  /** OPQ core: pcaBasis rotation (rows permuted by eigenAllocation)
+    * applied through the compiled MatVec kernel, then the unchanged
+    * pqAnn pipeline on the rotated vectors. Exposed like pqAnn so the
+    * spec can force the scale paths and run PQ/OPQ on the same
+    * fixture.
+    */
+  private[graft] def opqAnn(emb0: DataFrame, trainCap: Int,
+      twoPhaseCut: Boolean = false): DataFrame = {
+    val M = 8
+    val emb = emb0.cache() // basis pass + rotation pass
+    val (_, mean, eigVals, eigVecs) = pcaBasis(emb)
+    val perm = eigenAllocation(eigVals, M)
+    val rot = perm.map(eigVecs)
+    pqAnn(emb.select(col("vec_id"),
+      graft.functions.VectorExprs.matVec(col("v"), rot, mean).as("v")),
+      trainCap, twoPhaseCut)
+  }
+
   /** Embedding column ops: per-label counts, mean vector norm (via
     * decimal-rounded per-vector norms) and centroid norm computed from
     * exact per-dimension decimal sums: ||Σx||/n — no cross-row double
@@ -2037,6 +2118,50 @@ object LlmData {
         col("min_v"), col("max_v"))
       .orderBy("dim")
 
+  /** Shared PCA basis: exact-decimal corpus covariance + driver-side
+    * Jacobi eigensolve, returning (row count, per-dim mean, descending
+    * eigenvalues, eigenvectors). Used by q_emb_whiten (whitening
+    * output) and q_emb_opq_ann (rotation before PQ). Determinism
+    * firewall: per-row nano-unit longs, decimal(38,0) sums for both
+    * moments (a plain long Σxn would wrap past ~9e9 rows), fixed-order
+    * Jacobi with the largest-|loading|-positive sign convention — the
+    * basis is identical under any partitioning / re-run.
+    */
+  private[graft] def pcaBasis(
+      emb: DataFrame): (Long, Array[Double], Array[Double], Array[Array[Double]]) = {
+    val flatV = emb.select(col("vec_id"), posexplode(col("v")))
+      .select(col("vec_id"), col("pos").as("i"),
+        round(col("col") * lit(1e9)).cast("long").as("xn"))
+      .cache() // dim sums + pair products
+    val dimRows = flatV.groupBy("i")
+      .agg(sum(col("xn").cast("decimal(38,0)")).as("sx"), count(lit(1)).as("n"))
+      .collect().sortBy(_.getInt(0))
+    val nRows = dimRows.head.getLong(2)
+    val n = nRows.toDouble
+    val dims = dimRows.length
+    val mean = dimRows.map(_.getDecimal(1).doubleValue() / 1e9 / n)
+    // upper-triangle pair products, exact decimal sums; the pair
+    // stream partial-aggregates to the O(d²) cell table before its
+    // one exchange. One operand casts to decimal BEFORE the multiply:
+    // a long×long product overflows at |v| > ~3 (xn·yn > 2⁶³), while
+    // long·decimal(38,0) is exact for every long pair (< 2¹²⁶ < 10³⁸)
+    val cells = flatV.as("a")
+      .join(flatV.select(col("vec_id"), col("i").as("j"), col("xn").as("yn")), "vec_id")
+      .filter(col("i") <= col("j"))
+      .groupBy("i", "j")
+      .agg(sum(col("xn").cast("decimal(38,0)") * col("yn")).as("sp"))
+      .collect()
+    flatV.unpersist()
+    val cov = Array.ofDim[Double](dims, dims)
+    cells.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val e = r.getDecimal(2).doubleValue() / 1e18 / n - mean(i) * mean(j)
+      cov(i)(j) = e; cov(j)(i) = e
+    }
+    val (eigVals, eigVecs) = jacobiEigen(cov) // descending, sign-fixed
+    (nRows, mean, eigVals, eigVecs)
+  }
+
   /** PCA whitening of the embedding column (`q_emb_whiten`) — the
     * decorrelation step run before quantization/ANN (PQ subspace
     * quantizers and LSH both assume roughly isotropic inputs; Jégou
@@ -2068,32 +2193,8 @@ object LlmData {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .cache() // covariance pass + whitening check pass
-    val flatV = emb.select(col("vec_id"), posexplode(col("v")))
-      .select(col("vec_id"), col("pos").as("i"),
-        round(col("col") * lit(1e9)).cast("long").as("xn"))
-      .cache() // dim sums + pair products
-    // dim sums + count (exact; decimal(38,0) like the pair products —
-    // a plain long Σxn would wrap silently past ~9e9 rows)
-    val dimRows = flatV.groupBy("i")
-      .agg(sum(col("xn").cast("decimal(38,0)")).as("sx"), count(lit(1)).as("n"))
-      .collect().sortBy(_.getInt(0))
-    val n = dimRows.head.getLong(2).toDouble
-    val dims = dimRows.length
-    val mean = dimRows.map(_.getDecimal(1).doubleValue() / 1e9 / n)
-    // upper-triangle pair products, exact decimal sums
-    val cells = flatV.as("a")
-      .join(flatV.select(col("vec_id"), col("i").as("j"), col("xn").as("yn")), "vec_id")
-      .filter(col("i") <= col("j"))
-      .groupBy("i", "j")
-      .agg(sum((col("xn") * col("yn")).cast("decimal(38,0)")).as("sp"))
-      .collect()
-    val cov = Array.ofDim[Double](dims, dims)
-    cells.foreach { r =>
-      val (i, j) = (r.getInt(0), r.getInt(1))
-      val e = r.getDecimal(2).doubleValue() / 1e18 / n - mean(i) * mean(j)
-      cov(i)(j) = e; cov(j)(i) = e
-    }
-    val (eigVals, eigVecs) = jacobiEigen(cov) // descending, sign-fixed
+    val (nRows, mean, eigVals, eigVecs) = pcaBasis(emb)
+    val n = nRows.toDouble
     val totVar = eigVals.sum
     // whitened variance of each of the top-k projections, computed
     // DISTRIBUTED over the corpus (micro-unit exact-long fold)
@@ -4079,6 +4180,7 @@ object LlmData {
     "q_stat_chi2" -> (qStatChi2 _),
     "q_stat_srm" -> (qStatSrm _),
     "q_emb_pq_ann" -> (qEmbPqAnn _),
+    "q_emb_opq_ann" -> (qEmbOpqAnn _),
     "q_emb_whiten" -> (qEmbWhiten _)
   )
 }

@@ -279,6 +279,88 @@ class LlmDataSpec extends SparkSpec {
     assert(math.abs(dot) < 1e-9, s"eigenvectors not orthogonal: $dot")
   }
 
+  test("OPQ ANN: deterministic, recall >= 0.5, beats plain PQ on a correlated corpus") {
+    // registry entry on the real fixture: determinism + the PQ row's
+    // recall bound (rotation preserves L2, so exact top-10 is the
+    // same ground truth as the PQ test above)
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val exact = vecs.filter(_._1 < 5).flatMap { case (pid, pv) =>
+      vecs.filter(_._1 != pid)
+        .map { case (cid, cv) =>
+          (cid, cv.zip(pv).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy { case (cid, d) => (d, cid) }.take(10)
+        .map { case (cid, _) => (pid, cid) }
+    }.toSet
+    val a = LlmData.qEmbOpqAnn(spark, dir)
+      .select("probe_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = LlmData.qEmbOpqAnn(spark, dir)
+      .select("probe_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq, "OPQ result drifted between runs")
+    val recallFix = exact.count(a.toSet.contains).toDouble / exact.size
+    assert(recallFix >= 0.5, s"OPQ recall $recallFix vs exact L2 on the fixture")
+
+    // eigenvalue allocation is a valid, balanced, deterministic
+    // permutation
+    val ev = Array(64.0, 32.0, 16.0, 8.0, 4.0, 2.0, 1.0, 0.5)
+    val perm = LlmData.eigenAllocation(ev, 2)
+    assert(perm.sorted.toSeq == (0 until 8).toSeq, "not a permutation")
+    val (bk0, bk1) = (perm.take(4), perm.drop(4))
+    def logProd(ix: Array[Int]) = ix.map(i => math.log(ev(i))).sum
+    assert(math.abs(logProd(bk0) - logProd(bk1)) <=
+      math.log(64.0), // balanced within one largest-eigenvalue factor
+      s"allocation unbalanced: ${bk0.toSeq} vs ${bk1.toSeq}")
+
+    // the OPQ claim itself: on a variance-skewed, correlated corpus
+    // (the real-embedding shape), rotated PQ recalls at least what
+    // raw-block PQ does. Construction: 8 strong directions (scale 8)
+    // + 56 weak (scale 0.25), then a fixed 45° Givens rotation pairing
+    // dim i with 63-i — so RAW coordinate blocks 0 and 7 each hold 8
+    // correlated high-variance dims (16 centroids per starved block),
+    // while PCA + eigenvalue allocation spreads one strong direction
+    // into each of the 8 subspaces.
+    val rnd = new java.util.Random(42)
+    val n = 600; val d = 64
+    val corr = (0L until n).map { id =>
+      val z = Array.tabulate(d)(i => rnd.nextGaussian() *
+        (if (i < 8) 8.0 else 0.25))
+      val v = new Array[Double](d)
+      val c = math.cos(math.Pi / 4)
+      for (i <- 0 until d / 2) {
+        val j = d - 1 - i
+        v(i) = c * z(i) - c * z(j)
+        v(j) = c * z(i) + c * z(j)
+      }
+      (id, v.toSeq)
+    }
+    val s = spark
+    import s.implicits._
+    val corrDf = corr.toDF("vec_id", "v")
+      .repartition(8, col("vec_id")).cache()
+    val exactC = corr.filter(_._1 < 5).flatMap { case (pid, pv) =>
+      corr.filter(_._1 != pid)
+        .map { case (cid, cv) =>
+          (cid, cv.zip(pv).map { case (x, y) => (x - y) * (x - y) }.sum) }
+        .sortBy { case (cid, dd) => (dd, cid) }.take(10)
+        .map { case (cid, _) => (pid, cid) }
+    }.toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("probe_id", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      exactC.count(got.contains).toDouble / exactC.size
+    }
+    val rPq = recallOf(LlmData.pqAnn(corrDf, trainCap = 256))
+    val rOpq = recallOf(LlmData.opqAnn(corrDf, trainCap = 256))
+    info(f"correlated-corpus recall: PQ $rPq%.3f vs OPQ $rOpq%.3f")
+    assert(rOpq >= rPq,
+      f"OPQ recall $rOpq%.3f below plain PQ $rPq%.3f on the correlated corpus")
+    assert(rOpq >= 0.6, f"OPQ recall $rOpq%.3f too low on the correlated corpus")
+    corrDf.unpersist()
+  }
+
   test("jaccard: bitset and prefix-filter strategies produce identical pairs") {
     val s = spark
     import s.implicits._
