@@ -398,6 +398,110 @@ object EventStreams {
       .select(col("p_user").as("user_id"), col("purchase_id"),
         col("purchase_ts"), col("click_id"))
 
+  case class EvV(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+  case class DayAgg(day: Long, n: Long, cents: Long)
+  /** open = in-flight daily partials (watermark not yet past day end);
+    * closedTail = the most recent ≤ 6 CLOSED daily rows (the trailing
+    * window's lookback); seen = closed-day count (the batch rn). */
+  case class AnomalyState(open: List[DayAgg], closedTail: List[DayAgg], seen: Long)
+  case class AnomalyOut(event_type: String, day: Timestamp, n_events: Long,
+    v: Double, mean7: Double, std7: Double, z: Double, is_anomaly: Boolean)
+
+  /** Streaming daily-anomaly monitor (batch twin: qEvAnomaly): per
+    * event_type, each day's value sum is z-scored against the
+    * trailing 7 OBSERVED days (itself included), flagged at |z| ≥ 2 —
+    * the production monitor shape of the batch query, emitting each
+    * day's verdict the moment the watermark proves the day complete.
+    *
+    * State per event_type is O(1): the ≤ 6 most recent closed daily
+    * rows + the open-day partials the watermark hasn't passed
+    * (bounded by lateness: at a 1 h watermark at most 2 calendar days
+    * are ever open) — O(types × 7) rows total, corpus-size-free, and
+    * the state never needs eviction because types are a tiny closed
+    * set (the qEvMarkov O(types²) argument).
+    *
+    * Exactness: per-event values fold as exact half-up cents (the
+    * batch d2 cast), daily sums close as longs, and the 7-day
+    * moments convert through scaled BigDecimal — bit-identical to
+    * the batch operator's decimal(·,2)/(·,4)-then-cast-double chain,
+    * so flag parity is exact, not approximate. A daily sum past
+    * decimal(18,2) range throws loudly (longValueExact), mirroring
+    * the batch operator's honest-bound NULL/error note.
+    *
+    * Emission timing: a day closes when the GLOBAL watermark passes
+    * its end; days close in ascending order per type, and a day with
+    * zero events is simply absent — exactly the batch window-over-
+    * observed-rows frame. The first 6 closed days emit nothing (the
+    * batch rn ≥ 7 filter).
+    */
+  def anomaly(events: DataFrame): Dataset[AnomalyOut] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[EvV]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomalyState, AnomalyOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (etype, evs, state: GroupState[AnomalyState]) =>
+          val st0 = state.getOption.getOrElse(AnomalyState(Nil, Nil, 0L))
+          var open = st0.open.map(d => d.day -> d).toMap
+          if (!state.hasTimedOut) {
+            evs.foreach { e =>
+              val d = Math.floorDiv(tsMicros(e.ts), 86400000000L)
+              val cents = java.math.BigDecimal.valueOf(e.value)
+                .setScale(2, java.math.RoundingMode.HALF_UP)
+                .movePointRight(2).longValueExact()
+              val cur = open.getOrElse(d, DayAgg(d, 0L, 0L))
+              open += d -> DayAgg(d, cur.n + 1, cur.cents + cents)
+            }
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (toClose, stillOpen) = open.values.toList.sortBy(_.day)
+            .partition(d => (d.day + 1) * 86400000L <= wm)
+          var tail = st0.closedTail
+          var seen = st0.seen
+          val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyOut]
+          def bd(unscaled: java.math.BigInteger, scale: Int): Double =
+            new java.math.BigDecimal(unscaled, scale).doubleValue()
+          def big(l: Long) = java.math.BigInteger.valueOf(l)
+          def round6(x: Double): Double =
+            java.math.BigDecimal.valueOf(x)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          toClose.foreach { d =>
+            seen += 1
+            if (seen >= 7) {
+              val win = tail.takeRight(6) :+ d
+              val s1 = bd(win.map(c => big(c.cents))
+                .foldLeft(java.math.BigInteger.ZERO)(_.add(_)), 2)
+              val s2 = bd(win.map(c => big(c.cents).multiply(big(c.cents)))
+                .foldLeft(java.math.BigInteger.ZERO)(_.add(_)), 4)
+              val cnt = 7.0
+              val v = bd(big(d.cents), 2)
+              val mean7 = round6(s1 / cnt)
+              val std7 = round6(math.sqrt(
+                math.max((s2 - s1 * s1 / cnt) / (cnt - 1), 0.0)))
+              val z = round6((v - mean7) / math.max(std7, 1e-9))
+              out += AnomalyOut(etype, new Timestamp(d.day * 86400000L),
+                d.n, v, mean7, std7, z, math.abs(z) >= 2)
+            }
+            tail = (tail :+ d).takeRight(6)
+          }
+          state.update(AnomalyState(stillOpen, tail, seen))
+          // re-arm so open days close even if this type goes quiet: the
+          // earliest open day's end, kept strictly ahead of the current
+          // watermark as the API requires. No open days → no timeout;
+          // the O(types) resident state needs no eviction.
+          if (stillOpen.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(wm + 60000L, (stillOpen.map(_.day).min + 1) * 86400000L))
+          out.iterator
+      }
+  }
+
   case class StepGapOut(user_id: Long, step: String, gap_us: Long)
 
   /** Streaming funnel step latencies (batch twin: the per-user gap

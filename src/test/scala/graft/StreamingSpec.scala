@@ -900,4 +900,94 @@ class StreamingSpec extends SparkSpec {
         s"state not evicted past cohort+8d: $s3 rows for ~2 in-horizon users")
     } finally q.stop()
   }
+
+  test("anomaly twin: closed days emit trailing-7 z-scores, state stays O(types)") {
+    val s = spark
+    import s.implicits._
+    def tsd(day: Int, minute: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-$day%02d ${minute / 60}%02d:${minute % 60}%02d:00")
+    val stream = MemoryStream[EventStreams.EvV](s)
+    val q = EventStreams.anomaly(stream.toDF()).writeStream
+      .format("memory").queryName("soak_anomaly").outputMode("append").start()
+    try {
+      // one event per day at noon, value 10 except a 100 spike on day 9
+      def ev(day: Int, v: Double) =
+        EventStreams.EvV(day.toLong, tsd(day, 720), day.toLong, "m", v)
+      // trigger 1: days 1..7. The trailing no-data micro-batch applies
+      // the post-batch watermark (day 7 11:00) and closes days 1..6 —
+      // seen = 6 < 7, so the batch rn ≥ 7 filter holds: no emission
+      stream.addData((1 to 7).map(d => ev(d, 10.0)))
+      q.processAllAvailable()
+      assert(s.table("soak_anomaly").count() == 0,
+        "the rn >= 7 warm-up emitted before 7 closed days existed")
+      // trigger 2: days 8..10 (spike on 9). The no-data batch's
+      // watermark (day 10 11:00) closes days 7, 8, 9 — spike flagged
+      stream.addData(Seq(ev(8, 10.0), ev(9, 100.0), ev(10, 10.0)))
+      q.processAllAvailable()
+      assert(s.table("soak_anomaly").count() == 3,
+        "days 7-9 should close off trigger 2's watermark")
+      // trigger 3: day-12 filler closes day 10 (spike now mid-window →
+      // small negative z, unflagged); trigger 4 closes day 12 in turn
+      stream.addData(Seq(ev(12, 10.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(ev(14, 10.0)))
+      q.processAllAvailable()
+      val rows = s.table("soak_anomaly")
+        .select(col("day").cast("string"), col("z"), col("is_anomaly"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+        .sortBy(_._1)
+      assert(rows.map(_._1).toSeq ==
+        Seq("2024-01-07 00:00:00", "2024-01-08 00:00:00",
+          "2024-01-09 00:00:00", "2024-01-10 00:00:00", "2024-01-12 00:00:00"),
+        s"closed-day emission set wrong: ${rows.toSeq}")
+      val flagged = rows.filter(_._3).map(_._1).toSeq
+      assert(flagged == Seq("2024-01-09 00:00:00"),
+        s"only the spike day should flag: ${rows.toSeq}")
+      // the spike's z against six 10s: (100 − 160/7) / √((10600 −
+      // 160²/7)/6) ≈ 2.2678
+      val zSpike = rows.find(_._1 == "2024-01-09 00:00:00").get._2
+      assert(math.abs(zSpike - 2.267791) < 1e-4, s"spike z drifted: $zSpike")
+      // flat-window days score exactly 0 (std floor 1e-9, the batch
+      // greatest() rule); days with the spike mid-window score small
+      // negative z but never flag
+      assert(rows.take(2).forall(_._2 == 0.0),
+        s"flat days must z-score 0: ${rows.toSeq}")
+      assert(rows.drop(3).forall(r => r._2 < 0 && math.abs(r._2) < 2),
+        s"mid-window spike days must score small negative z: ${rows.toSeq}")
+      // state is O(types): ONE group row despite 12 distinct days seen
+      val sr = stateRows(q)
+      assert(sr <= 2, s"anomaly state not O(types): $sr rows for 1 type")
+    } finally q.stop()
+  }
+
+  test("file-source anomaly twin matches batch rows on watermark-closed days") {
+    // full-tuple parity (counts, sums, mean/std/z AND flags) with the
+    // oracle-checked q_ev_anomaly, restricted to days the bounded
+    // replay's final watermark (max event time − 1 h) has provably
+    // closed — the last fixture day never closes, exactly the
+    // ctxJoinOuter bounded-replay caveat
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val q = EventStreams.anomaly(EventStreams.readEvents(spark, dir)).writeStream
+      .format("memory").queryName("file_anomaly").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val maxMs = graft.Tables.events(spark, dir)
+        .agg(org.apache.spark.sql.functions.max("ts"))
+        .head().getTimestamp(0).getTime
+      val wmMs = maxMs - 3600 * 1000L
+      val batch = graft.operators.EventOps.qEvAnomaly(spark, dir)
+        .collect()
+        .filter(r => r.getTimestamp(1).getTime + 86400000L <= wmMs)
+        .map(_.toString).sorted.toSeq
+      val streamed = s.table("file_anomaly")
+        .select(col("event_type"), col("day"), col("n_events"), col("v"),
+          col("mean7"), col("std7"), col("z"), col("is_anomaly"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(batch.nonEmpty, "fixture yields no watermark-closed anomaly rows")
+      assert(streamed == batch,
+        s"streaming anomaly diverged from batch (${streamed.length} vs ${batch.length} rows); " +
+          s"first diff: ${streamed.zip(batch).find(p => p._1 != p._2)}")
+    } finally q.stop()
+  }
 }
