@@ -172,9 +172,35 @@ object LimeOps {
     graft.lime.LimeImage.explainImage(images)
   }
 
-  def spLimePick(s: SparkSession, dir: String): DataFrame = {
-    val expl = Lime.explainTabular(instances(s, dir, 10), "instance_id", limeFeatures,
+  /** The one explanation matrix both SP-LIME rows consume (pick's
+    * greedy coverage and the importance vector) — ONE statement of
+    * the instance set and config so the two graded rows can never
+    * drift apart.
+    */
+  private[graft] def spLimeExplanations(s: SparkSession, dir: String): DataFrame =
+    Lime.explainTabular(instances(s, dir, 10), "instance_id", limeFeatures,
       LimeConfig(nSamples = 256, kFeatures = 4))
+
+  /** Oracle-less companion to `sp_lime_pick` (`sp_lime_importance`):
+    * the global feature-importance vector I_j = √(Σ_i |W_ij|) that
+    * Algorithm 2 maximizes coverage of, emitted as its own graded
+    * row. W is the ridge output of the RNG-driven explanation
+    * pipeline, so no DuckDB twin can exist (the driver records the
+    * rows-only check); LimeSpec pins determinism and I ≡ an
+    * independent driver-side recomputation from the explanation
+    * matrix — the hash-trust upgrade for the greedy loop's input.
+    */
+  def spLimeImportance(s: SparkSession, dir: String): DataFrame =
+    spLimeExplanations(s, dir)
+      .select(col("feature"), abs(col("weight")).as("aw"))
+      .filter(col("aw") > 0)
+      .groupBy("feature")
+      .agg(round(sqrt(sum(col("aw"))), 6).as("importance"),
+        count(lit(1)).as("n_instances"))
+      .orderBy("feature")
+
+  def spLimePick(s: SparkSession, dir: String): DataFrame = {
+    val expl = spLimeExplanations(s, dir)
     val picked = SpLime.pick(expl, b = 3)
     val session = s
     import session.implicits._
@@ -264,6 +290,7 @@ object LimeOps {
     "lime_explain_cat" -> (limeExplainCat _),
     "lime_explain_text" -> (limeExplainText _),
     "lime_image" -> (limeExplainImage _),
-    "sp_lime_pick" -> (spLimePick _)
+    "sp_lime_pick" -> (spLimePick _),
+    "sp_lime_importance" -> (spLimeImportance _)
   )
 }

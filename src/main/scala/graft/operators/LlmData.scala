@@ -2226,6 +2226,43 @@ object LlmData {
     * largest-|coordinate| entry made positive (ties → lowest index),
     * so the decomposition is unique and reproducible.
     */
+  /** Oracle-checked companion to `q_emb_whiten` (`q_emb_whiten_cov`):
+    * the covariance CELL TABLE the eigensolve consumes — upper
+    * triangle of cov(i,j) from the exact same nano-unit/decimal
+    * arithmetic as pcaBasis, emitted distributed instead of
+    * collected. The eigensolve/whitening stays spec-graded (no
+    * portable SQL eigensolve exists), but the matrix it runs on is
+    * hash-checked against DuckDB — converting the math-heaviest
+    * spec-trust row's INPUT into oracle-trust. Same two-exchange
+    * shape as pcaBasis (dim margin + pair cells), margins broadcast
+    * back onto the O(d²) cell table.
+    */
+  def qEmbWhitenCov(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val flatV = emb.select(col("vec_id"), posexplode(col("v")))
+      .select(col("vec_id"), col("pos").as("i"),
+        round(col("col") * lit(1e9)).cast("long").as("xn"))
+      .cache() // dim margin + pair products
+    val m = flatV.groupBy("i")
+      .agg(sum(col("xn").cast("decimal(38,0)")).as("sx"), count(lit(1)).as("n"))
+    val p = flatV.as("a")
+      .join(flatV.select(col("vec_id"), col("i").as("j"), col("xn").as("yn")), "vec_id")
+      .filter(col("i") <= col("j"))
+      .groupBy("i", "j")
+      .agg(sum(col("xn").cast("decimal(38,0)") * col("yn")).as("sp"))
+    // identical double op ORDER on both engines: sp/1e18/n − (sxᵢ/1e9/n)·(sxⱼ/1e9/n)
+    p.join(broadcast(m.select(col("i"), col("sx").as("sxi"), col("n"))), "i")
+      .join(broadcast(m.select(col("i").as("j"), col("sx").as("sxj"))), "j")
+      .select(col("i"), col("j"),
+        // + 0.0 collapses IEEE −0.0 to 0.0 (a cell rounding to zero
+        // from below differs in SIGN between engines otherwise)
+        (round(col("sp").cast("double") / lit(1e18) / col("n") -
+          (col("sxi").cast("double") / lit(1e9) / col("n")) *
+            (col("sxj").cast("double") / lit(1e9) / col("n")), 6) + lit(0.0)).as("cov"))
+      .orderBy("i", "j")
+  }
+
   private[graft] def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
     val d = a0.length
     val a = a0.map(_.clone)
@@ -3785,6 +3822,26 @@ object LlmData {
         |    (CAST(SUM(xd) AS DOUBLE) / COUNT(*)) * (CAST(SUM(xd) AS DOUBLE) / COUNT(*)), 6) AS var_v,
         |  CAST(MIN(xd) AS DOUBLE) AS min_v, CAST(MAX(xd) AS DOUBLE) AS max_v
         |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
+    // The pcaBasis covariance cell table: nano-unit longs, exact
+    // HUGEINT pair sums, and the cov formula in the SAME double op
+    // order as the Spark side (sp/1e18/n − (sxᵢ/1e9/n)·(sxⱼ/1e9/n))
+    "q_emb_whiten_cov" ->
+      """WITH raw AS (
+        |  SELECT vec_id,
+        |    unnest(range(len(embedding))) AS i,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings
+        |),
+        |f AS (SELECT vec_id, CAST(i AS INT) AS i,
+        |  CAST(ROUND(x * 1000000000.0) AS BIGINT) AS xn FROM raw),
+        |m AS (SELECT i, SUM(CAST(xn AS HUGEINT)) AS sx, COUNT(*) AS n FROM f GROUP BY 1),
+        |p AS (SELECT a.i AS i, b.i AS j, SUM(CAST(a.xn AS HUGEINT) * b.xn) AS sp
+        |      FROM f a JOIN f b USING (vec_id) WHERE a.i <= b.i GROUP BY 1, 2)
+        |SELECT p.i AS i, p.j AS j,
+        |  ROUND(CAST(sp AS DOUBLE) / 1e18 / mi.n -
+        |    (CAST(mi.sx AS DOUBLE) / 1e9 / mi.n) * (CAST(mj.sx AS DOUBLE) / 1e9 / mj.n), 6) + 0.0 AS cov
+        |FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j
+        |ORDER BY i, j""".stripMargin,
     // Centroid/fold arithmetic identical to q_emb_assign's proven CTEs
     // (k=1); μ/σ from exact decimal sums of the ROUNDED distances.
     "q_emb_outlier" ->
@@ -4181,6 +4238,7 @@ object LlmData {
     "q_stat_srm" -> (qStatSrm _),
     "q_emb_pq_ann" -> (qEmbPqAnn _),
     "q_emb_opq_ann" -> (qEmbOpqAnn _),
+    "q_emb_whiten_cov" -> (qEmbWhitenCov _),
     "q_emb_whiten" -> (qEmbWhiten _)
   )
 }

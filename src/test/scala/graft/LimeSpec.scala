@@ -271,4 +271,31 @@ class LimeSpec extends SparkSpec {
     val gains = picked.map(_.getDouble(2))
     assert(gains.zip(gains.tail).forall { case (a, b) => a >= b - 1e-9 })
   }
+
+  test("SP-LIME importance vector is deterministic and equals a driver recomputation") {
+    val i1 = LimeOps.spLimeImportance(spark, dir).collect()
+    val i2 = LimeOps.spLimeImportance(spark, dir).collect()
+    assert(i1.nonEmpty && i1.map(_.toString).toSeq == i2.map(_.toString).toSeq,
+      "importance vector drifted between runs")
+    // independent recomputation: collect the shared explanation matrix
+    // and fold I_j = sqrt(sum_i |W_ij|) on the driver
+    val expl = LimeOps.spLimeExplanations(spark, dir)
+      .select(col("feature"), col("weight"))
+      .collect().map(r => (r.getString(0), math.abs(r.getDouble(1))))
+      .filter(_._2 > 0)
+    val truth = expl.groupBy(_._1).map { case (f, rows) =>
+      f -> (BigDecimal(math.sqrt(rows.map(_._2).sum))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, rows.length.toLong)
+    }
+    assert(i1.length == truth.size,
+      s"feature set mismatch: ${i1.length} vs ${truth.size}")
+    i1.foreach { r =>
+      val (imp, n) = truth(r.getString(0))
+      // the distributed sum's addition order differs from the driver
+      // fold, so allow 1 ulp-at-6-decimals; n_instances is exact
+      assert(math.abs(r.getDouble(1) - imp) <= 1e-6,
+        s"${r.getString(0)}: importance ${r.getDouble(1)} != recomputed $imp")
+      assert(r.getLong(2) == n, s"${r.getString(0)}: n ${r.getLong(2)} != $n")
+    }
+  }
 }
