@@ -264,6 +264,48 @@ class ScaleOpsSpec extends SparkSpec {
       "harness-scale corpora must stay on the exact (oracle) path")
   }
 
+  test("banded recall AT tau: measured recall on worst-case pairs meets the derived 0.95 target") {
+    import graft.operators.LlmData
+    val s = spark
+    // The ScaleOps equality pins run at j ≈ 0.88, where banded
+    // detection is effectively certain — they validate correctness,
+    // not the RECALL DERIVATION. This fixture sits every planted pair
+    // at EXACTLY Jaccard τ = 0.3, the S-curve midpoint where
+    // mhBandsFor's guarantee is weakest: 26 shingles per doc, pairs
+    // (2i, 2i+1) share 12 → j = 12/(52−12) = 0.3 exactly. Per-pair
+    // detection with T = 34 two-row bands is 1 − (1 − 0.3²)³⁴ ≈
+    // 0.9595, so the derived ≥ 0.95 floor must hold empirically —
+    // and the minhash is seed-fixed, so the measured recall is a
+    // DETERMINISTIC property of the fixture, not a flaky sample.
+    val nPairs = 2000
+    val nDocs = 20000
+    val sh = s.range(nDocs).select(col("id").as("doc_id"),
+      expr(s"""CASE WHEN id < ${2 * nPairs}
+              |  THEN concat(
+              |    transform(sequence(0, 11), j -> concat('p', CAST(id DIV 2 AS STRING), '_', CAST(j AS STRING))),
+              |    transform(sequence(0, 13), j -> concat('u', CAST(id AS STRING), '_', CAST(j AS STRING))))
+              |  ELSE transform(sequence(0, 25), j -> concat('u', CAST(id AS STRING), '_', CAST(j AS STRING)))
+              |END""".stripMargin).as("shingles"))
+      .withColumn("sz", size(col("shingles")))
+    val exact = LlmData.jaccardPairs(sh, 0.3, s)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == nPairs,
+      s"exact oracle should be exactly the planted at-τ pairs, got ${exact.size}")
+    val banded = LlmData.textPairsBanded(sh, 0.3, s)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no false positives: banded candidates re-verify exactly
+    assert(banded.subsetOf(exact), s"banded emitted ${banded.diff(exact).size} non-pairs")
+    val recall = banded.size.toDouble / exact.size
+    info(f"banded recall at τ=0.3 (worst case): $recall%.4f over $nPairs pairs " +
+      f"(derived floor ${LlmData.MhRecallTarget}, predicted 0.9595)")
+    assert(recall >= LlmData.MhRecallTarget,
+      f"measured recall $recall%.4f below the mhBandsFor target ${LlmData.MhRecallTarget}")
+    // and the prediction itself is honest: measured within ±0.02 of
+    // the 1−(1−τ²)^T curve the derivation relies on
+    assert(math.abs(recall - 0.9595) <= 0.02,
+      f"measured recall $recall%.4f far from the S-curve prediction 0.9595")
+  }
+
   test("containment prefix filter at 50k docs: finds exactly the planted subset pairs") {
     import graft.operators.LlmData
     val s = spark
