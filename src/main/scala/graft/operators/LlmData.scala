@@ -1853,6 +1853,29 @@ object LlmData {
       .orderBy("lang")
   }
 
+  /** Avro round-trip (SURVEY §2.1 secondary source): same losslessness
+    * contract as qSrcCsv/qSrcJsonl/qSrcOrc over the row-oriented Avro
+    * form — the event-bus landing format a columnar rewrite ingests
+    * from. Aggregated per source with id extrema, a distinct-lang
+    * count and text-derived lengths, so every schema column
+    * participates in the hash (row-level fidelity is additionally
+    * pinned by TextSourcesSpec's exceptAll round-trip).
+    */
+  def qSrcAvro(s: SparkSession, dir: String): DataFrame = {
+    val tmp = roundTripDir("avro", dir)
+    val docs = documents(s, dir)
+    graft.sources.TextSources.writeAvro(docs, tmp)
+    graft.sources.TextSources.readAvro(s, tmp, docs.schema)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(length(col("text"))).as("total_text_len"))
+      .orderBy("source")
+  }
+
   /** Overlapping document chunking (the pre-embedding window split
     * every RAG/embedding pipeline runs): 64-word chunks on a 48-word
     * stride (16 words of overlap), so every word lands in a chunk and
@@ -4054,6 +4077,13 @@ object LlmData {
         |  COUNT(DISTINCT source) AS n_sources,
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_text_len
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_src_avro" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_text_len
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_text_repetition" ->
       """WITH d AS (
         |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS ws
@@ -4223,6 +4253,7 @@ object LlmData {
     "q_src_csv" -> (qSrcCsv _),
     "q_src_jsonl" -> (qSrcJsonl _),
     "q_src_orc" -> (qSrcOrc _),
+    "q_src_avro" -> (qSrcAvro _),
     "q_agg_approx_topk" -> (qAggApproxTopk _),
     "q_emb_dim_stats" -> (qEmbDimStats _),
     "q_text_pmi" -> (qTextPmi _),

@@ -51,4 +51,28 @@ object TextSources {
 
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
+
+  /** Avro — the ROW-oriented interchange format of event buses
+    * (Kafka Connect pipelines, schema-registry ecosystems): splittable
+    * like the others, but with per-record serialization instead of
+    * columnar stripes, so it's the landing format the columnar
+    * rewrite (parquet/ORC) ingests FROM. Spark 4 bundles the avro
+    * datasource inside spark-sql — `format("avro")` needs no external
+    * module. The explicit read schema keeps the same
+    * drift-fails-analysis contract as readOrc, on top of Avro's own
+    * writer-embedded schema.
+    */
+  /** The short name "avro" is reserved by Spark's lookup for the
+    * external spark-avro module's V2 registration; this deployment
+    * ships only the V1 `AvroFileFormat` inside spark-sql, so the
+    * fully-qualified class name addresses it directly (the documented
+    * class-name form of `format(...)`).
+    */
+  private val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def readAvro(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).format(AvroFormat).load(path)
+
+  def writeAvro(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").format(AvroFormat).save(path)
 }

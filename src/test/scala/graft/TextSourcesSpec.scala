@@ -36,4 +36,12 @@ class TextSourcesSpec extends SparkSpec {
     assert(back.count() == docs.count())
     assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
   }
+
+  test("Avro round-trip preserves the documents table") {
+    val path = java.nio.file.Files.createTempDirectory("graft-avro").toString + "/docs"
+    TextSources.writeAvro(docs, path)
+    val back = TextSources.readAvro(spark, path, docs.schema)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
 }
