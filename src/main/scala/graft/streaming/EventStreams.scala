@@ -400,6 +400,143 @@ object EventStreams {
 
   case class EvV(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
+
+  /** Streaming hour-of-day seasonality profile (batch twin: qEvHourly's
+    * byHour stage): per (event_type, hour-of-day) counts + exact
+    * decimal value sums. The 24-hour clock folds ALL event time onto
+    * O(types × 24) cells, so no cell ever closes and no watermark
+    * applies — run in complete (or update) mode; state IS the profile,
+    * corpus-size-free. The share-of-day normalization is a second
+    * windowed aggregation and runs downstream of the sink (the
+    * sesspath rule).
+    */
+  def hourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), hour(col("ts")).as("hour_of_day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  case class HourRow(hour_start: Timestamp, n_events: Long)
+  /** open = per-hour in-flight counts; lastClosedMs = the most recent
+    * emitted spine hour (−1 before the spine origin exists). */
+  case class GapfillState(open: Seq[(Long, Long)], lastClosedMs: Long)
+
+  /** Streaming gap-filled hour spine (batch twin: qEvGapfill): one row
+    * per hour from the first observed hour onward — INCLUDING zero
+    * rows for silent hours, emitted the moment the watermark proves
+    * the hour closed (a windowed agg alone cannot produce them: no
+    * rows → no group). Single global spine key; the function sees
+    * only narrow (ts) rows and folds them to O(open hours) counts, so
+    * state is O(hours in flight) — at extreme volume, pre-shrink with
+    * an upstream per-hour windowed aggregate in its own query and run
+    * this as the downstream spine pass (the two-query sesspath
+    * split). Timeout re-arms at the next hour boundary so silent
+    * hours close off watermark advances even when the key has no new
+    * rows in a batch.
+    */
+  def gapfill(events: DataFrame): Dataset[HourRow] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val HourMs = 3600000L
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("ts")).as[Timestamp]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[GapfillState, HourRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, evs, state: GroupState[GapfillState]) =>
+          val st0 = state.getOption.getOrElse(GapfillState(Nil, -1L))
+          var open = st0.open.toMap
+          if (!state.hasTimedOut) {
+            evs.foreach { t =>
+              val h = Math.floorDiv(tsMicros(t) / 1000L, HourMs) * HourMs
+              open += h -> (open.getOrElse(h, 0L) + 1L)
+            }
+          }
+          val wm = state.getCurrentWatermarkMs()
+          // every aligned hour with h + 1h <= wm is closed
+          val cap = if (wm < HourMs) Long.MinValue
+            else Math.floorDiv(wm - HourMs, HourMs) * HourMs
+          val out = scala.collection.mutable.ArrayBuffer.empty[HourRow]
+          var last = st0.lastClosedMs
+          if (last < 0 && open.nonEmpty) {
+            // spine origin: the first observed hour, once it closes
+            val first = open.keys.min
+            if (first <= cap) last = first - HourMs
+          }
+          if (last >= 0) {
+            var h = last + HourMs
+            while (h <= cap) {
+              out += HourRow(new Timestamp(h), open.getOrElse(h, 0L))
+              open -= h
+              last = h
+              h += HourMs
+            }
+          }
+          // an in-watermark straggler for an already-emitted hour would
+          // otherwise park an unreachable entry in state forever
+          state.update(GapfillState(
+            open.filter(_._1 > last).toSeq.sortBy(_._1), last))
+          // close future hours off pure watermark advances (no-data
+          // batches only invoke timed-out keys)
+          state.setTimeoutTimestamp(math.max(wm + 1000L, cap + 2 * HourMs))
+          out.iterator
+      }
+  }
+
+  case class EvT(ts: Timestamp, user_id: Long, event_type: String)
+  case class EntropyState(counts: Map[String, Long], lastUs: Long)
+  case class EntropyOut(user_id: Long, n_events: Long, n_types: Long, entropy: Double)
+
+  /** Streaming per-user behavioral entropy (batch twin: qEvEntropy):
+    * an UPDATE stream — each trigger emits the refreshed
+    * (n_events, n_types, entropy) row for every user whose counts
+    * changed; the LAST row per user is the current profile and equals
+    * the batch operator on a full replay. State per user is the
+    * O(types) count map (types are a tiny closed set — the qEvMarkov
+    * argument), evicted 30 days past last activity with the markov
+    * twin's documented dormancy horizon. Entropy math mirrors the
+    * batch nano-unit firewall exactly: per-type terms c·⌊ln(c/n)·1e9⌉
+    * as longs, one closing double division — bit-identical parity,
+    * not approximate.
+    */
+  def entropy(events: DataFrame): Dataset[EntropyOut] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), col("user_id"), col("event_type")).as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EntropyState, EntropyOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, evs, state: GroupState[EntropyState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val st0 = state.getOption.getOrElse(EntropyState(Map.empty, 0L))
+            var counts = st0.counts
+            var lastUs = st0.lastUs
+            evs.foreach { e =>
+              counts += e.event_type -> (counts.getOrElse(e.event_type, 0L) + 1L)
+              lastUs = math.max(lastUs, tsMicros(e.ts))
+            }
+            state.update(EntropyState(counts, lastUs))
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), lastUs / 1000) +
+                30L * 86400 * 1000)
+            val n = counts.valuesIterator.sum
+            // the batch operator's exact chain: round(ln(c/n)·1e9) as
+            // long terms, then round6(−(Σterm/1e9)/n)
+            val termSum = counts.valuesIterator.map { c =>
+              c * java.math.BigDecimal.valueOf(math.log(c.toDouble / n) * 1e9)
+                .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+            }.sum
+            val ent = java.math.BigDecimal
+              .valueOf(-(termSum.toDouble / 1e9) / n)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            Iterator(EntropyOut(uid, n, counts.size.toLong, ent))
+          }
+      }
+  }
   case class DayAgg(day: Long, n: Long, cents: Long)
   /** open = in-flight daily partials (watermark not yet past day end);
     * closedTail = the most recent ≤ 6 CLOSED daily rows (the trailing

@@ -960,6 +960,109 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source hourly twin matches the batch hour-of-day profile") {
+    // complete-mode profile + the downstream share normalization must
+    // reproduce q_ev_hourly's full tuples (the 24-hour clock never
+    // closes, so a bounded replay covers every cell — no watermark
+    // restriction needed, unlike the anomaly/gapfill twins)
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val q = EventStreams.hourly(EventStreams.readEvents(spark, dir)).writeStream
+      .format("memory").queryName("file_hourly").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = s.sql(
+        """SELECT event_type, hour_of_day, n_events, sum_value,
+          |  ROUND(n_events / CAST(SUM(n_events) OVER (PARTITION BY event_type) AS DOUBLE), 6) AS share
+          |FROM file_hourly""".stripMargin)
+        .collect().map(_.toString).sorted.toSeq
+      val batch = graft.operators.EventOps.qEvHourly(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streaming hourly diverged from batch (${streamed.length} vs ${batch.length} rows)")
+    } finally q.stop()
+  }
+
+  test("gapfill twin emits zero rows for silent hours as the watermark closes them") {
+    val s = spark
+    import s.implicits._
+    val stream = MemoryStream[Ev](s)
+    val df = stream.toDF()
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val q = EventStreams.gapfill(df).writeStream.format("memory")
+      .queryName("soak_gapfill").outputMode("append").start()
+    try {
+      // hours 0 and 3 have events; hours 1 and 2 are silent. The 6h05
+      // event advances the watermark past every earlier hour end.
+      stream.addData(Seq(Ev(1, ts(10), 1, "click"), Ev(2, ts(20), 2, "view"),
+        Ev(3, ts(185), 3, "click"), Ev(4, ts(365), 9, "view")))
+      q.processAllAvailable()
+      val rows = s.table("soak_gapfill")
+        .select(col("hour_start").cast("string"), col("n_events"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      assert(rows.map(_._1).toSeq == (0 to 4).map(h => f"2024-01-01 0$h%d:00:00"),
+        s"spine must run first-observed..watermark-closed: ${rows.toSeq}")
+      assert(rows.toMap == Map(
+        "2024-01-01 00:00:00" -> 2L, "2024-01-01 01:00:00" -> 0L,
+        "2024-01-01 02:00:00" -> 0L, "2024-01-01 03:00:00" -> 1L,
+        "2024-01-01 04:00:00" -> 0L), s"wrong spine counts: ${rows.toSeq}")
+      // a later trigger extends the spine (hour 5 closes with 0, hour
+      // 6's own count closes) — cross-trigger continuity, no re-emits
+      stream.addData(Seq(Ev(5, ts(485), 9, "view")))
+      q.processAllAvailable()
+      val rows2 = s.table("soak_gapfill")
+        .select(col("hour_start").cast("string"), col("n_events"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      assert(rows2.length == 7 &&
+        rows2.map(_._1).distinct.length == 7, s"duplicate spine rows: ${rows2.toSeq}")
+      assert(rows2.toMap.get("2024-01-01 05:00:00").contains(0L) &&
+        rows2.toMap.get("2024-01-01 06:00:00").contains(1L), s"${rows2.toSeq}")
+    } finally q.stop()
+  }
+
+  test("file-source gapfill twin matches batch on watermark-closed spine hours") {
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val q = EventStreams.gapfill(EventStreams.readEvents(spark, dir)).writeStream
+      .format("memory").queryName("file_gapfill").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val maxMs = graft.Tables.events(spark, dir)
+        .agg(org.apache.spark.sql.functions.max("ts"))
+        .head().getTimestamp(0).getTime
+      val wmMs = maxMs - 3600 * 1000L
+      val batch = graft.operators.EventOps.qEvGapfill(spark, dir)
+        .collect()
+        .filter(_.getTimestamp(0).getTime + 3600000L <= wmMs)
+        .map(_.toString).sorted.toSeq
+      val streamed = s.table("file_gapfill")
+        .collect().map(_.toString).sorted.toSeq
+      assert(batch.nonEmpty && streamed == batch,
+        s"streaming gapfill diverged from batch (${streamed.length} vs ${batch.length} rows)")
+    } finally q.stop()
+  }
+
+  test("file-source entropy twin: last update per user equals the batch profile") {
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val q = EventStreams.entropy(EventStreams.readEvents(spark, dir)).writeStream
+      .format("memory").queryName("file_entropy").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // update-stream contract: n_events per user only grows, so the
+      // max-n row per user IS the final profile
+      val streamed = s.sql(
+        """SELECT user_id, n_events, n_types, entropy FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) AS rn
+          |  FROM file_entropy) WHERE rn = 1""".stripMargin)
+        .collect().map(_.toString).sorted.toSeq
+      val batch = graft.operators.EventOps.qEvEntropy(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streaming entropy diverged from batch (${streamed.length} vs ${batch.length} rows)")
+    } finally q.stop()
+  }
+
   test("file-source anomaly twin matches batch rows on watermark-closed days") {
     // full-tuple parity (counts, sums, mean/std/z AND flags) with the
     // oracle-checked q_ev_anomaly, restricted to days the bounded
