@@ -148,11 +148,13 @@ class PlanShapeSpec extends SparkSpec {
     // three broadcasts, and the CDF window + final rollup + output
     // sort all reuse the per-source exchange (one more shuffle)
     pin("q_stat_ks_drift", 5, 3)
-    // chi2: contingency-table agg + three margin aggs (each margin
-    // arriving as a broadcast: source, lang, total) + the per-source
-    // rollup + output sort; the O(S×L) cell table never reshuffles
-    // for a join
-    pin("q_stat_chi2", 6, 3)
+    // chi2: contingency-table agg + three margin aggs (lang + total
+    // margins arriving as broadcasts, observed cells broadcast-LEFT-
+    // joined onto the full source×lang grid so empty cells keep their
+    // (0−e)²/e terms) + the per-source rollup reusing the source-
+    // margin exchange + output sort; the grid rewrite saved the old
+    // shape's extra cell-table exchange (6 → 5)
+    pin("q_stat_chi2", 5, 3)
     // SRM: the CACHED split census (its corpus reduction hidden) +
     // the per-source totals agg + the per-source χ² rollup + output
     // sort; the literal 3-row split-design table and the totals side
