@@ -1297,48 +1297,33 @@ object LlmData {
       twoPhaseCut = n > 65536L)
   }
 
-  /** PQ core with the training-sample cap and the shortlist-cut
-    * strategy exposed so ScaleOpsSpec can FORCE the scale paths on
-    * the fixture (at harness scale N < 2048 and < the cut gate, so
-    * neither production gate binds otherwise).
+  /** Shared PQ codebook trainer: init from the K smallest-hash rows
+    * of the (already hash-capped) training sample — identical rows to
+    * a K-cap of the full corpus, since both cuts use the same
+    * (xxhash64, vec_id) order — then `iters` Lloyd rounds assigning
+    * through the compiled PqCodes kernel and refitting subspace
+    * centroids from exact decimal means (deterministic under any
+    * partitioning). Bounded driver state: the O(M·K·subDim) codebook.
+    * Used by the flat/OPQ path (raw or rotated vectors) and the
+    * IVFADC path (coarse residuals).
     */
-  private[graft] def pqAnn(emb0: DataFrame, trainCap: Int,
-      twoPhaseCut: Boolean = false): DataFrame = {
-    val M = 8; val K = 16; val iters = 3; val topK = 10
-    val subDim = EmbDim / M
+  private[graft] def trainPqCodebook(train: DataFrame, M: Int, K: Int,
+      iters: Int, subDim: Int): Array[Array[Array[Double]]] = {
     def sub(vc: Column, m: Int): Column = slice(vc, m * subDim + 1, subDim)
-    def dist2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    val emb = emb0
-      .cache() // read K+1 times: init sample, iters× assignment, final codes
-    // Codebooks train on a hash-sample (trainCap smallest-hash
-    // vectors) — the standard PQ practice and the 100 TB answer: the
-    // codebook is a tiny model, its fit never needs the full corpus,
-    // and only the ONE final assignment pass does O(N·K·d) work.
-    val TrainCap = trainCap
-    val train = emb.withColumn("h", xxhash64(col("vec_id")))
-      .orderBy("h", "vec_id").limit(TrainCap)
-      .select("vec_id", "v")
-      .cache() // re-read once per Lloyd iteration
-    // init: subvectors of the K smallest-hash vectors (deterministic
-    // sample, same idiom as the IVF centroid picks)
-    val initRows = emb.withColumn("h", xxhash64(col("vec_id")))
+    val initRows = train.withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h", "vec_id").limit(K)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
     require(initRows.length == K,
-      s"q_emb_pq_ann: corpus has fewer than K=$K vectors")
+      s"PQ codebook training: fewer than K=$K vectors")
     val codebook: Array[Array[Array[Double]]] =
       Array.tabulate(M, K)((m, k) => initRows(k).slice(m * subDim, (m + 1) * subDim))
     // one Lloyd iteration: assign codes with the compiled PqCodes
     // kernel (one argmin loop per row — the M·K interpreted
     // zip_with/aggregate lambda evals this replaces dominated the
     // query at 3.6+ s), re-fit centroids from exact decimal sums
-    def codesOf(df: DataFrame, vCol: String): DataFrame =
-      df.withColumn("codes",
-        graft.functions.VectorExprs.pqCodes(col(vCol), codebook))
     for (_ <- 1 to iters) {
-      val assigned = codesOf(train, "v")
+      val assigned = train.withColumn("codes",
+        graft.functions.VectorExprs.pqCodes(col("v"), codebook))
       val subRows = assigned.select(explode(array((0 until M).map(m =>
         struct(lit(m).as("m"),
           element_at(col("codes"), m + 1).as("code"),
@@ -1353,7 +1338,35 @@ object LlmData {
         codebook(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
       }
     }
-    val codes = codesOf(emb, "v").select(col("vec_id"), col("codes"))
+    codebook
+  }
+
+  /** PQ core with the training-sample cap and the shortlist-cut
+    * strategy exposed so ScaleOpsSpec can FORCE the scale paths on
+    * the fixture (at harness scale N < 2048 and < the cut gate, so
+    * neither production gate binds otherwise).
+    */
+  private[graft] def pqAnn(emb0: DataFrame, trainCap: Int,
+      twoPhaseCut: Boolean = false): DataFrame = {
+    val M = 8; val K = 16; val iters = 3; val topK = 10
+    val subDim = EmbDim / M
+    def dist2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val emb = emb0
+      .cache() // read K+1 times: init sample, iters× assignment, final codes
+    // Codebooks train on a hash-sample (trainCap smallest-hash
+    // vectors) — the standard PQ practice and the 100 TB answer: the
+    // codebook is a tiny model, its fit never needs the full corpus,
+    // and only the ONE final assignment pass does O(N·K·d) work.
+    val train = emb.withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h", "vec_id").limit(trainCap)
+      .select("vec_id", "v")
+      .cache() // re-read once per Lloyd iteration
+    val codebook = trainPqCodebook(train, M, K, iters, subDim)
+    val codes = emb.withColumn("codes",
+        graft.functions.VectorExprs.pqCodes(col("v"), codebook))
+      .select(col("vec_id"), col("codes"))
     // ADC: per-probe M×K lookup table of exact subspace distances,
     // candidates scored by element_at on their codes — raw vectors
     // are never joined
@@ -1440,6 +1453,124 @@ object LlmData {
       .repartition(s.sparkContext.defaultParallelism, col("vec_id")),
       trainCap = 2048,
       twoPhaseCut = n > 65536L)
+  }
+
+  /** IVFADC (`q_emb_ivfpq_ann`) — the full Jégou, Douze & Schmid
+    * system (TPAMI 2011 §V): a coarse inverted-file quantizer prunes
+    * the SEARCH to nProbe cells, and product quantization compresses
+    * the RESIDUAL v − c(v) (not the raw vector — the coarse centroid
+    * removes the mean, leaving near-isotropic residuals the shared
+    * codebook fits well; the paper's reason one codebook serves all
+    * cells). This is the memory-side AND scan-side member of the ANN
+    * family at once: flat PQ (`q_emb_pq_ann`) still ADC-scores every
+    * code in the corpus per probe; IVFADC scores only the probed
+    * cells' inverted lists — candidates arrive through a join KEYED
+    * on the cell id, so the scored fraction is nProbe/k1 at any
+    * corpus size, and at production k1 = √N that is a vanishing
+    * fraction (the qSimIvfAnn sizing note).
+    *
+    * Pipeline: k1 hash-picked coarse centroids (broadcast, O(k1)) →
+    * per-vector nearest-cell assign + residual (one pass) → shared
+    * residual codebook via trainPqCodebook (hash-sampled, bounded
+    * driver state) → compiled PqCodes over residuals → per-(probe,
+    * probed-cell) ADC LUT built from the PROBE'S residual against
+    * that cell (the LUT table is O(probes·nProbe·M·K), broadcast) →
+    * keyed candidate scoring → top-50 shortlist → exact re-rank of
+    * O(probes·50) raw vectors (IVFADC+R, §VI). All picks are
+    * (xxhash64, vec_id)-ordered — bit-deterministic.
+    *
+    * Spec-graded (oracle=— like the ANN family): determinism + recall
+    * ≥ 0.5 vs exact L2 with the fixture's over-probed nProbe (half
+    * the cells, the qSimIvfAnn fixture rule; production probes a
+    * vanishing fraction).
+    */
+  def qEmbIvfpqAnn(s: SparkSession, dir: String): DataFrame = {
+    val n = parquetRowCount(s, s"$dir/embeddings.parquet")
+    ivfpqAnn(embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id")),
+      k1 = 16, nProbe = 8, trainCap = 2048,
+      twoPhaseCut = n > 65536L)
+  }
+
+  private[graft] def ivfpqAnn(emb0: DataFrame, k1: Int, nProbe: Int,
+      trainCap: Int, twoPhaseCut: Boolean = false): DataFrame = {
+    // shortR = 100 (vs flat PQ's 50): coarse residuals on weakly
+    // clustered data carry more quantization noise than raw vectors
+    // (residual norm grows when the nearest centroid is far), so the
+    // re-rank shortlist is the paper's R tunable — O(probes·R) rows
+    // either way
+    val M = 8; val K = 16; val iters = 3; val topK = 10; val shortR = 100
+    val subDim = EmbDim / M
+    def dist2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val emb = emb0.cache() // assignment, probes, re-rank fetch
+    val cent = emb.withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h", "vec_id").limit(k1)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+    val wA = Window.partitionBy("vec_id").orderBy(col("cdist"), col("cell"))
+    val resid = emb.crossJoin(broadcast(cent))
+      .withColumn("cdist", dist2(col("v"), col("cv")))
+      .withColumn("r", row_number().over(wA)).filter(col("r") === 1)
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v"), col("cv"), (x, c) => x - c).as("v"))
+      .cache() // codebook sample + the one final code-assignment pass
+    val train = resid.withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h", "vec_id").limit(trainCap)
+      .select("vec_id", "v")
+      .cache() // re-read once per Lloyd iteration
+    val codebook = trainPqCodebook(train, M, K, iters, subDim)
+    val codes = resid.withColumn("codes",
+        graft.functions.VectorExprs.pqCodes(col("v"), codebook))
+      .select(col("vec_id"), col("cell"), col("codes"))
+    val cbAll = typedlit(codebook.map(_.map(_.toSeq).toSeq).toSeq)
+    val wP = Window.partitionBy("probe_id").orderBy(col("cdist"), col("cell"))
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      .cache() // cell probing + re-rank
+    val probeCells = probes.crossJoin(broadcast(cent))
+      .withColumn("cdist", dist2(col("pv"), col("cv")))
+      .withColumn("r", row_number().over(wP)).filter(col("r") <= nProbe)
+      // ADC LUT from the probe's residual AGAINST THE PROBED CELL —
+      // the residual trick is per-cell, which is why the LUT can't be
+      // shared across cells like flat PQ's
+      .withColumn("prv", zip_with(col("pv"), col("cv"), (x, c) => x - c))
+      .withColumn("lut", transform(cbAll, (cbm, m) =>
+        transform(cbm, c => dist2(slice(col("prv"),
+          m * subDim + 1, lit(subDim)), c))))
+      .select(col("probe_id"), col("cell"), col("lut"))
+    val adist = (0 until M).map(m =>
+      element_at(element_at(col("lut"), m + 1),
+        element_at(col("codes"), m + 1) + 1))
+      .reduce(_ + _)
+    // the scan-avoidance core: the cell-KEYED join scores only the
+    // probed inverted lists, never the whole codes table
+    val scored = codes.join(broadcast(probeCells), "cell")
+      .filter(col("probe_id") =!= col("vec_id"))
+      .withColumn("adist", adist)
+    val pre =
+      if (!twoPhaseCut) scored
+      else {
+        val wB = Window.partitionBy("probe_id", "b")
+          .orderBy(col("adist"), col("vec_id"))
+        scored.withColumn("b", pmod(xxhash64(col("vec_id")), lit(64)))
+          .withColumn("rb", row_number().over(wB)).filter(col("rb") <= shortR)
+      }
+    val wAdc = Window.partitionBy("probe_id").orderBy(col("adist"), col("vec_id"))
+    val shortlist = pre
+      .withColumn("arnk", row_number().over(wAdc))
+      .filter(col("arnk") <= shortR)
+      .select("probe_id", "vec_id")
+    val wOut = Window.partitionBy("probe_id").orderBy(col("dist"), col("vec_id"))
+    shortlist
+      .join(emb, "vec_id")
+      .join(broadcast(probes), "probe_id")
+      .withColumn("dist", round(dist2(col("pv"), col("v")), 6))
+      .withColumn("rnk", row_number().over(wOut))
+      .filter(col("rnk") <= topK)
+      .select("probe_id", "vec_id", "dist", "rnk")
+      .orderBy("probe_id", "rnk")
   }
 
   /** Eigenvalue allocation (OPQ parametric solution): assign the d
@@ -4269,6 +4400,7 @@ object LlmData {
     "q_stat_srm" -> (qStatSrm _),
     "q_emb_pq_ann" -> (qEmbPqAnn _),
     "q_emb_opq_ann" -> (qEmbOpqAnn _),
+    "q_emb_ivfpq_ann" -> (qEmbIvfpqAnn _),
     "q_emb_whiten_cov" -> (qEmbWhitenCov _),
     "q_emb_whiten" -> (qEmbWhiten _)
   )

@@ -279,6 +279,78 @@ class LlmDataSpec extends SparkSpec {
     assert(math.abs(dot) < 1e-9, s"eigenvectors not orthogonal: $dot")
   }
 
+  test("IVFADC: deterministic; recall >= 0.6 vs the probed-cells exact oracle") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val exact = vecs.filter(_._1 < 5).flatMap { case (pid, pv) =>
+      vecs.filter(_._1 != pid)
+        .map { case (cid, cv) =>
+          (cid, cv.zip(pv).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy { case (cid, d) => (d, cid) }.take(10)
+        .map { case (cid, _) => (pid, cid) }
+    }.toSet
+    val a = LlmData.qEmbIvfpqAnn(spark, dir).collect()
+    val b = LlmData.qEmbIvfpqAnn(spark, dir).collect()
+    assert(a.nonEmpty && a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "IVFADC result drifted between runs")
+    val got = a.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // IVFADC's contract splits in two (the paper's recall@nprobe
+    // curves): (1) the coarse quantizer declares which cells are
+    // probed — on an ISOTROPIC random fixture cell membership is
+    // nearly independent of neighborhood, so absolute recall at
+    // nProbe = 8/16 is structurally ≈ nProbe/k1 · ADC-recall (real
+    // embeddings cluster, which is what makes IVF probing work);
+    // (2) WITHIN the probed cells the residual-PQ + re-rank must
+    // recover the restricted exact top-10. Grade each honestly:
+    // recompute the operator's own deterministic coarse assignment
+    // (k1 smallest-xxhash64 picks, L2 argmin) on the driver, build
+    // the probed-cells-restricted exact oracle, and require ≥ 0.6
+    // against it, plus a structural containment check and a loose
+    // absolute floor.
+    val h = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "xxhash64(vec_id) AS h")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val centIds = vecs.map(_._1).sortBy(id => (h(id), id)).take(16)
+    val cents = centIds.map(id => id -> vecs.find(_._1 == id).get._2).toMap
+    def l2(x: Array[Double], y: Array[Double]): Double =
+      x.zip(y).map { case (p, q) => (p - q) * (p - q) }.sum
+    def cellOf(v: Array[Double]): Long =
+      centIds.map(c => (l2(v, cents(c)), c)).min._2
+    val byId = vecs.toMap
+    val restricted = vecs.filter(_._1 < 5).flatMap { case (pid, pv) =>
+      val probed = centIds.map(c => (l2(pv, cents(c)), c)).sorted.take(8)
+        .map(_._2).toSet
+      vecs.filter(t => t._1 != pid && probed(cellOf(t._2)))
+        .map { case (cid, cv) => (cid, l2(pv, cv)) }
+        .sortBy { case (cid, d) => (d, cid) }.take(10)
+        .map { case (cid, _) => (pid, cid) }
+    }.toSet
+    val rRestricted = restricted.count(got.contains).toDouble / restricted.size
+    val rAbs = exact.count(got.contains).toDouble / exact.size
+    info(f"IVFADC recall: $rRestricted%.3f vs probed-cells oracle, " +
+      f"$rAbs%.3f absolute (nProbe 8 of 16 cells, isotropic fixture)")
+    assert(rRestricted >= 0.6,
+      f"IVFADC recall $rRestricted%.3f vs the probed-cells exact oracle")
+    assert(rAbs >= 0.15, f"absolute recall $rAbs%.3f collapsed")
+    // structural pruning check: every returned candidate lives in one
+    // of its probe's probed cells
+    a.foreach { r =>
+      val probed = centIds.map(c => (l2(byId(r.getLong(0)), cents(c)), c))
+        .sorted.take(8).map(_._2).toSet
+      assert(probed(cellOf(byId(r.getLong(1)))),
+        s"candidate ${r.getLong(1)} outside probe ${r.getLong(0)}'s probed cells")
+    }
+    a.foreach { r =>
+      val pv = vecs.find(_._1 == r.getLong(0)).get._2
+      val cv = vecs.find(_._1 == r.getLong(1)).get._2
+      val d = pv.zip(cv).map { case (x, y) => (x - y) * (x - y) }.sum
+      assert(math.abs(r.getDouble(2) - BigDecimal(d)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) <= 1e-6,
+        s"re-rank distance is not the true L2 for ${r.getLong(0)}->${r.getLong(1)}")
+    }
+  }
+
   test("OPQ ANN: deterministic, recall >= 0.5, beats plain PQ on a correlated corpus") {
     // registry entry on the real fixture: determinism + the PQ row's
     // recall bound (rotation preserves L2, so exact top-10 is the
