@@ -195,4 +195,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(b <= 2, s"pair join of the 20-row sketch table should broadcast:\n$plan")
     assert(s <= 7, s"unexpected extra shuffles in the sketch pipeline:\n$plan")
   }
+
+  test("round-9 companion shapes: covariance cells + avro round-trip") {
+    // whiten-cov: the cached flatV's vec_id self-join (2) + the
+    // O(d²) pair-cell agg (1) + output sort (1); both dim margins
+    // arrive as broadcasts onto the cell table (plus AQE's reused
+    // subtree view) — the cell table itself NEVER reshuffles for a
+    // join
+    pin("q_emb_whiten_cov", 4, 3)
+    // avro read-back: source agg partial+final + countDistinct(lang)
+    // expand + output sort; no joins — the round-trip is scan-shaped
+    pin("q_src_avro", 3, 0)
+  }
 }
