@@ -43,7 +43,8 @@ object Bench {
       // layout queries below are honest reads of already-laid-out
       // tables — the warehouse accounting the layouts model.
       "artifact_bucketed" -> (() => graft.operators.LayoutOps.bucketedTables(spark, sfDir)._1),
-      "artifact_partitioned" -> (() => graft.operators.LayoutOps.partitionedCustomer(spark, sfDir))
+      "artifact_partitioned" -> (() => graft.operators.LayoutOps.partitionedCustomer(spark, sfDir)),
+      "artifact_zorder" -> (() => graft.operators.LayoutOps.zorderedLineitem(spark, sfDir))
     ).map { case (name, build) =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()

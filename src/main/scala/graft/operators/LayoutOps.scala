@@ -225,6 +225,110 @@ object LayoutOps {
       .orderBy("n_name")
   }
 
+  // ===== z-ordered layout: lineitem clustered on (l_shipdate, l_extendedprice) =====
+
+  /** Morton/Z-value of two 16-bit bucket columns: bit i of `a` lands
+    * at position 2i and bit i of `b` at 2i + 1, so CONTIGUOUS ranges
+    * of the 1-D sort key are 2-D boxes — sorting by it keeps row-group
+    * min/max statistics tight on BOTH columns at once. This is the
+    * Delta/Iceberg OPTIMIZE ZORDER mechanism: a single-column sort
+    * prunes one dimension perfectly and the other not at all; the
+    * z-curve trades a little of each for pruning on every clustered
+    * dimension. All plain bitwise ops — whole-stage codegen keeps the
+    * key computation in the write pipeline.
+    */
+  private def spread16(c: Column): Column = {
+    val m0 = c.bitwiseAND(lit(0xFFFFL))
+    val m1 = m0.bitwiseOR(shiftleft(m0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val m2 = m1.bitwiseOR(shiftleft(m1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val m3 = m2.bitwiseOR(shiftleft(m2, 2)).bitwiseAND(lit(0x33333333L))
+    m3.bitwiseOR(shiftleft(m3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+  private[graft] def zValue(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** File count of the clustered rewrite. 16 one-row-group files at
+    * fixture scale; at 100 TB the same code runs with file count =
+    * table size / target file size — the z-curve's pruning property
+    * is count-independent (more files = finer boxes).
+    */
+  private val ZFiles = 16
+
+  /** Lineitem rewritten in z-order on (l_shipdate, l_extendedprice):
+    * each dimension linearly bucketed to 16 bits against its corpus
+    * min/max (one tiny broadcast agg), rows range-partitioned and
+    * sorted by the interleaved z-value, written as ZFiles files whose
+    * row groups are 2-D boxes. A predicate bounding BOTH columns then
+    * skips every row group whose box misses it — at 100 TB, the
+    * difference between scanning a date-price slice and scanning the
+    * fact table. The read-back passes the ORIGINAL schema (the
+    * partitionedCustomer rule) and the z helper columns never reach
+    * disk.
+    */
+  private[graft] def zorderedLineitem(s: SparkSession, dir: String): DataFrame = {
+    // The clustered copy stores l_shipdate as an INSTANT timestamp
+    // (LTZ) — wall-clock identical to the fixture's NTZ under the
+    // pinned UTC session (the EventStreams.readEvents rule), and
+    // necessary for the layout to WORK: parquet row-group statistics
+    // filtering is disabled for TIMESTAMP_NTZ columns (measured: an
+    // NTZ z-layout pruned only the price dimension), so an NTZ copy
+    // would silently lose half the z-curve's point. The query output
+    // is an aggregate, so the oracle type contract is untouched.
+    val schema = org.apache.spark.sql.types.StructType(
+      lineitem(s, dir).schema.fields.map(f =>
+        if (f.name == "l_shipdate")
+          f.copy(dataType = org.apache.spark.sql.types.TimestampType)
+        else f))
+    val l = layout(s, dir, "zorder", "lineitem") { tmp =>
+      val li = lineitem(s, dir)
+        .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+      val shipUs = unix_micros(col("l_shipdate"))
+      val mm = li.agg(
+        min(shipUs).as("dlo"), max(shipUs).as("dhi"),
+        min(col("l_extendedprice")).as("plo"),
+        max(col("l_extendedprice")).as("phi"))
+      def bucket(c: Column, lo: Column, hi: Column): Column =
+        ((c - lo).cast("double") / greatest((hi - lo).cast("double"), lit(1.0)) *
+          lit(65535.0)).cast("long")
+      // Spark's default parquet timestamp encoding is INT96, which
+      // carries NO row-group statistics (measured: stats=None, zero
+      // date pruning) — the clustered copy must write TIMESTAMP_MICROS
+      // or the date half of the z-curve is dead weight
+      val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+      val prevTsType = s.conf.get(tsTypeKey)
+      s.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+      try {
+        li.crossJoin(broadcast(mm))
+          .withColumn("z", zValue(
+            bucket(shipUs, col("dlo"), col("dhi")),
+            bucket(col("l_extendedprice"), col("plo"), col("phi"))))
+          .repartitionByRange(ZFiles, col("z"))
+          .sortWithinPartitions("z")
+          .select(schema.fieldNames.map(col).toSeq: _*)
+          .write.mode("overwrite").parquet(s"$tmp/lineitem")
+      } finally s.conf.set(tsTypeKey, prevTsType)
+      Layout(s, Seq.empty, Seq(tmp))
+    }
+    s.read.schema(schema).parquet(s"${l.paths.head}/lineitem")
+  }
+
+  /** 2-D box scan over the z-ordered lineitem: a six-month shipdate
+    * window × a price band, aggregated. The oracle is the same box
+    * over the RAW table — layout-independence proven by hash, while
+    * LayoutOpsSpec pins the runtime pruning evidence (the z-ordered
+    * scan's numOutputRows is a fraction of the table; the unclustered
+    * copy reads everything).
+    */
+  def qScanZorder(s: SparkSession, dir: String): DataFrame =
+    zorderedLineitem(s, dir)
+      .filter(col("l_shipdate") >= graft.Tables.dateLit("1996-01-01") &&
+        col("l_shipdate") < graft.Tables.dateLit("1996-07-01") &&
+        col("l_extendedprice").between(20000.0, 30000.0))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        outD(sum(d2(col("l_extendedprice")))).as("sum_price"),
+        outD(sum(d2(col("l_quantity")))).as("sum_qty"))
+
   // ===== registry =====
 
   val oracle: Map[String, String] = Map(
@@ -250,10 +354,19 @@ object LayoutOps {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name
-        |ORDER BY n_name""".stripMargin)
+        |ORDER BY n_name""".stripMargin,
+    "q_scan_zorder" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-07-01'
+        |  AND l_extendedprice BETWEEN 20000.0 AND 30000.0""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_bucketed" -> (qJoinBucketed _),
     "q_scan_partition_prune" -> (qScanPartitionPrune _),
-    "q_join_dpp" -> (qJoinDpp _))
+    "q_join_dpp" -> (qJoinDpp _),
+    "q_scan_zorder" -> (qScanZorder _))
 }

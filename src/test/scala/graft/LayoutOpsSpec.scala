@@ -66,6 +66,40 @@ class LayoutOpsSpec extends SparkSpec {
       s"static prune read ${partitionsRead(df)} partitions, want 2")
   }
 
+  test("z-order layout: the 2-D box scan skips most row groups; results are layout-free") {
+    val df = SparkEntry.queries("q_scan_zorder")(spark, dir)
+    val rows = df.collect()
+    val scanned = flat(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+      .map(_.metrics("numOutputRows").value).max
+    val total = graft.Tables.lineitem(spark, dir).count()
+    // unclustered comparator: the same box over the raw table
+    val raw = graft.Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= graft.Tables.dateLit("1996-01-01") &&
+        col("l_shipdate") < graft.Tables.dateLit("1996-07-01") &&
+        col("l_extendedprice").between(20000.0, 30000.0))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    val rawRows = raw.collect()
+    val rawScanned = flat(raw.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+      .map(_.metrics("numOutputRows").value).max
+    info(s"z-ordered box scan emitted $scanned of $total rows " +
+      s"(unclustered comparator: $rawScanned)")
+    // the layout never changes results (also oracle-proven at sf0.01)
+    assert(rows.map(_.toString).toSeq == rawRows.map(_.toString).toSeq,
+      s"z-ordered result diverged from the raw-table box")
+    // and the clustering actually prunes: the pushed 2-D box predicate
+    // must skip most of the z-ordered row groups, and never read more
+    // than the unclustered copy
+    assert(scanned <= rawScanned, s"z-order read MORE than unclustered: $scanned > $rawScanned")
+    assert(scanned < total / 3,
+      s"z-ordered scan emitted $scanned of $total rows — row groups not pruned " +
+        "on both dimensions (measured 1171/6000 when healthy; ~3036 means the " +
+        "date dimension stopped pruning — check the TIMESTAMP_MICROS write)")
+  }
+
   test("dynamic partition pruning: dim join prunes the fact scan to 5 of 25 nations") {
     val df = SparkEntry.queries("q_join_dpp")(spark, dir)
     val n = partitionsRead(df)
