@@ -309,6 +309,96 @@ object LlmData {
     dedupPairs(s, dir).orderBy("a_id", "b_id")
   }
 
+  /** Incremental near-dup screen (`q_dedup_incremental`) — the
+    * shard-arrival workflow: a NEW batch (the top decile of doc_ids,
+    * standing in for "today's crawl shard") is deduped against the
+    * EXISTING corpus and itself WITHOUT recomputing the corpus
+    * self-pair graph. The pairing join's b-side carries only the
+    * incoming docs, so pair work is O(new × candidates), never
+    * O(corpus²) — at 100 TB the difference between a nightly
+    * incremental job and a full re-index. Because the shard is the
+    * HIGH id range, "pair involves a new doc" ≡ "the larger id is
+    * new", so the output is exactly the full pair graph filtered to
+    * b_id > T — which is what the oracle computes, proving the
+    * incremental path loses nothing.
+    */
+  def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val nDocs = parquetRowCount(s, s"$dir/documents.parquet")
+    val sh = shingled(s, dir)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
+    val mx = documents(s, dir).agg(max("doc_id")).head().getLong(0)
+    incrementalPairs(sh, mx - mx / 10, tau = 0.3, s, nDocs)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Incremental pair core with the gate exposed (the textPairs
+    * pattern): at/below the gate an exact shared-shingle join whose
+    * exploded b-stream holds only new docs; above it the banded
+    * minhash path where per-bucket pair GENERATION is already
+    * restricted to new-involving pairs (the bucket transform filters
+    * b > T before any struct is built — old×old pairs never
+    * materialize even transiently). Corpus signatures are O(corpus)
+    * linear work — in production the band table is a maintained
+    * artifact; recomputing it is the honest stand-in and is not the
+    * quadratic term this operator avoids.
+    */
+  private[graft] def incrementalPairs(shIn: DataFrame, t: Long, tau: Double,
+      s: SparkSession, nDocs: Long,
+      exactGate: Long = TextExactGate): DataFrame = {
+    val sh = shIn.filter(col("sz") > 0).cache()
+    if (nDocs <= exactGate) {
+      val ex = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
+      val exNew = ex.filter(col("doc_id") > t)
+        .select(col("doc_id").as("b_id"), col("sz").as("b_sz"), col("sh"))
+      ex.join(exNew, Seq("sh"))
+        .filter(col("doc_id") < col("b_id"))
+        .groupBy(col("doc_id").as("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("inter"),
+          first(col("sz")).as("a_sz"), first(col("b_sz")).as("bsz"))
+        .withColumn("jac",
+          round(col("inter") / (col("a_sz") + col("bsz") - col("inter")), 6))
+        .filter(col("jac") >= tau)
+        .select("a_id", "b_id", "jac")
+    } else {
+      val bands = mhBandsFor(tau, MhBandRows, MhRecallTarget)
+      require(bands <= MhMaxBands,
+        s"incremental near-dup at tau=$tau: band count $bands exceeds $MhMaxBands — " +
+          "raise tau or run the exact pass explicitly (the textPairsBanded contract)")
+      val rows = MhBandRows
+      val nPerms = (bands * rows).toInt
+      val sig = sh.select(col("doc_id"),
+        graft.functions.VectorExprs.minhashSignature(col("shingles"), nPerms).as("sig"))
+      val banded = sig.select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+      val cand = banded.groupBy("band", "band_key")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        // ids sort ascending and the shard is the high range, so
+        // filtering the b-side to > T inside the pair transform keeps
+        // old×old pairs from ever existing
+        .select(explode(expr(
+          s"flatten(transform(ids, (a, i) -> transform(" +
+            s"filter(slice(ids, i + 2, size(ids)), x -> x > ${t}L), " +
+            "b -> struct(a AS a_id, b AS b_id))))")).as("p"))
+        .select(col("p.a_id"), col("p.b_id")).distinct()
+      val szT = sh.select(col("doc_id"), col("sz"))
+      cand
+        .join(szT.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), "a_id")
+        .join(szT.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), "b_id")
+        .filter(least(col("a_sz"), col("b_sz")) >=
+          (lit(tau) - lit(1e-6)) * greatest(col("a_sz"), col("b_sz")))
+        .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), "b_id")
+        .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+        .withColumn("jac",
+          round(col("inter") / (col("a_sz") + col("b_sz") - col("inter")), 6))
+        .filter(col("jac") >= tau)
+        .select("a_id", "b_id", "jac")
+    }
+  }
+
   /** Asymmetric CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) ≥ 0.8
     * over word-bigram shingle sets — the "one document contains the
     * other" case (quote inclusion, page-within-crawl, boilerplate
@@ -3707,6 +3797,15 @@ object LlmData {
     "q_dedup_jaccard" ->
       s"""WITH $jaccardPairCtes
         |SELECT a_id, b_id, jac FROM pairs ORDER BY a_id, b_id""".stripMargin,
+    // the incremental screen's contract: exactly the full pair graph's
+    // new-involving rows (the shard is the high id range, so that is
+    // b_id > T)
+    "q_dedup_incremental" ->
+      s"""WITH $jaccardPairCtes,
+        |mx AS (SELECT MAX(doc_id) AS m FROM documents)
+        |SELECT a_id, b_id, jac FROM pairs, mx
+        |WHERE b_id > m - CAST(FLOOR(m / 10.0) AS BIGINT)
+        |ORDER BY a_id, b_id""".stripMargin,
     // Exact containment over the same shingle CTEs as the Jaccard
     // family (DuckDB needs no candidate filter — the prefix filter is
     // the Spark side's scale optimization, provably lossless, so both
@@ -4348,6 +4447,7 @@ object LlmData {
     "q_text_tokcount" -> (qTextTokcount _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_contain" -> (qDedupContain _),
     "q_dedup_cluster" -> (qDedupCluster _),
     "q_dedup_apply" -> (qDedupApply _),

@@ -264,6 +264,35 @@ class ScaleOpsSpec extends SparkSpec {
       "harness-scale corpora must stay on the exact (oracle) path")
   }
 
+  test("incremental dedup: banded and exact paths equal the filtered full pair graph") {
+    import graft.operators.LlmData
+    val s = spark
+    // the 50k banded-path corpus (groups of planted near-dups at
+    // j ≈ 0.88 in ids 0..1999): shard boundary T = 1000 puts half the
+    // planted pairs in the "new" range — pairs (2i, 2i+1) with
+    // 2i+1 > 1000, i.e. i >= 500 — plus nothing old×old may surface
+    val nDocs = 50000
+    val t = 1000L
+    val sh = s.range(nDocs).select(col("id").as("doc_id"),
+      expr("""CASE WHEN id < 2000
+              |  THEN concat(
+              |    transform(sequence(0, 29), j -> concat('p', CAST(id DIV 2 AS STRING), '_', CAST(j AS STRING))),
+              |    transform(sequence(0, 1),  j -> concat('u', CAST(id AS STRING), '_', CAST(j AS STRING))))
+              |  ELSE transform(sequence(0, 31), j -> concat('u', CAST(id AS STRING), '_', CAST(j AS STRING)))
+              |END""".stripMargin).as("shingles"))
+      .withColumn("sz", size(col("shingles")))
+    val full = LlmData.jaccardPairs(sh, 0.3, s)
+      .filter(col("b_id") > t)
+      .collect().map(_.toString).sorted.toSeq
+    assert(full.length == 500, s"expected 500 new-involving planted pairs, got ${full.length}")
+    val exact = LlmData.incrementalPairs(sh, t, 0.3, s, nDocs, exactGate = Long.MaxValue)
+      .collect().map(_.toString).sorted.toSeq
+    assert(exact == full, "exact incremental path diverged from the filtered full graph")
+    val banded = LlmData.incrementalPairs(sh, t, 0.3, s, nDocs, exactGate = 0L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(banded == full, "banded incremental path diverged from the filtered full graph")
+  }
+
   test("banded recall AT tau: measured recall on worst-case pairs meets the derived 0.95 target") {
     import graft.operators.LlmData
     val s = spark
