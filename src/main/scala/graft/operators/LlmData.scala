@@ -2097,6 +2097,100 @@ object LlmData {
       .orderBy("source")
   }
 
+  /** Distributed BPE merge learning (`q_text_bpe`) — Sennrich, Haddow
+    * & Birch, "Neural Machine Translation of Rare Words with Subword
+    * Units" (ACL 2016, Algorithm 1): learn the top-B byte-pair merges
+    * from the corpus. THE scale property is the paper's own: training
+    * runs on the word-FREQUENCY table, so after ONE corpus pass
+    * (word → count, O(distinct words) rows), every merge round is a
+    * pair-count aggregation + a rewrite over the vocabulary table —
+    * corpus size never appears again. At 100 TB that's the difference
+    * between B corpus scans and one.
+    *
+    * Each round: adjacent symbol pairs weighted by word count →
+    * exact long-sum argmax (ties break lexicographically on (left,
+    * right) — fully deterministic) → all words rewritten by the
+    * standard left-to-right non-overlapping merge (a higher-order
+    * aggregate state machine: carry + emit, so "aaa" under merge
+    * (a,a) becomes [aa, a], the reference behavior). Rounds chain
+    * cache-to-cache with the parent unpersisted, so lineage stays
+    * one rewrite deep.
+    *
+    * No end-of-word marker (merges act within words; the marker is a
+    * one-line concat if a downstream tokenizer wants boundary-aware
+    * merges). Spec-graded (oracle=— iterative argmax loop is not
+    * SQL-expressible): LlmDataSpec pins the merge table EQUAL to a
+    * driver-side reference BPE over the same word counts, plus
+    * determinism.
+    */
+  def qTextBpe(s: SparkSession, dir: String): DataFrame =
+    bpeMerges(docsNorm(s, dir), rounds = 10)
+
+  /** Left-to-right non-overlapping application of one merge (a, b) to
+    * a symbol array — the carry/emit state machine as a higher-order
+    * aggregate (codegen-friendly, no UDF).
+    */
+  private def bpeApply(syms: Column, a: String, b: String): Column = {
+    val init = struct(
+      typedlit(Seq.empty[String]).as("out"), lit(null).cast("string").as("c"))
+    val step = (acc: Column, x: Column) =>
+      when(acc.getField("c").isNull,
+        struct(acc.getField("out").as("out"), x.as("c")))
+      .when(acc.getField("c") === lit(a) && x === lit(b),
+        struct(array_append(acc.getField("out"), lit(a + b)).as("out"),
+          lit(null).cast("string").as("c")))
+      .otherwise(
+        struct(array_append(acc.getField("out"), acc.getField("c")).as("out"),
+          x.as("c")))
+    val fin = (acc: Column) =>
+      when(acc.getField("c").isNull, acc.getField("out"))
+        .otherwise(array_append(acc.getField("out"), acc.getField("c")))
+    aggregate(syms, init, step, fin)
+  }
+
+  private[graft] def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // the ONE corpus pass: word frequencies, then chars
+    var words = docs
+      .select(explode(expr(wordsExpr)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(expr("filter(split(w, ''), x -> x != '')").as("syms"), col("cnt"))
+      .filter(size(col("syms")) > 1) // single-symbol words carry no pairs
+      .cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rk = 1
+    var done = false
+    while (rk <= rounds && !done) {
+      val top = words.select(col("cnt"), explode(
+          zip_with(slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (x, y) => struct(x.as("l"), y.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rk, l, r, n))
+        val next = words
+          .select(bpeApply(col("syms"), l, r).as("syms"), col("cnt"))
+          .filter(size(col("syms")) > 1)
+          .cache()
+        next.count() // materialize before dropping the parent
+        words.unpersist()
+        words = next
+        rk += 1
+      }
+    }
+    words.unpersist()
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+      .withColumn("merged", concat(col("left"), col("right")))
+      .select("rank", "left", "right", "merged", "pair_count")
+      .orderBy("rank")
+  }
+
   /** Overlapping document chunking (the pre-embedding window split
     * every RAG/embedding pipeline runs): 64-word chunks on a 48-word
     * stride (16 words of overlap), so every word lands in a chunk and
@@ -4462,6 +4556,7 @@ object LlmData {
     "q_emb_norm_ops" -> (qEmbNormOps _),
     "q_emb_assign" -> (qEmbAssign _),
     "q_text_tokens" -> (qTextTokens _),
+    "q_text_bpe" -> (qTextBpe _),
     "q_text_tfidf" -> (qTextTfidf _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_langid" -> (qTextLangid _),

@@ -279,6 +279,53 @@ class LlmDataSpec extends SparkSpec {
     assert(math.abs(dot) < 1e-9, s"eigenvectors not orthogonal: $dot")
   }
 
+  test("BPE merge learning: deterministic and equal to a reference implementation") {
+    val a = LlmData.qTextBpe(spark, dir).collect()
+    val b = LlmData.qTextBpe(spark, dir).collect()
+    assert(a.nonEmpty && a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "BPE merge table drifted between runs")
+    assert(a.length == 10, s"expected 10 merge rounds, got ${a.length}")
+    // reference: the classic single-machine algorithm (Sennrich et al.
+    // Algorithm 1) over the same word-frequency table. Initial symbol
+    // split collected FROM Spark so char semantics are identical by
+    // construction; everything after is plain Scala.
+    var words = Tables.documents(spark, dir)
+      .selectExpr("explode(filter(split(lower(trim(text)), ' '), x -> x != '')) AS w")
+      .groupBy("w").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      .selectExpr("filter(split(w, ''), x -> x != '') AS syms", "cnt")
+      .collect().map(r => (r.getSeq[String](0).toList, r.getLong(1)))
+      .filter(_._1.length > 1).toList
+    def applyMerge(syms: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var carry: String = null
+      syms.foreach { x =>
+        if (carry == null) carry = x
+        else if (carry == l && x == r) { out += (l + r); carry = null }
+        else { out += carry; carry = x }
+      }
+      if (carry != null) out += carry
+      out.toList
+    }
+    val ref = (1 to 10).flatMap { rk =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, cnt) =>
+        syms.zip(syms.tail).foreach(p => pc(p) = pc.getOrElse(p, 0L) + cnt)
+      }
+      if (pc.isEmpty) None
+      else {
+        val ((l, r), n) = pc.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+        words = words.map { case (syms, cnt) => (applyMerge(syms, l, r), cnt) }
+          .filter(_._1.length > 1)
+        Some((rk, l, r, l + r, n))
+      }
+    }
+    val got = a.map(r => (r.getInt(0), r.getString(1), r.getString(2),
+      r.getString(3), r.getLong(4))).toSeq
+    assert(got == ref,
+      s"distributed BPE diverged from the reference:\n got $got\n ref $ref")
+  }
+
   test("IVFADC: deterministic; recall >= 0.6 vs the probed-cells exact oracle") {
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
       .selectExpr("vec_id", "cast(embedding as array<double>) as v")
