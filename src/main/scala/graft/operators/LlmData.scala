@@ -2191,6 +2191,39 @@ object LlmData {
       .orderBy("rank")
   }
 
+  /** BPE tokenization with the learned merges (`q_text_bpe_apply`) —
+    * the consumer half of q_text_bpe: per-document subword counts and
+    * the chars-per-subword compression ratio, the number every
+    * tokenizer-budget estimate needs. Scale shape: the merge chain
+    * (10 ordered bpeApply folds) runs ONCE PER DISTINCT WORD on the
+    * vocabulary table, and documents join the resulting
+    * (word → n_subwords) table back by word — the token stream is
+    * never rewritten per occurrence, the word-frequency trick of the
+    * trainer applied to inference. Spec-graded (oracle=— the chain is
+    * the trainer's iterative output): per-doc counts pinned to a
+    * driver-side reference tokenization at fixture scale.
+    */
+  def qTextBpeApply(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMerges(docsNorm(s, dir), rounds = 10)
+      .select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val docWords = docsNorm(s, dir)
+      .select(col("doc_id"), explode(expr(wordsExpr)).as("w"))
+    val vocabToks = docWords.select("w").distinct()
+      .withColumn("syms", expr("filter(split(w, ''), x -> x != '')"))
+      .withColumn("toks",
+        merges.foldLeft(col("syms")) { case (c, (l, r)) => bpeApply(c, l, r) })
+      .select(col("w"), size(col("toks")).as("n_subwords"),
+        length(col("w")).as("n_chars"))
+    docWords.join(vocabToks, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_subwords")).as("n_subwords"),
+        round(sum(col("n_chars")).cast("double") / sum(col("n_subwords")), 6)
+          .as("chars_per_subword"))
+      .orderBy("doc_id")
+  }
+
   /** Overlapping document chunking (the pre-embedding window split
     * every RAG/embedding pipeline runs): 64-word chunks on a 48-word
     * stride (16 words of overlap), so every word lands in a chunk and
@@ -4557,6 +4590,7 @@ object LlmData {
     "q_emb_assign" -> (qEmbAssign _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_bpe" -> (qTextBpe _),
+    "q_text_bpe_apply" -> (qTextBpeApply _),
     "q_text_tfidf" -> (qTextTfidf _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_langid" -> (qTextLangid _),

@@ -326,6 +326,49 @@ class LlmDataSpec extends SparkSpec {
       s"distributed BPE diverged from the reference:\n got $got\n ref $ref")
   }
 
+  test("BPE apply: per-doc subword counts equal a reference tokenization") {
+    val a = LlmData.qTextBpeApply(spark, dir).collect()
+    val b = LlmData.qTextBpeApply(spark, dir).collect()
+    assert(a.nonEmpty && a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "BPE apply drifted between runs")
+    // reference: learned merges + the carry/emit rule, applied per word
+    val merges = LlmData.qTextBpe(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    def applyMerge(syms: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var carry: String = null
+      syms.foreach { x =>
+        if (carry == null) carry = x
+        else if (carry == l && x == r) { out += (l + r); carry = null }
+        else { out += carry; carry = x }
+      }
+      if (carry != null) out += carry
+      out.toList
+    }
+    val docWords = Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        "explode(filter(split(lower(trim(text)), ' '), x -> x != '')) AS w")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val tokCount = docWords.map(_._2).distinct.map { w =>
+      val syms0 = w.split("").filter(_.nonEmpty).toList
+      w -> merges.foldLeft(syms0) { case (s0, (l, r)) => applyMerge(s0, l, r) }.length
+    }.toMap
+    val ref = docWords.groupBy(_._1).map { case (id, ws) =>
+      val subw = ws.map(t => tokCount(t._2)).sum
+      val chars = ws.map(_._2.length).sum
+      id -> (ws.length.toLong, subw.toLong,
+        BigDecimal(chars.toDouble / subw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    a.foreach { r =>
+      val (nw, ns, cps) = ref(r.getLong(0))
+      assert(r.getLong(1) == nw && r.getLong(2) == ns &&
+        math.abs(r.getDouble(3) - cps) <= 1e-9,
+        s"doc ${r.getLong(0)}: got (${r.getLong(1)}, ${r.getLong(2)}, ${r.getDouble(3)}) " +
+          s"want ($nw, $ns, $cps)")
+    }
+    assert(a.length == ref.size, s"doc coverage: ${a.length} vs ${ref.size}")
+  }
+
   test("IVFADC: deterministic; recall >= 0.6 vs the probed-cells exact oracle") {
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
       .selectExpr("vec_id", "cast(embedding as array<double>) as v")
