@@ -2124,7 +2124,19 @@ object LlmData {
     * determinism.
     */
   def qTextBpe(s: SparkSession, dir: String): DataFrame =
-    bpeMerges(docsNorm(s, dir), rounds = 10)
+    bpeMergeArtifact(s, dir).orderBy("rank")
+
+  /** The learned merge table as a session artifact (the dedupPairs
+    * accounting): trained once per (session, dir, fixture
+    * fingerprint), composed by the trainer row AND the tokenizer row —
+    * exactly how a production pipeline trains once and tokenizes many
+    * times. Cleared with the other artifacts between bench passes, so
+    * whichever BPE row runs first in a timed pass pays the build.
+    */
+  private[graft] def bpeMergeArtifact(s: SparkSession, dir: String): DataFrame =
+    pairArtifact(s, dir, "bpemerges", s"$dir/documents.parquet") {
+      bpeMerges(docsNorm(s, dir), rounds = 10)
+    }
 
   /** Left-to-right non-overlapping application of one merge (a, b) to
     * a symbol array — the carry/emit state machine as a higher-order
@@ -2204,7 +2216,7 @@ object LlmData {
     * driver-side reference tokenization at fixture scale.
     */
   def qTextBpeApply(s: SparkSession, dir: String): DataFrame = {
-    val merges = bpeMerges(docsNorm(s, dir), rounds = 10)
+    val merges = bpeMergeArtifact(s, dir).orderBy("rank")
       .select("left", "right").collect()
       .map(r => (r.getString(0), r.getString(1)))
     val docWords = docsNorm(s, dir)

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.LlmData
-import org.apache.spark.sql.functions.{col, size}
+import org.apache.spark.sql.functions.{col, lower, size, trim}
 
 /** Grades the non-oracle LLM-data operators (§2.8) against their exact
   * counterparts and checks partition-layout determinism.
@@ -281,9 +281,16 @@ class LlmDataSpec extends SparkSpec {
 
   test("BPE merge learning: deterministic and equal to a reference implementation") {
     val a = LlmData.qTextBpe(spark, dir).collect()
-    val b = LlmData.qTextBpe(spark, dir).collect()
-    assert(a.nonEmpty && a.map(_.toString).toSeq == b.map(_.toString).toSeq,
-      "BPE merge table drifted between runs")
+    // determinism must bypass the session artifact memo: train twice
+    // from scratch through the raw builder
+    val docs = Tables.documents(spark, dir)
+      .withColumn("norm_text", lower(trim(col("text"))))
+    val raw1 = LlmData.bpeMerges(docs, 10).collect()
+    val raw2 = LlmData.bpeMerges(docs, 10).collect()
+    assert(raw1.nonEmpty && raw1.map(_.toString).toSeq == raw2.map(_.toString).toSeq,
+      "BPE merge table drifted between from-scratch runs")
+    assert(a.map(_.toString).toSeq == raw1.map(_.toString).toSeq,
+      "artifact-served merge table diverged from a fresh training run")
     assert(a.length == 10, s"expected 10 merge rounds, got ${a.length}")
     // reference: the classic single-machine algorithm (Sennrich et al.
     // Algorithm 1) over the same word-frequency table. Initial symbol
