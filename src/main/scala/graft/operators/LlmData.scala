@@ -1059,6 +1059,71 @@ object LlmData {
       }
     }
 
+  /** Incremental embedding near-dup screen (`q_dedup_embed_incr`) —
+    * the shard-arrival twin of q_dedup_incremental on the embedding
+    * side: the new batch (top decile of vec_ids) screened against
+    * corpus + itself at the same τ = 0.4, without recomputing the
+    * corpus self-pair graph. Work is O(N · new) on the exact path
+    * (the pair join's b-side holds only new vectors) and bucket-
+    * bounded on the LSH path (only band rows whose b-side is new ever
+    * form a candidate). Contract = the full cosine pair graph
+    * filtered to b_id > T (shard = high id range), which is what the
+    * oracle computes.
+    */
+  def qDedupEmbedIncr(s: SparkSession, dir: String): DataFrame = {
+    val n = parquetRowCount(s, s"$dir/embeddings.parquet")
+    val mx = embeddings(s, dir).agg(max("vec_id")).head().getLong(0)
+    embIncrementalPairs(embWithNorms(s, dir), mx - mx / 10, tau = 0.4, s, n)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Incremental embedding pair core with the gate exposed (the
+    * incrementalPairs pattern): the above-gate path keeps embedPairs'
+    * exact fail-fast derivations — a near-threshold τ that cannot be
+    * banded refuses to run at silent under-recall here too.
+    */
+  private[graft] def embIncrementalPairs(emb: DataFrame, t: Long, tau: Double,
+      s: SparkSession, n: Long, exactGate: Long = EmbExactGate): DataFrame =
+    if (n <= exactGate) {
+      val a = emb.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
+        .repartition(s.sparkContext.defaultParallelism, col("a_id"))
+      val bNew = emb.filter(col("vec_id") > t)
+        .select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
+      a.join(bNew, col("a_id") < col("b_id"))
+        .withColumn("cosine",
+          round(dotCol(col("av"), col("bv")) / (col("an") * col("bn")), 6))
+        .filter(col("cosine") >= tau)
+        .select("a_id", "b_id", "cosine")
+    } else {
+      val tables = lshTablesFor(tau, EmbScaleBits, EmbLshRecallTarget)
+      require(tables <= EmbLshMaxTables,
+        s"incremental embedding near-dup at tau=$tau over $n vectors: sub-quadratic " +
+          s"LSH needs $tables tables (> max $EmbLshMaxTables) — raise tau or run " +
+          "the exact pass explicitly (the embedPairs contract)")
+      val planeDoubles = tables * EmbScaleBits.toLong * EmbDim
+      require(planeDoubles <= graft.functions.VecKernels.MaxPlaneDoubles,
+        s"incremental embedding near-dup at tau=$tau, dim=$EmbDim: $planeDoubles " +
+          s"hyperplane doubles (> budget ${graft.functions.VecKernels.MaxPlaneDoubles})")
+      val sigs = emb
+        .withColumn("sigs",
+          graft.functions.VectorExprs.hyperplaneSigs(col("v"), EmbLshSeed,
+            tables.toInt, EmbScaleBits, EmbDim))
+        .select(col("vec_id"), col("v"), col("nrm"), posexplode(col("sigs")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+      val a = sigs.select(col("band"), col("sig"), col("vec_id").as("a_id"),
+        col("v").as("av"), col("nrm").as("an"))
+      val bNew = sigs.filter(col("vec_id") > t)
+        .select(col("band"), col("sig"), col("vec_id").as("b_id"),
+          col("v").as("bv"), col("nrm").as("bn"))
+      a.join(bNew, Seq("band", "sig"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("cosine",
+          round(dotCol(col("av"), col("bv")) / (col("an") * col("bn")), 6))
+        .filter(col("cosine") >= tau)
+        .select("a_id", "b_id", "cosine")
+        .distinct()
+    }
+
   /** Exact all-pairs cosine near-dup: every (a,b) with a_id < b_id.
     * The streamed side of the nested-loop pair join is one small
     * parquet split; without a repartition the whole O(N²) loop runs on
@@ -4015,6 +4080,16 @@ object LlmData {
         |    ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine
         |  FROM v a JOIN v b ON a.vec_id < b.vec_id
         |) WHERE cosine >= 0.4 ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_embed_incr" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |mx AS (SELECT MAX(vec_id) AS m FROM embeddings)
+        |SELECT a_id, b_id, cosine FROM (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |), mx
+        |WHERE cosine >= 0.4 AND b_id > m - CAST(FLOOR(m / 10.0) AS BIGINT)
+        |ORDER BY a_id, b_id""".stripMargin,
     "q_sim_topk_cosine" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |scored AS (
@@ -4593,6 +4668,7 @@ object LlmData {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embed" -> (qDedupEmbed _),
+    "q_dedup_embed_incr" -> (qDedupEmbedIncr _),
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_sim_topk_cosine" -> (qSimTopkCosine _),
     "q_sim_lsh_ann" -> (qSimLshAnn _),

@@ -264,6 +264,51 @@ class ScaleOpsSpec extends SparkSpec {
       "harness-scale corpora must stay on the exact (oracle) path")
   }
 
+  test("incremental embed dedup: LSH path finds exactly the new-involving planted pairs") {
+    import graft.operators.LlmData
+    val s = spark
+    import s.implicits._
+    // 50k vectors; 1000 planted near-identical CROSS-boundary pairs
+    // (i, 49000+i) for i < 1000 — old half, new half (T = 48999) —
+    // plus 100 planted OLD×OLD pairs (2000+2j, 2000+2j+1) that the
+    // incremental screen must NOT emit
+    val nVecs = 50000
+    val t = 48999L
+    val emb = s.range(nVecs).as[Long].map { id =>
+      val isCrossNew = id >= 49000 && id < 49000 + 1000
+      val isOldDup = id >= 2000 && id < 2200 && id % 2 == 1
+      val baseId = if (isCrossNew) id - 49000
+        else if (isOldDup) id - 1 else id
+      val rnd = new java.util.Random(0xC0FFEE ^ baseId)
+      val v = Array.fill(64)(rnd.nextGaussian())
+      if (isCrossNew || isOldDup) {
+        val nr = new java.util.Random(0xBEEF ^ id)
+        var i = 0
+        while (i < 64) { v(i) += 0.03 * nr.nextGaussian(); i += 1 }
+      }
+      (id, v)
+    }.toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(graft.functions.VectorExprs.dotF64(col("v"), col("v"))))
+      .cache()
+    val found = LlmData.embIncrementalPairs(emb, t, 0.9, s, nVecs)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val planted = (0 until 1000).map(i => (i.toLong, 49000L + i)).toSet
+    assert(planted.diff(found).isEmpty,
+      s"missed ${planted.diff(found).size} planted cross-boundary pairs")
+    assert(!found.exists { case (a, b) => b <= t },
+      s"old-by-old pairs leaked into the incremental screen: " +
+        s"${found.filter(_._2 <= t).take(3)}")
+    // and it equals the full LSH graph's new-involving filter — the
+    // contract the harness-scale oracle proves on the exact path
+    val full = LlmData.embNearDupLsh(emb, 0.9, LlmData.EmbScaleBits,
+        LlmData.lshTablesFor(0.9, LlmData.EmbScaleBits, LlmData.EmbLshRecallTarget).toInt,
+        LlmData.EmbLshSeed)
+      .filter(col("b_id") > t)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(found == full, "incremental LSH diverged from the filtered full LSH graph")
+    emb.unpersist()
+  }
+
   test("incremental dedup: banded and exact paths equal the filtered full pair graph") {
     import graft.operators.LlmData
     val s = spark
