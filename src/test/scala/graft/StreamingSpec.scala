@@ -1063,6 +1063,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chi2-drift twin: file-source last trigger equals batch; skew raises the alarm") {
+    import graft.streaming.CorpusStreams
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    // file-source parity: the max-seq rows are the current verdict and
+    // must equal q_stat_chi2's full tuples after a complete replay
+    val q = CorpusStreams.chi2Drift(CorpusStreams.readDocuments(spark, dir))
+      .writeStream.format("memory").queryName("file_chi2").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = s.sql(
+        """SELECT source, n_docs, chi2_contrib FROM file_chi2
+          |WHERE seq = (SELECT MAX(seq) FROM file_chi2)""".stripMargin)
+        .collect().map(_.toString).sorted.toSeq
+      val batch = graft.operators.LlmData.qStatChi2(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streaming chi2 diverged from batch (${streamed.length} vs ${batch.length} rows)")
+    } finally q.stop()
+
+    // drift detection across triggers: a balanced corpus scores low;
+    // one source flooding a single language spikes its contribution
+    import s.implicits._
+    val stream = MemoryStream[(String, String)](s)
+    val df = stream.toDF().toDF("source", "lang")
+    val q2 = CorpusStreams.chi2Drift(df).writeStream
+      .format("memory").queryName("soak_chi2").outputMode("append").start()
+    try {
+      stream.addData(for (src <- Seq("s1", "s2"); lg <- Seq("a", "b"); _ <- 1 to 50)
+        yield (src, lg))
+      q2.processAllAvailable()
+      val r1 = s.sql("SELECT MAX(chi2_contrib) FROM soak_chi2 WHERE seq = 1")
+        .head().getDouble(0)
+      assert(r1 < 0.001, s"balanced corpus must score ~0 chi2, got $r1")
+      // s2's next 200 docs are ALL lang a — the crawl-dump failure mode
+      stream.addData((1 to 200).map(_ => ("s2", "a")))
+      q2.processAllAvailable()
+      val last = s.sql(
+        """SELECT source, chi2_contrib FROM soak_chi2
+          |WHERE seq = (SELECT MAX(seq) FROM soak_chi2)""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(last("s2") > 10.0,
+        s"language flood must spike the source's contribution: $last")
+      assert(stateRows(q2) <= 2, s"chi2 state not O(1): ${stateRows(q2)} rows")
+    } finally q2.stop()
+  }
+
   test("file-source anomaly twin matches batch rows on watermark-closed days") {
     // full-tuple parity (counts, sums, mean/std/z AND flags) with the
     // oracle-checked q_ev_anomaly, restricted to days the bounded
