@@ -1728,6 +1728,44 @@ object LlmData {
       .orderBy("probe_id", "rnk")
   }
 
+  /** OPQ-rotated IVFADC (`q_emb_opqivf_ann`) — the composition FAISS
+    * spells "OPQ,IVF,PQ", completing the ANN matrix (rotation ×
+    * inverted file × product quantization): the eigenvalue-allocated
+    * PCA rotation is applied to the raw vectors BEFORE the coarse
+    * quantizer, so both the cell geometry and the shared residual
+    * codebook work in the variance-balanced basis — on correlated
+    * embeddings the raw-block residual subspaces starve exactly like
+    * flat PQ's, and the rotation is the same fix. Rotation +
+    * centering preserve L2, so the exact re-rank and ground truth are
+    * unchanged — the operator is directly comparable with
+    * q_emb_ivfpq_ann, which is what the spec measures.
+    *
+    * Cost over IVFADC: the O(model) pcaBasis pass + one compiled
+    * MatVec per row — the OPQ-over-PQ delta, unchanged.
+    *
+    * Spec-graded (oracle=— ANN family): determinism + absolute recall
+    * ≥ the unrotated IVFADC's on the correlated fixture.
+    */
+  def qEmbOpqIvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val n = parquetRowCount(s, s"$dir/embeddings.parquet")
+    opqIvfpqAnn(embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id")),
+      k1 = 16, nProbe = 8, trainCap = 2048,
+      twoPhaseCut = n > 65536L)
+  }
+
+  private[graft] def opqIvfpqAnn(emb0: DataFrame, k1: Int, nProbe: Int,
+      trainCap: Int, twoPhaseCut: Boolean = false): DataFrame = {
+    val M = 8
+    val emb = emb0.cache() // basis pass + rotation pass
+    val (_, mean, eigVals, eigVecs) = pcaBasis(emb)
+    val rot = eigenAllocation(eigVals, M).map(eigVecs)
+    ivfpqAnn(emb.select(col("vec_id"),
+      graft.functions.VectorExprs.matVec(col("v"), rot, mean).as("v")),
+      k1, nProbe, trainCap, twoPhaseCut)
+  }
+
   /** Eigenvalue allocation (OPQ parametric solution): assign the d
     * eigen-directions to M buckets of d/M dims each, greedily placing
     * each eigenvalue (descending — jacobiEigen's order) into the open
@@ -4718,6 +4756,7 @@ object LlmData {
     "q_emb_pq_ann" -> (qEmbPqAnn _),
     "q_emb_opq_ann" -> (qEmbOpqAnn _),
     "q_emb_ivfpq_ann" -> (qEmbIvfpqAnn _),
+    "q_emb_opqivf_ann" -> (qEmbOpqIvfAnn _),
     "q_emb_whiten_cov" -> (qEmbWhitenCov _),
     "q_emb_whiten" -> (qEmbWhiten _)
   )

@@ -527,6 +527,19 @@ class LlmDataSpec extends SparkSpec {
     assert(rOpq >= rPq,
       f"OPQ recall $rOpq%.3f below plain PQ $rPq%.3f on the correlated corpus")
     assert(rOpq >= 0.6, f"OPQ recall $rOpq%.3f too low on the correlated corpus")
+    // the same claim for the inverted-file composition (FAISS's
+    // OPQ,IVF,PQ): rotating before the coarse quantizer must not lose
+    // recall vs raw-block IVFADC on the correlated corpus, measured
+    // absolutely (rotation preserves L2, so the exact oracle is shared)
+    val rIvf = recallOf(LlmData.ivfpqAnn(corrDf, k1 = 8, nProbe = 6, trainCap = 256))
+    val rOpqIvf = recallOf(LlmData.opqIvfpqAnn(corrDf, k1 = 8, nProbe = 6, trainCap = 256))
+    info(f"correlated-corpus recall: IVFADC $rIvf%.3f vs OPQ-IVFADC $rOpqIvf%.3f")
+    assert(rOpqIvf >= rIvf,
+      f"OPQ-IVFADC recall $rOpqIvf%.3f below raw IVFADC $rIvf%.3f")
+    // determinism of the composed registry entry
+    val d1 = LlmData.qEmbOpqIvfAnn(spark, dir).collect().map(_.toString).toSeq
+    val d2 = LlmData.qEmbOpqIvfAnn(spark, dir).collect().map(_.toString).toSeq
+    assert(d1.nonEmpty && d1 == d2, "OPQ-IVFADC drifted between runs")
     corrDf.unpersist()
   }
 
