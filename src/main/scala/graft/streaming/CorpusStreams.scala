@@ -19,6 +19,67 @@ object CorpusStreams {
       .parquet(s"$dir/documents*.parquet")
   }
 
+  case class KsState(counts: Map[(String, Long), Long], seq: Long)
+  case class KsOut(seq: Long, source: String, n_docs: Long, ks_stat: Double,
+    crit_005: Double, drifted: Boolean)
+
+  /** Streaming continuous-drift monitor (batch twin: qStatKsDrift):
+    * the per-source two-sample KS statistic of the n_chars
+    * distribution against the REST of the corpus, refreshed every
+    * trigger — the length-distribution companion to chi2Drift's
+    * categorical alarm, so BOTH corpus-drift monitors run on the
+    * ingest stream. Same spine-group shape: state is the
+    * O(sources × distinct n_chars) count table (bounded by the VALUE
+    * RANGE, not row count — the batch operator's own cum-window
+    * argument), NoTimeout, full per-source verdict re-emitted per
+    * trigger with a sequence stamp; max-seq rows ≡ the batch operator
+    * on a full replay, the CDF/critical-value math mirrored in the
+    * identical double op order.
+    */
+  def ksDrift(docs: DataFrame): Dataset[KsOut] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(col("source"), col("n_chars")).as[(String, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[KsState, KsOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[KsState]) =>
+          val st0 = state.getOption.getOrElse(KsState(Map.empty, 0L))
+          var counts = st0.counts
+          rows.foreach { case (src, nc) =>
+            counts += (src, nc) -> (counts.getOrElse((src, nc), 0L) + 1L)
+          }
+          val seq = st0.seq + 1
+          state.update(KsState(counts, seq))
+          val sources = counts.keysIterator.map(_._1).toSeq.distinct.sorted
+          val xs = counts.keysIterator.map(_._2).toSeq.distinct.sorted
+          val cx = xs.map(x => x ->
+            sources.iterator.map(src => counts.getOrElse((src, x), 0L)).sum).toMap
+          val nBySrc = sources.map(src =>
+            src -> xs.iterator.map(x => counts.getOrElse((src, x), 0L)).sum).toMap
+          val nn = nBySrc.valuesIterator.sum
+          def round6(v: Double): Double =
+            java.math.BigDecimal.valueOf(v)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          sources.iterator.map { src =>
+            val n = nBySrc(src)
+            var cumS = 0L; var cumX = 0L; var ks = 0.0
+            xs.foreach { x =>
+              cumS += counts.getOrElse((src, x), 0L)
+              cumX += cx(x)
+              val diff = math.abs(cumS.toDouble / n -
+                (cumX - cumS).toDouble / (nn - n))
+              if (diff > ks) ks = diff
+            }
+            val ksR = round6(ks)
+            val crit = round6(1.358 * math.sqrt(
+              nn.toDouble / (n.toDouble * (nn - n))))
+            KsOut(seq, src, n, ksR, crit, ksR > crit)
+          }
+      }
+  }
+
   case class DocKey(source: String, lang: String)
   case class Chi2State(counts: Map[DocKey, Long], seq: Long)
   case class Chi2Out(seq: Long, source: String, n_docs: Long, chi2_contrib: Double)

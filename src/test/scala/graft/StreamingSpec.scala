@@ -1110,6 +1110,49 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("ks-drift twin: file-source last trigger equals batch; length flood drifts") {
+    import graft.streaming.CorpusStreams
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val q = CorpusStreams.ksDrift(CorpusStreams.readDocuments(spark, dir))
+      .writeStream.format("memory").queryName("file_ks").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = s.sql(
+        """SELECT source, n_docs, ks_stat, crit_005, drifted FROM file_ks
+          |WHERE seq = (SELECT MAX(seq) FROM file_ks)""".stripMargin)
+        .collect().map(_.toString).sorted.toSeq
+      val batch = graft.operators.LlmData.qStatKsDrift(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streaming KS diverged from batch (${streamed.length} vs ${batch.length} rows)")
+    } finally q.stop()
+
+    // drift across triggers: identical length mixes score ~0; one
+    // source flooding long documents crosses the critical value
+    import s.implicits._
+    val stream = MemoryStream[(String, Long)](s)
+    val df = stream.toDF().toDF("source", "n_chars")
+    val q2 = CorpusStreams.ksDrift(df).writeStream
+      .format("memory").queryName("soak_ks").outputMode("append").start()
+    try {
+      stream.addData(for (src <- Seq("s1", "s2"); nc <- 100L to 109L; _ <- 1 to 10)
+        yield (src, nc))
+      q2.processAllAvailable()
+      val r1 = s.sql("SELECT MAX(ks_stat), BOOL_OR(drifted) FROM soak_ks WHERE seq = 1").head()
+      assert(r1.getDouble(0) < 0.05 && !r1.getBoolean(1),
+        s"identical mixes must not drift: $r1")
+      stream.addData((1 to 300).map(_ => ("s2", 5000L)))
+      q2.processAllAvailable()
+      val last = s.sql(
+        """SELECT source, drifted FROM soak_ks
+          |WHERE seq = (SELECT MAX(seq) FROM soak_ks)""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      assert(last("s2"), s"length flood must trip the KS alarm: $last")
+      assert(stateRows(q2) <= 2, s"ks state not O(1) groups: ${stateRows(q2)}")
+    } finally q2.stop()
+  }
+
   test("file-source anomaly twin matches batch rows on watermark-closed days") {
     // full-tuple parity (counts, sums, mean/std/z AND flags) with the
     // oracle-checked q_ev_anomaly, restricted to days the bounded
