@@ -205,6 +205,32 @@ object Relational {
       .orderBy("purchase_id")
   }
 
+  /** FORWARD as-of join (`q_join_asof_fwd`) — the mirror face of
+    * q_join_asof: each purchase matched to the user's NEXT view
+    * strictly after it (the "what did they look at after converting"
+    * feed; kdb's aj with reversed time, pandas merge_asof
+    * direction='forward'). The prio ordering makes the two faces
+    * complementary: a view sharing the purchase's timestamp sorts
+    * BEFORE it, so it belongs to the backward match and the forward
+    * face picks strictly-later views only. Same single user_id
+    * exchange + one running-first window — no self-join, no
+    * event×event blowup at any scale.
+    */
+  def qJoinAsofFwd(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+              when(col("event_type") === "view", lit(0)).otherwise(lit(1)).as("prio"),
+              when(col("event_type") === "view", col("event_id")).as("view_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("prio"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    e.withColumn("next_view_id", first(col("view_id"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+              col("next_view_id"))
+      .orderBy("purchase_id")
+  }
+
   def qJoinCrossTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val probes = emb.filter(col("vec_id") < 10)
@@ -1761,6 +1787,20 @@ object Relational {
         |)
         |SELECT event_id AS purchase_id, user_id, last_view_id AS prior_view_id
         |FROM lv WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
+    "q_join_asof_fwd" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS prio,
+        |    CASE WHEN event_type = 'view' THEN event_id END AS view_id
+        |  FROM events WHERE event_type IN ('view','purchase')
+        |), nv AS (
+        |  SELECT *, FIRST_VALUE(view_id IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, prio, event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_view_id
+        |  FROM tagged
+        |)
+        |SELECT event_id AS purchase_id, user_id, next_view_id
+        |FROM nv WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
     "q_join_cross_topk" ->
       """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |scored AS (
@@ -2100,6 +2140,7 @@ object Relational {
     "q_join_anti" -> (qJoinAnti _),
     "q_join_theta_range" -> (qJoinThetaRange _),
     "q_join_asof" -> (qJoinAsof _),
+    "q_join_asof_fwd" -> (qJoinAsofFwd _),
     "q_join_cross_topk" -> (qJoinCrossTopk _),
     "q_agg_hash" -> (qAggHash _),
     "q_agg_distinct" -> (qAggDistinct _),
