@@ -548,6 +548,34 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Weighted median (`q_agg_wmedian`): per return flag, the smallest
+    * l_extendedprice whose cumulative l_quantity weight reaches half
+    * the total — the lower weighted median, the robust "typical price
+    * weighted by volume" statistic Spark has no native function for
+    * (percentile() weights rows equally). Shape: ONE user-key window
+    * pass (cumulative weight in exact decimal over a fully
+    * deterministic (value, pk) order), threshold filter, then the min
+    * over the qualifying suffix — no sort-wide collect, no
+    * percentile approximation; the 2·cumw ≥ totw compare runs in
+    * exact decimal so both engines cross at the identical row.
+    */
+  def qAggWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val wCum = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("l_returnflag")
+    lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"), d2(col("l_quantity")).as("w"))
+      .withColumn("cumw", sum(col("w")).over(wCum))
+      .withColumn("totw", sum(col("w")).over(wTot))
+      .filter(col("cumw") * lit(2) >= col("totw"))
+      .groupBy("l_returnflag")
+      .agg(outD(min(col("l_extendedprice"))).as("wmedian"),
+        outD(first(col("totw"))).as("tot_weight"))
+      .orderBy("l_returnflag")
+  }
+
   def qAggModeFreq(s: SparkSession, dir: String): DataFrame = {
     val freq = lineitem(s, dir).groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("cnt"))
     freq.withColumn("pct", round(col("cnt") / sum(col("cnt")).over(Window.partitionBy()), 6))
@@ -1989,6 +2017,24 @@ object Relational {
         |  ROUND(COUNT(*) / SUM(COUNT(*)) OVER (), 6) AS pct
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_wmedian" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS w
+        |  FROM lineitem
+        |), c AS (
+        |  SELECT *,
+        |    SUM(w) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    SUM(w) OVER (PARTITION BY l_returnflag) AS totw
+        |  FROM t
+        |)
+        |SELECT l_returnflag,
+        |  CAST(MIN(l_extendedprice) AS DOUBLE) AS wmedian,
+        |  CAST(ANY_VALUE(totw) AS DOUBLE) AS tot_weight
+        |FROM c WHERE cumw * 2 >= totw
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_win_rank" ->
       """SELECT * FROM (
         |  SELECT o_orderkey, o_orderpriority, o_totalprice,
@@ -2158,6 +2204,7 @@ object Relational {
     "q_stat_bootstrap" -> (qStatBootstrap _),
     "q_agg_quantile" -> (qAggQuantile _),
     "q_agg_mode_freq" -> (qAggModeFreq _),
+    "q_agg_wmedian" -> (qAggWeightedMedian _),
     "q_agg_corr" -> (qAggCorr _),
     "q_agg_hist" -> (qAggHist _),
     "q_agg_salted" -> (qAggSalted _),
