@@ -576,6 +576,34 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Gini concentration coefficient (`q_agg_gini`) per market
+    * segment over account balances — the revenue/wealth-concentration
+    * statistic (G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n over the
+    * ascending-sorted values): the "how top-heavy is this segment"
+    * number every mixture/concentration report carries. ONE key-window
+    * pass assigns ranks over a fully deterministic (value, pk) order;
+    * the rank-weighted sum folds in exact decimal (rn·v is int ×
+    * decimal — exact), and the closing expression runs the identical
+    * double op order on both engines.
+    */
+  def qAggGini(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("v"), col("c_custkey"))
+    customer(s, dir)
+      .select(col("c_mktsegment"), d2(col("c_acctbal")).as("v"), col("c_custkey"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).as("sv"),
+        sum(col("rn") * col("v")).as("siv"))
+      .select(col("c_mktsegment"), col("n"),
+        round(lit(2.0) * col("siv").cast("double") /
+          (col("n").cast("double") * col("sv").cast("double")) -
+          (col("n") + lit(1L)).cast("double") / col("n").cast("double"), 6)
+          .as("gini"))
+      .orderBy("c_mktsegment")
+  }
+
   def qAggModeFreq(s: SparkSession, dir: String): DataFrame = {
     val freq = lineitem(s, dir).groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("cnt"))
     freq.withColumn("pct", round(col("cnt") / sum(col("cnt")).over(Window.partitionBy()), 6))
@@ -2017,6 +2045,20 @@ object Relational {
         |  ROUND(COUNT(*) / SUM(COUNT(*)) OVER (), 6) AS pct
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_gini" ->
+      """WITH t AS (
+        |  SELECT c_mktsegment, CAST(c_acctbal AS DECIMAL(18,2)) AS v, c_custkey
+        |  FROM customer
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY v, c_custkey) AS rn
+        |  FROM t
+        |)
+        |SELECT c_mktsegment, COUNT(*) AS n,
+        |  ROUND(2.0 * CAST(SUM(rn * v) AS DOUBLE) /
+        |    (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(v) AS DOUBLE)) -
+        |    CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS gini
+        |FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_agg_wmedian" ->
       """WITH t AS (
         |  SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
@@ -2205,6 +2247,7 @@ object Relational {
     "q_agg_quantile" -> (qAggQuantile _),
     "q_agg_mode_freq" -> (qAggModeFreq _),
     "q_agg_wmedian" -> (qAggWeightedMedian _),
+    "q_agg_gini" -> (qAggGini _),
     "q_agg_corr" -> (qAggCorr _),
     "q_agg_hist" -> (qAggHist _),
     "q_agg_salted" -> (qAggSalted _),
