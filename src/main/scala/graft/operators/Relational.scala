@@ -576,6 +576,38 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Peer-group z-score outliers (`q_win_zscore_peer`): each
+    * customer's balance z-scored against their NATION's peers, top-3
+    * |z| per nation flagged — the within-cohort outlier face
+    * completing the triad with q_ev_anomaly (trailing time window)
+    * and q_emb_outlier (vector space). Moment math mirrors
+    * qStatTtest's firewall: per-nation Σx and Σx² fold in exact
+    * decimal over a nation-key window, so the doubles both engines
+    * evaluate are identical; output is the per-nation top-3 by
+    * (|z| desc, custkey) — deterministic cut, one key exchange.
+    */
+  def qWinZscorePeer(s: SparkSession, dir: String): DataFrame = {
+    val wN = Window.partitionBy("c_nationkey")
+    val cust = customer(s, dir)
+      .select(col("c_nationkey"), col("c_custkey"), d2(col("c_acctbal")).as("v"))
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("sx", sum(col("v")).over(wN))
+      .withColumn("sxx", sum(col("v") * col("v")).over(wN))
+      .withColumn("mean", col("sx").cast("double") / col("n"))
+      .withColumn("std", sqrt(greatest(
+        (col("sxx").cast("double") - col("sx").cast("double") *
+          col("sx").cast("double") / col("n")) / (col("n") - lit(1L)), lit(0.0))))
+      .withColumn("z", (col("v").cast("double") - col("mean")) /
+        greatest(col("std"), lit(1e-9)))
+    val wTop = Window.partitionBy("c_nationkey")
+      .orderBy(abs(col("z")).desc, col("c_custkey"))
+    cust.withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 3)
+      .select(col("c_nationkey"), col("rnk"), col("c_custkey"),
+        outD(col("v")).as("acctbal"), round(col("z"), 6).as("z"))
+      .orderBy("c_nationkey", "rnk")
+  }
+
   /** Gini concentration coefficient (`q_agg_gini`) per market
     * segment over account balances — the revenue/wealth-concentration
     * statistic (G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n over the
@@ -2045,6 +2077,30 @@ object Relational {
         |  ROUND(COUNT(*) / SUM(COUNT(*)) OVER (), 6) AS pct
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_win_zscore_peer" ->
+      """WITH t AS (
+        |  SELECT c_nationkey, c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS v
+        |  FROM customer
+        |), m AS (
+        |  SELECT *,
+        |    COUNT(*) OVER (PARTITION BY c_nationkey) AS n,
+        |    SUM(v) OVER (PARTITION BY c_nationkey) AS sx,
+        |    SUM(v * v) OVER (PARTITION BY c_nationkey) AS sxx
+        |  FROM t
+        |), z AS (
+        |  SELECT c_nationkey, c_custkey, v,
+        |    (CAST(v AS DOUBLE) - CAST(sx AS DOUBLE) / n) /
+        |      GREATEST(SQRT(GREATEST((CAST(sxx AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1), 0.0)), 1e-9) AS zz
+        |  FROM m
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |    ORDER BY ABS(zz) DESC, c_custkey) AS rnk
+        |  FROM z
+        |)
+        |SELECT c_nationkey, rnk, c_custkey,
+        |  CAST(v AS DOUBLE) AS acctbal, ROUND(zz, 6) AS z
+        |FROM r WHERE rnk <= 3 ORDER BY c_nationkey, rnk""".stripMargin,
     "q_agg_gini" ->
       """WITH t AS (
         |  SELECT c_mktsegment, CAST(c_acctbal AS DECIMAL(18,2)) AS v, c_custkey
@@ -2248,6 +2304,7 @@ object Relational {
     "q_agg_mode_freq" -> (qAggModeFreq _),
     "q_agg_wmedian" -> (qAggWeightedMedian _),
     "q_agg_gini" -> (qAggGini _),
+    "q_win_zscore_peer" -> (qWinZscorePeer _),
     "q_agg_corr" -> (qAggCorr _),
     "q_agg_hist" -> (qAggHist _),
     "q_agg_salted" -> (qAggSalted _),
