@@ -1242,7 +1242,8 @@ object LlmData {
     val n = parquetRowCount(s, s"$dir/embeddings.parquet")
     require(n <= gate,
       s"q_emb_knn: exact k-NN self-graph is gated at $gate vectors (corpus has $n); " +
-        "at corpus scale use the ANN family (q_sim_lsh_ann / q_sim_ivf_ann)")
+        "at corpus scale use q_emb_knn_ann (same graph, IVF-probed) or the " +
+        "probe-query ANN family (q_sim_lsh_ann / q_sim_ivf_ann)")
     val emb = embWithNorms(s, dir)
     val corpus = emb.agg(collect_list(struct(
       col("vec_id").as("id"), col("v").as("e"), col("nrm").as("nm"))).as("corpus"))
@@ -1264,6 +1265,86 @@ object LlmData {
         (col("col") % shift).as("neighbor_id"),
         ((lit(1000000L) - expr(s"col div ${shift}L")).cast("double") / lit(1e6)).as("cosine"),
         (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy("vec_id", "rnk")
+  }
+
+  /** Approximate k-NN self-graph (`q_emb_knn_ann`) — the ABOVE-GATE
+    * scale path q_emb_knn's fail-fast points at: the same (vec_id,
+    * neighbor_id, cosine, rnk) graph, built by routing EVERY vector
+    * through its own probed IVF cells instead of against the whole
+    * corpus. This is the SemDeDup / graph-clustering build primitive
+    * at corpus scale: k1 hash-picked coarse centroids (the qSimIvfAnn
+    * idiom — the only broadcast, O(k1) rows forever), each vector
+    * assigned to its nearest cell, and each vector AS ITS OWN PROBE
+    * fanning out to its nProbe nearest cells; candidates arrive
+    * through a join KEYED on the cell, so per-vector work is the
+    * probed fraction nProbe/k1 of the corpus — N²·nProbe/k1 total
+    * (N^1.5 at the k1 = √N operating point) instead of exact N².
+    *
+    * Scale discipline: the pair stream is projected down to (src,
+    * cell, candidate, cosine) BEFORE any exchange — vectors never
+    * ride a pairs-sized shuffle — and the top-k cut is two-phase
+    * (the vocab-coverage rule): rank within (src, probed cell) first
+    * — each group is one inverted list, bounded by the cell size —
+    * then rank the O(N·nProbe·k) survivors, so no task ever sorts one
+    * vector's whole candidate set. A candidate belongs to exactly one
+    * cell, so the phase-1 union is duplicate-free and provably
+    * contains the global top-k of the probed region.
+    *
+    * Fixture sizing over-probes (nProbe = ¾·k1 — recall ≥ 0.9 vs the
+    * exact graph, measured in ScaleOpsSpec); production nProbe caps
+    * at 64 of k1 = √N lists — a vanishing scored fraction. All picks
+    * are (xxhash64, vec_id)-ordered and ties rank (cosine DESC, id) —
+    * bit-deterministic under any partitioning. No oracle (the probed
+    * region depends on the hash sample — ANN-family rule); graded by
+    * recall + determinism + the 50k forced-scale run, and
+    * DedupEmbedSpec proves q_dedup_semantic-style clustering composes
+    * on top of the graph's edges.
+    */
+  def qEmbKnnAnn(s: SparkSession, dir: String): DataFrame = {
+    val n = parquetRowCount(s, s"$dir/embeddings.parquet")
+    val k1 = math.max(4, math.min(65536L,
+      math.ceil(math.sqrt(n.toDouble)).toLong).toInt)
+    val nProbe = math.max(2, math.min(64, math.ceil(k1 * 3.0 / 4.0).toInt))
+    knnGraphAnn(embWithNorms(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id")),
+      k1, nProbe, k = 5)
+  }
+
+  /** Shared ANN kNN-graph core with the cell count and probe fan-out
+    * exposed so ScaleOpsSpec can force production fractions
+    * (nProbe ≪ k1) on a 50k corpus.
+    */
+  private[graft] def knnGraphAnn(emb0: DataFrame, k1: Int, nProbe: Int,
+      k: Int): DataFrame = {
+    val emb = emb0.cache() // centroid pick + assignment + probe fan-out
+    val cent = emb.withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h", "vec_id").limit(k1)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    def cellRank(keep: Int) = {
+      val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+      emb.crossJoin(broadcast(cent))
+        .withColumn("ccos", dotCol(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("crnk", row_number().over(w))
+        .filter(col("crnk") <= keep)
+    }
+    val assigned = cellRank(1)
+      .select(col("cent_id").as("cell"), col("vec_id"), col("v"), col("nrm"))
+    val probes = cellRank(nProbe)
+      .select(col("vec_id").as("src_id"), col("v").as("sv"),
+        col("nrm").as("sn"), col("cent_id").as("cell"))
+    val wCell = Window.partitionBy("src_id", "cell")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val wOut = Window.partitionBy("src_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    probes.join(assigned, "cell")
+      .filter(col("src_id") =!= col("vec_id"))
+      .select(col("src_id"), col("cell"), col("vec_id"),
+        round(dotCol(col("sv"), col("v")) / (col("sn") * col("nrm")), 6).as("cosine"))
+      .withColumn("rc", row_number().over(wCell)).filter(col("rc") <= k)
+      .withColumn("rnk", row_number().over(wOut)).filter(col("rnk") <= k)
+      .select(col("src_id").as("vec_id"), col("vec_id").as("neighbor_id"),
+        col("cosine"), col("rnk").cast("long").as("rnk"))
       .orderBy("vec_id", "rnk")
   }
 
@@ -4748,6 +4829,7 @@ object LlmData {
     "q_emb_outlier" -> (qEmbOutlier _),
     "q_sample_importance" -> (qSampleImportance _),
     "q_emb_knn" -> (qEmbKnn _),
+    "q_emb_knn_ann" -> (qEmbKnnAnn _),
     "q_agg_theta_sets" -> (qAggThetaSets _),
     "q_text_vocab_coverage" -> (qTextVocabCoverage _),
     "q_stat_ks_drift" -> (qStatKsDrift _),

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.LlmData
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, greatest, least}
 
 /** Pins the LSH-banded embedding near-dup scale path (the branch
   * qDedupEmbed takes above EmbExactGate) pair-for-pair equal to the
@@ -84,5 +84,29 @@ class DedupEmbedSpec extends SparkSpec {
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     for (i <- 0 until 20)
       assert(found.contains((2L * i, 2L * i + 1)), s"planted pair $i missed")
+  }
+
+  test("semantic dedup composes on the ANN kNN graph: clusters equal the exact-graph clusters") {
+    // The SemDeDup shape at corpus scale: threshold the kNN graph's
+    // edges, connected-components the survivors, keep the min-id
+    // representative. Composability contract: running that pipeline on
+    // the ANN graph (q_emb_knn_ann) yields the SAME clusters as on
+    // the exact graph (q_emb_knn) at the same (k, τ) on the fixture —
+    // i.e. the approximation loses no edge that matters to clustering.
+    def edges(g: org.apache.spark.sql.DataFrame) = g
+      .filter(col("cosine") >= 0.4)
+      .select(least(col("vec_id"), col("neighbor_id")).as("a_id"),
+        greatest(col("vec_id"), col("neighbor_id")).as("b_id"))
+      .distinct()
+    def clusters(g: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      LlmData.clusterPairs(edges(g), spark)
+        .select("doc_id", "cluster_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = clusters(LlmData.qEmbKnn(spark, dir))
+    val ann = clusters(LlmData.qEmbKnnAnn(spark, dir))
+    assert(exact.nonEmpty, "fixture should produce at least one cluster edge")
+    assert(ann == exact,
+      s"ANN-graph clusters diverged: missing=${exact.toSet.diff(ann.toSet)} " +
+        s"extra=${ann.toSet.diff(exact.toSet)}")
   }
 }

@@ -689,4 +689,76 @@ class ScaleOpsSpec extends SparkSpec {
       case (k, None) => s.conf.unset(k)
     }
   }
+
+  test("ANN kNN graph: recall >= 0.9 vs the exact graph on the fixture") {
+    import graft.operators.LlmData
+    // q_emb_knn_ann's registered sizing on the 500-vector fixture:
+    // k1 = 23 cells, nProbe = 18 (the over-probe operating point)
+    val exact = LlmData.qEmbKnn(spark, dir)
+      .select("vec_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (v, rs) => v -> rs.map(_.getLong(1)).toSet }
+    val ann = LlmData.qEmbKnnAnn(spark, dir)
+      .select("vec_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (v, rs) => v -> rs.map(_.getLong(1)).toSet }
+    assert(ann.keySet == exact.keySet, "ANN graph must cover every vector")
+    val recall = exact.map { case (v, nb) =>
+      ann(v).intersect(nb).size.toDouble / nb.size }.sum / exact.size
+    info(f"ANN kNN graph recall vs exact: $recall%.4f")
+    assert(recall >= 0.9, f"graph recall $recall%.4f below the 0.9 contract")
+  }
+
+  test("ANN kNN graph is deterministic under partition layout changes") {
+    import graft.operators.LlmData
+    def g() = LlmData.qEmbKnnAnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val p1 = g()
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    val p2 = try g()
+    finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    assert(p1 == p2, "ANN kNN graph changed under different partitioning")
+  }
+
+  test("ANN kNN graph at 50k vectors: production probe fraction, planted pairs surface") {
+    import graft.operators.LlmData
+    val s = spark
+    import s.implicits._
+    // 50k (≫ the 8192 exact gate) deterministic gaussian vectors;
+    // ids < 2000 pair up as (base, base + 3% noise) — cosine ≈ 0.9995
+    val nVecs = 50000
+    val emb = s.range(nVecs).as[Long].mapPartitions(_.map { id =>
+      val isDup = id < 2000 && id % 2 == 1
+      val baseId = if (isDup) id - 1 else id
+      val rnd = new java.util.Random(0xC0FFEE ^ baseId)
+      val v = Array.fill(64)(rnd.nextGaussian())
+      if (isDup) {
+        val nr = new java.util.Random(0xBEEF ^ id)
+        var i = 0
+        while (i < 64) { v(i) += 0.03 * nr.nextGaussian(); i += 1 }
+      }
+      (id, v)
+    }).toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(graft.functions.VectorExprs.dotF64(col("v"), col("v"))))
+    // production fractions: k1 = ⌈√N⌉ = 224 cells, nProbe = 4 — the
+    // scored fraction is 4/224 ≈ 1.8% of the corpus per vector
+    val t0 = System.nanoTime()
+    val graph = LlmData.knnGraphAnn(emb, k1 = 224, nProbe = 4, k = 5).cache()
+    val top1 = graph.filter(col("rnk") === 1)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val rows = graph.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    graph.unpersist()
+    info(f"50k ANN kNN graph: $rows rows in $secs%.1f s")
+    assert(rows == nVecs * 5L, s"expected ${nVecs * 5L} graph rows, got $rows")
+    // a near-identical pair lands in the same coarse cell (their
+    // centroid ranking differs only at 3%-noise scale), so each
+    // planted vector's top-1 neighbor must be its partner for
+    // essentially all pairs — allow a 5% hash-boundary margin
+    val planted = (0 until 1000).flatMap(i =>
+      Seq((2L * i, 2L * i + 1), (2L * i + 1, 2L * i)))
+    val hit = planted.count { case (a, b) => top1.get(a).contains(b) }
+    info(s"planted top-1 hits: $hit/${planted.size}")
+    assert(hit >= (planted.size * 0.95).toInt,
+      s"only $hit/${planted.size} planted partners surfaced as top-1")
+    assert(secs < 240, f"50k ANN kNN graph too slow: $secs%.1f s")
+  }
 }
