@@ -1654,6 +1654,67 @@ object LlmData {
       .orderBy("probe_id", "rnk")
   }
 
+  /** Oracle-checked PQ code-assignment table (`q_emb_pq_codes`) — the
+    * q_emb_whiten_cov precedent applied to the PQ family: the spec-only
+    * ANN rows' deterministic half (code assignment given a codebook)
+    * converted to hash-trust. The codebook here is plan-derivable on
+    * BOTH engines — subspace slices of the K smallest-vec_id vectors
+    * (an engine-portable stand-in for the xxhash64 sample, which DuckDB
+    * cannot reproduce) — so DuckDB can rebuild the identical [M][K]
+    * centroid set and re-derive every argmin. What the hash check
+    * pins is the compiled `PqCodes` kernel itself: per-subspace L2
+    * accumulated left-to-right (bit-identical to the prepend-0 fold
+    * the oracle runs), strict `<` argmin so ties break to the smaller
+    * code — the exact contract the production Lloyd loop and all four
+    * PQ/IVFADC operators assign through. O(model) driver state (the
+    * K×d collect), one narrow kernel pass, zero joins.
+    */
+  def qEmbPqCodes(s: SparkSession, dir: String): DataFrame = {
+    val M = 8; val K = 16
+    val subDim = EmbDim / M
+    val emb = embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val initRows = emb.orderBy("vec_id").limit(K)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(initRows.length == K, s"q_emb_pq_codes: corpus smaller than K=$K")
+    val codebook = Array.tabulate(M, K)((m, k) =>
+      initRows(k).slice(m * subDim, (m + 1) * subDim))
+    emb.withColumn("codes", graft.functions.VectorExprs.pqCodes(col("v"), codebook))
+      .select(col("vec_id"), posexplode(col("codes")))
+      .select(col("vec_id"), col("pos").cast("long").as("m"),
+        col("col").cast("long").as("code"))
+      .orderBy("vec_id", "m")
+  }
+
+  /** Oracle-checked IVF cell-assignment table (`q_emb_ivf_cells`) —
+    * the other deterministic ANN half converted to hash-trust: the
+    * coarse inverted-file assignment every IVF-family operator builds
+    * (nearest of k1 centroids by L2, ties → smaller cell id), with the
+    * same engine-portable smallest-vec_id centroid pick as
+    * q_emb_pq_codes. The assignment expression is the IVFADC path's
+    * own `aggregate(zip_with(...))` index-order IEEE fold, so the
+    * DuckDB prepend-0 list_reduce reproduces every distance bit-for-
+    * bit and the argmin (and the rounded distance readout) hash-match.
+    * Broadcast O(k1) centroid table + per-vector argmin window —
+    * the q_emb_assign shape, no data×data join at any corpus size.
+    */
+  def qEmbIvfCells(s: SparkSession, dir: String): DataFrame = {
+    val k1 = 16
+    def dist2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val emb = embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cent = emb.orderBy("vec_id").limit(k1)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+    val wA = Window.partitionBy("vec_id").orderBy(col("cdist"), col("cell"))
+    emb.crossJoin(broadcast(cent))
+      .withColumn("cdist", dist2(col("v"), col("cv")))
+      .withColumn("r", row_number().over(wA)).filter(col("r") === 1)
+      .select(col("vec_id"), col("cell"), round(col("cdist"), 6).as("cdist"))
+      .orderBy("vec_id")
+  }
+
   /** Optimized product quantization (`q_emb_opq_ann`) — PQ after the
     * variance-balancing PCA rotation (Ge, He, Ke & Sun, "Optimized
     * Product Quantization", CVPR 2013, parametric solution §3.3):
@@ -4281,6 +4342,48 @@ object LlmData {
         |)
         |SELECT vec_id, label, c_label AS assigned, ROUND(sqrt(d2), 6) AS dist
         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // Rebuilds the [M=8][K=16] codebook from subspace slices of the 16
+    // smallest-vec_id vectors and re-derives every argmin: distances
+    // fold prepend-0 left-to-right — bit-identical to the compiled
+    // PqCodes kernel's accumulation — and ties order (d2, code), the
+    // kernel's strict-< smaller-index rule.
+    "q_emb_pq_codes" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, e AS ce
+        |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)
+        |), d AS (
+        |  SELECT v.vec_id, t.m, cent.code,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, 8),
+        |        j -> (e[m * 8 + j] - ce[m * 8 + j]) * (e[m * 8 + j] - ce[m * 8 + j]))),
+        |      (a, b) -> a + b) AS d2
+        |  FROM v CROSS JOIN cent CROSS JOIN (
+        |    SELECT unnest(generate_series(0, 7)) AS m) t
+        |), r AS (
+        |  SELECT vec_id, m, code,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+        |  FROM d
+        |)
+        |SELECT vec_id, m, code FROM r WHERE rn = 1 ORDER BY vec_id, m""".stripMargin,
+    // Same engine-portable smallest-vec_id centroid pick; d2 is the
+    // IVFADC path's own index-order IEEE fold, ties (d2, cell).
+    "q_emb_ivf_cells" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, e AS cv FROM v ORDER BY vec_id LIMIT 16),
+        |d AS (
+        |  SELECT v.vec_id, cell,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, 64), i -> (e[i] - cv[i]) * (e[i] - cv[i]))),
+        |      (a, b) -> a + b) AS d2
+        |  FROM v CROSS JOIN cent
+        |), r AS (
+        |  SELECT vec_id, cell, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        |  FROM d
+        |)
+        |SELECT vec_id, cell, ROUND(d2, 6) AS cdist
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q_text_tokens" ->
       s"""SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT word) AS n_distinct,
         |  ROUND(CAST(SUM(CAST(LENGTH(word) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_len
@@ -4840,6 +4943,8 @@ object LlmData {
     "q_emb_ivfpq_ann" -> (qEmbIvfpqAnn _),
     "q_emb_opqivf_ann" -> (qEmbOpqIvfAnn _),
     "q_emb_whiten_cov" -> (qEmbWhitenCov _),
-    "q_emb_whiten" -> (qEmbWhiten _)
+    "q_emb_whiten" -> (qEmbWhiten _),
+    "q_emb_pq_codes" -> (qEmbPqCodes _),
+    "q_emb_ivf_cells" -> (qEmbIvfCells _)
   )
 }
