@@ -1040,7 +1040,105 @@ case class MatVec(child: Expression, mat: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** Whole-table BPE tokenization in one eval (`bpe_encode`): applies the
+  * ENTIRE learned merge table to a symbol array, replacing the
+  * one-higher-order-fold-per-merge chain whose expression tree grows
+  * linearly in merge count (fine at the registered 10 merges, fatal at
+  * a tokenizer-realistic 32k). The merge table arrives as a driver-side
+  * rank-ordered model array (the PqCodes idiom), so the plan carries
+  * ONE node regardless of merge depth.
+  *
+  * Semantics are exactly the fold chain's (spec-pinned): merges apply
+  * in rank order, each as ONE left-to-right non-overlapping pass (the
+  * carry/emit machine — "aaa" under (a,a) → [aa, a]). The kernel skips
+  * straight to the next APPLICABLE rank instead of evaluating all B
+  * passes: it scans the current adjacent pairs for the minimum table
+  * rank STRICTLY ABOVE the last applied rank (a pair formed by a later
+  * merge never reaches an earlier pass in the fold, so lower ranks are
+  * dead — and a completed pass leaves no occurrence of its own pair
+  * behind: the merged symbol l+r is strictly longer than l, so it can
+  * never recreate (l, r) across a boundary). Each applied merge
+  * shortens the array, so per-word work is O(len² · lookup) —
+  * merge-count-INDEPENDENT, the property that makes 32k-deep
+  * tokenizers viable. Ranks come from a hash map keyed on the raw
+  * symbol pair; absent pairs never merge.
+  */
+case class BpeEncode(child: Expression, merges: Array[(String, String)])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+  override lazy val deterministic: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${t.sql}")
+    }
+  // rank map is rebuilt per deserialized instance (executor-side), not
+  // shipped: keys join the pair on a space — unambiguous because
+  // symbols come from whitespace-split words and can never contain one
+  @transient private lazy val rankOf: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    var i = 0
+    while (i < merges.length) {
+      m.putIfAbsent(merges(i)._1 + " " + merges(i)._2, Integer.valueOf(i + 1))
+      i += 1
+    }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var len = arr.numElements()
+    val syms = new Array[String](len)
+    var i = 0
+    while (i < len) { syms(i) = arr.getUTF8String(i).toString; i += 1 }
+    var rCur = 0
+    var more = len > 1
+    while (more) {
+      var best = Int.MaxValue
+      var j = 0
+      while (j < len - 1) {
+        val r = rankOf.get(syms(j) + " " + syms(j + 1))
+        if (r != null && r.intValue() > rCur && r.intValue() < best) best = r.intValue()
+        j += 1
+      }
+      if (best == Int.MaxValue) more = false
+      else {
+        val l = merges(best - 1)._1
+        val rt = merges(best - 1)._2
+        val merged = l + rt
+        var w = 0
+        var rd = 0
+        while (rd < len) {
+          if (rd < len - 1 && syms(rd) == l && syms(rd + 1) == rt) {
+            syms(w) = merged; rd += 2
+          } else { syms(w) = syms(rd); rd += 1 }
+          w += 1
+        }
+        len = w
+        rCur = best
+        if (len <= 1) more = false
+      }
+    }
+    val out = new Array[Any](len)
+    var k = 0
+    while (k < len) { out(k) = UTF8String.fromString(syms(k)); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
 object VectorExprs {
+  def bpeEncode(syms: Column, merges: Array[(String, String)]): Column =
+    GraftColumnShim.column(BpeEncode(GraftColumnShim.expression(syms),
+      merges.clone))
+
   def pqCodes(v: Column, cb: Array[Array[Array[Double]]]): Column =
     GraftColumnShim.column(PqCodes(GraftColumnShim.expression(v),
       cb.map(_.map(_.clone))))

@@ -2353,8 +2353,12 @@ object LlmData {
     * between B corpus scans and one.
     *
     * Each round: adjacent symbol pairs weighted by word count →
-    * exact long-sum argmax (ties break lexicographically on (left,
-    * right) — fully deterministic) → all words rewritten by the
+    * exact long-sum argmax (ties break on (left, right) in UTF-8
+    * BYTE order — Spark's UTF8String comparison, which the driver-
+    * side reference spec mirrors explicitly; note this diverges from
+    * JVM UTF-16 String order for supplementary-plane symbols, so the
+    * byte order IS the declared contract, not an ASCII coincidence)
+    * → all words rewritten by the
     * standard left-to-right non-overlapping merge (a higher-order
     * aggregate state machine: carry + emit, so "aaa" under merge
     * (a,a) becomes [aa, a], the reference behavior). Rounds chain
@@ -2448,17 +2452,33 @@ object LlmData {
       .orderBy("rank")
   }
 
+  /** The per-merge higher-order fold chain — the plan-encoded BPE
+    * application the compiled BpeEncode kernel replaced on the
+    * registered row. Kept as the independently-derived equivalence
+    * witness: LlmDataSpec pins kernel ≡ chain on the fixture vocab.
+    * Parameter-scale liability by construction (one expression node
+    * per merge), so never use it past tens of merges.
+    */
+  private[graft] def bpeFoldChain(syms: Column,
+      merges: Array[(String, String)]): Column =
+    merges.foldLeft(syms) { case (c, (l, r)) => bpeApply(c, l, r) }
+
   /** BPE tokenization with the learned merges (`q_text_bpe_apply`) —
     * the consumer half of q_text_bpe: per-document subword counts and
     * the chars-per-subword compression ratio, the number every
-    * tokenizer-budget estimate needs. Scale shape: the merge chain
-    * (10 ordered bpeApply folds) runs ONCE PER DISTINCT WORD on the
-    * vocabulary table, and documents join the resulting
+    * tokenizer-budget estimate needs. Scale shape: the whole merge
+    * table applies in ONE compiled `bpe_encode` eval per DISTINCT
+    * WORD on the vocabulary table (the kernel is merge-count-
+    * independent — O(len²) per word whether the table holds 10 or
+    * 32k merges — where the old per-merge fold chain grew the plan
+    * linearly in merge depth), and documents join the resulting
     * (word → n_subwords) table back by word — the token stream is
     * never rewritten per occurrence, the word-frequency trick of the
     * trainer applied to inference. Spec-graded (oracle=— the chain is
     * the trainer's iterative output): per-doc counts pinned to a
-    * driver-side reference tokenization at fixture scale.
+    * driver-side reference tokenization at fixture scale, and the
+    * kernel pinned ≡ the bpeFoldChain plan-encoded form plus a
+    * 1,000-merge depth case.
     */
   def qTextBpeApply(s: SparkSession, dir: String): DataFrame = {
     val merges = bpeMergeArtifact(s, dir).orderBy("rank")
@@ -2468,8 +2488,7 @@ object LlmData {
       .select(col("doc_id"), explode(expr(wordsExpr)).as("w"))
     val vocabToks = docWords.select("w").distinct()
       .withColumn("syms", expr("filter(split(w, ''), x -> x != '')"))
-      .withColumn("toks",
-        merges.foldLeft(col("syms")) { case (c, (l, r)) => bpeApply(c, l, r) })
+      .withColumn("toks", graft.functions.VectorExprs.bpeEncode(col("syms"), merges))
       .select(col("w"), size(col("toks")).as("n_subwords"),
         length(col("w")).as("n_chars"))
     docWords.join(vocabToks, "w")

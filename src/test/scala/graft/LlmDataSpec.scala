@@ -321,7 +321,29 @@ class LlmDataSpec extends SparkSpec {
       }
       if (pc.isEmpty) None
       else {
-        val ((l, r), n) = pc.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+        // tie-break in UTF-8 BYTE order — the operator's declared
+        // contract (Spark compares UTF8String byte-wise; JVM String
+        // order diverges for supplementary-plane symbols, so the
+        // reference must not use it)
+        def u8(a: String, b: String): Int = {
+          val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0
+          while (i < x.length && i < y.length) {
+            val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+            if (c != 0) return c
+            i += 1
+          }
+          java.lang.Integer.compare(x.length, y.length)
+        }
+        val ((l, r), n) = pc.toSeq.sortWith {
+          case (((l1, r1), n1), ((l2, r2), n2)) =>
+            if (n1 != n2) n1 > n2
+            else {
+              val c = u8(l1, l2)
+              if (c != 0) c < 0 else u8(r1, r2) < 0
+            }
+        }.head
         words = words.map { case (syms, cnt) => (applyMerge(syms, l, r), cnt) }
           .filter(_._1.length > 1)
         Some((rk, l, r, l + r, n))
@@ -374,6 +396,84 @@ class LlmDataSpec extends SparkSpec {
           s"want ($nw, $ns, $cps)")
     }
     assert(a.length == ref.size, s"doc coverage: ${a.length} vs ${ref.size}")
+  }
+
+  test("BPE encode kernel equals the plan-encoded fold chain at the learned 10 merges") {
+    val merges = LlmData.qTextBpe(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val vocab = Tables.documents(spark, dir)
+      .selectExpr("explode(filter(split(lower(trim(text)), ' '), x -> x != '')) AS w")
+      .distinct()
+      .selectExpr("w", "filter(split(w, ''), x -> x != '') AS syms")
+    val both = vocab
+      .withColumn("kern", graft.functions.VectorExprs.bpeEncode(col("syms"), merges))
+      .withColumn("chain", LlmData.bpeFoldChain(col("syms"), merges))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[String](2) == r.getSeq[String](3),
+        s"word '${r.getString(0)}': kernel ${r.getSeq[String](2)} != chain ${r.getSeq[String](3)}")
+    }
+  }
+
+  test("BPE encode kernel at 1000-merge depth: reference-equal, plan size merge-count-independent") {
+    val s = spark
+    import s.implicits._
+    // 1,000 synthetic merges over a 10-letter alphabet: 100 char-pair
+    // merges, then 900 second-level (pair, char) merges — a deep table
+    // with plenty of chained applicability, in a fixed rank order
+    val abc = "abcdefghij"
+    val level1 = for (c1 <- abc; c2 <- abc) yield (c1.toString, c2.toString)
+    val level2 = for (c1 <- abc; c2 <- abc; c3 <- "abcdefghi")
+      yield (s"$c1$c2", c3.toString)
+    val merges = (level1 ++ level2).take(1000).toArray
+    // deterministic pseudo-random words over the same alphabet
+    val words = (0 until 300).map { i =>
+      val rnd = new java.util.Random(0xB0E ^ i)
+      (0 until (4 + rnd.nextInt(12))).map(_ => abc(rnd.nextInt(abc.length))).mkString
+    }.distinct
+    // driver-side reference: the literal fold — every merge applied in
+    // rank order as one carry/emit pass (O(B·len), fine at spec scale)
+    def applyMerge(syms: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var carry: String = null
+      syms.foreach { x =>
+        if (carry == null) carry = x
+        else if (carry == l && x == r) { out += (l + r); carry = null }
+        else { out += carry; carry = x }
+      }
+      if (carry != null) out += carry
+      out.toList
+    }
+    val ref = words.map { w =>
+      val syms0 = w.split("").filter(_.nonEmpty).toList
+      w -> merges.foldLeft(syms0) { case (s0, (l, r)) => applyMerge(s0, l, r) }
+    }.toMap
+    val df = words.toDF("w")
+      .selectExpr("w", "filter(split(w, ''), x -> x != '') AS syms")
+      .withColumn("toks", graft.functions.VectorExprs.bpeEncode(col("syms"), merges))
+    val got = df.select("w", "toks").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    val bad = words.filter(w => got(w) != ref(w))
+    assert(bad.isEmpty,
+      bad.headOption.fold("")(w =>
+        s"word '$w': kernel ${got(w)} != reference ${ref(w)}"))
+    // depth-independence of the PLAN: the kernel is one expression node
+    // whether the model holds 10 or 1000 merges — the property the old
+    // per-merge fold chain lacked (its tree grew linearly in B)
+    def planLen(ms: Array[(String, String)]): Int =
+      words.take(5).toDF("w")
+        .selectExpr("filter(split(w, ''), x -> x != '') AS syms")
+        .withColumn("toks", graft.functions.VectorExprs.bpeEncode(col("syms"), ms))
+        .queryExecution.analyzed.toString.length
+    val p10 = planLen(merges.take(10))
+    val p1000 = planLen(merges)
+    assert(p1000 <= p10 + 100,
+      s"plan grew with merge depth: $p10 chars at 10 merges, $p1000 at 1000")
+    // determinism across independent evaluations
+    val again = df.select("w", "toks").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(again == got, "1000-merge kernel output drifted between runs")
   }
 
   test("IVFADC: deterministic; recall >= 0.6 vs the probed-cells exact oracle") {
