@@ -40,7 +40,7 @@ object LlmData {
     * equivalence to the split + zip_with + array_distinct chain it
     * replaced, including kept-empty-token and sub-two-word behavior).
     */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
+  private[graft] def shingled(s: SparkSession, dir: String): DataFrame =
     docsNorm(s, dir)
       .select(col("doc_id"),
         graft.functions.VectorExprs.wordBigramShingles(col("norm_text")).as("shingles"))

@@ -80,6 +80,110 @@ object CorpusStreams {
       }
   }
 
+  case class BucketState(ids: List[Long])
+  case class CandPair(a_id: Long, b_id: Long)
+
+  /** The corpus shingle artifact the streaming screen verifies against
+    * — the batch pipeline's own word-bigram shingle table (doc_id,
+    * shingles, sz), maintained as arriving shards are admitted.
+    */
+  def corpusShingleArtifact(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LlmData
+    LlmData.shingled(s, dir)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
+      .filter(col("sz") > 0)
+  }
+
+  /** Streaming incremental near-dup screen (batch twin:
+    * q_dedup_incremental) — the ingest-time face of the shard-arrival
+    * workflow: every arriving document is screened against everything
+    * admitted before it, WHILE the shard lands, not in a nightly
+    * batch. Same candidate machinery as the batch banded path, run
+    * incrementally:
+    *
+    *  - stream side: norm → compiled word-bigram shingles → minhash
+    *    signature → banded keys, the EXACT batch expressions (band
+    *    count derived from τ and the 0.95 recall target — the
+    *    textPairsBanded contract, same fail-fast);
+    *  - the maintained BAND TABLE is the state: one group per
+    *    (band, band_key) bucket holding member doc_ids — in total the
+    *    O(corpus × bands) id table a production pipeline would keep
+    *    as its signature artifact, here updated transactionally by
+    *    the state store. A pair (a, b) emits exactly once per shared
+    *    bucket, when the LATER of the two arrives, so the output SET
+    *    is arrival-order- and trigger-boundary-independent;
+    *  - pairs where both sides predate the shard threshold `t` are
+    *    suppressed INSIDE the bucket transform (max(a,b) > t before
+    *    anything materializes — the batch path's own old×old rule);
+    *  - candidates then verify EXACTLY against the static shingle
+    *    artifact (stream-static joins + one array_intersect), jac ≥ τ.
+    *
+    * Cross-band collisions emit the same verified pair at-least-once
+    * (one per shared bucket); the pair-graph sink upserts on
+    * (a_id, b_id) — exactly how the batch artifact absorbs its own
+    * `.distinct()` — and the parity spec compares distinct tuple
+    * sets against the batch banded path bit-for-bit.
+    */
+  def dedupScreen(docs: DataFrame, corpusShingles: DataFrame, t: Long,
+      tau: Double): DataFrame = {
+    import graft.operators.LlmData
+    val s = docs.sparkSession
+    import s.implicits._
+    val bands = LlmData.mhBandsFor(tau, LlmData.MhBandRows, LlmData.MhRecallTarget)
+    require(bands <= LlmData.MhMaxBands,
+      s"streaming near-dup screen at tau=$tau: band count $bands exceeds " +
+        s"${LlmData.MhMaxBands} — raise tau (the textPairsBanded contract)")
+    val rows = LlmData.MhBandRows
+    val nPerms = (bands * rows).toInt
+    val banded = docs
+      .withColumn("norm_text", lower(trim(col("text"))))
+      .select(col("doc_id"),
+        graft.functions.VectorExprs.wordBigramShingles(col("norm_text")).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"),
+        graft.functions.VectorExprs.minhashSignature(col("shingles"), nPerms).as("sig"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))")))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
+      .as[(Long, Int, Long)]
+    val cand = banded
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[BucketState, CandPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rs, state: GroupState[BucketState]) =>
+          var mem = state.getOption.map(_.ids).getOrElse(Nil)
+          val memSet = scala.collection.mutable.HashSet.empty[Long]
+          mem.foreach(memSet += _)
+          // ascending within the trigger: the later id of an intra-
+          // trigger pair is the "arriving" side, same as cross-trigger
+          val incoming = rs.map(_._1).toSeq.distinct.sorted
+          val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+          incoming.foreach { x =>
+            if (!memSet.contains(x)) { // replays screen once
+              mem.foreach { m =>
+                val a = math.min(m, x); val b = math.max(m, x)
+                if (b > t) out += CandPair(a, b)
+              }
+              mem = x :: mem
+              memSet += x
+            }
+          }
+          state.update(BucketState(mem))
+          out.iterator
+      }
+    cand.toDF()
+      .join(corpusShingles.select(col("doc_id").as("a_id"),
+        col("shingles").as("a_sh"), col("sz").as("a_sz")), "a_id")
+      .join(corpusShingles.select(col("doc_id").as("b_id"),
+        col("shingles").as("b_sh"), col("sz").as("b_sz")), "b_id")
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("jac",
+        round(col("inter") / (col("a_sz") + col("b_sz") - col("inter")), 6))
+      .filter(col("jac") >= tau)
+      .select("a_id", "b_id", "jac")
+  }
+
   case class DocKey(source: String, lang: String)
   case class Chi2State(counts: Map[DocKey, Long], seq: Long)
   case class Chi2Out(seq: Long, source: String, n_docs: Long, chi2_contrib: Double)

@@ -1153,6 +1153,85 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("dedup-screen twin: file-source distinct pairs equal the batch banded path") {
+    import graft.streaming.CorpusStreams
+    import graft.operators.LlmData
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val mx = graft.Tables.documents(s, dir).agg(max("doc_id")).head().getLong(0)
+    val t = mx - mx / 10
+    val nDocs = graft.Tables.documents(s, dir).count()
+    // ground truth: the batch BANDED incremental path (exactGate = 0
+    // forces it) — same shingles, same minhash, same band derivation,
+    // so candidates and verify are the identical deterministic
+    // function and parity is bit-for-bit, not probabilistic. The
+    // banded path itself is pinned ≡ exact in ScaleOpsSpec.
+    val sh = LlmData.shingled(s, dir)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
+    val batch = LlmData.incrementalPairs(sh, t, 0.3, s, nDocs, exactGate = 0)
+      .select("a_id", "b_id", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val q = CorpusStreams.dedupScreen(
+        CorpusStreams.readDocuments(s, dir),
+        CorpusStreams.corpusShingleArtifact(s, dir), t, 0.3)
+      .writeStream.format("memory").queryName("screen_file")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = s.sql("SELECT DISTINCT a_id, b_id, jac FROM screen_file")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(batch.nonEmpty, "fixture must contain new-involving banded pairs")
+      assert(streamed == batch,
+        s"screen diverged from batch banded path: missing=${batch.diff(streamed)} " +
+          s"extra=${streamed.diff(batch)}")
+    } finally q.stop()
+  }
+
+  test("dedup-screen soak: cross-trigger pair surfaces, old-only pairs suppressed, state is the band table") {
+    import graft.streaming.CorpusStreams
+    val s = spark
+    import s.implicits._
+    // synthetic corpus: ids ≤ 99 are the existing corpus, ids ≥ 100
+    // the arriving shard; texts are word sequences so identical texts
+    // share every bigram (jac 1.0) and distinct texts share none
+    def text(j: Int): String = (0 until 8).map(w => s"w${j}_$w").mkString(" ")
+    val oldDocs = (0L to 9L).map(i => (i, text(i.toInt))) ++
+      Seq((20L, text(90)), (21L, text(90))) // planted OLD×OLD dup — must be suppressed
+    val newDocs = Seq(
+      (100L, text(0)),  // cross-trigger dup of old doc 0
+      (101L, text(91)), (102L, text(91)), // NEW×NEW dup inside the shard
+      (103L, text(92))) // unique — no pairs
+    val allDocs = oldDocs ++ newDocs
+    val statics = allDocs.toDF("doc_id", "text")
+      .withColumn("norm_text", lower(trim(col("text"))))
+      .select(col("doc_id"),
+        graft.functions.VectorExprs.wordBigramShingles(col("norm_text")).as("shingles"))
+      .withColumn("sz", size(col("shingles")))
+    val stream = MemoryStream[(Long, String)](s)
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val q = CorpusStreams.dedupScreen(docs, statics, t = 99L, tau = 0.3)
+      .writeStream.format("memory").queryName("screen_soak")
+      .outputMode("append").start()
+    try {
+      stream.addData(oldDocs)
+      q.processAllAvailable()
+      val afterOld = s.sql("SELECT DISTINCT a_id, b_id FROM screen_soak").count()
+      assert(afterOld == 0,
+        s"old×old pairs must never emit from the screen, got $afterOld")
+      stream.addData(newDocs)
+      q.processAllAvailable()
+      val pairs = s.sql("SELECT DISTINCT a_id, b_id FROM screen_soak")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((0L, 100L), (101L, 102L)),
+        s"expected the cross-trigger and in-shard pairs only, got $pairs")
+      // state is the maintained band table: O(docs × bands) member ids
+      // spread over (band, band_key) buckets — 13 banded docs × 34
+      // bands = 442 memberships is the hard ceiling
+      assert(stateRows(q) <= 13L * 34,
+        s"band-table state exceeded the membership bound: ${stateRows(q)}")
+    } finally q.stop()
+  }
+
   test("file-source anomaly twin matches batch rows on watermark-closed days") {
     // full-tuple parity (counts, sums, mean/std/z AND flags) with the
     // oracle-checked q_ev_anomaly, restricted to days the bounded
