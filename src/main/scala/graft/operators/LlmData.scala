@@ -1790,8 +1790,48 @@ object LlmData {
       twoPhaseCut = n > 65536L)
   }
 
+  /** IVFADC with a TRAINED coarse quantizer (`q_emb_ivfpq_lloyd`) —
+    * q_emb_ivfpq_ann with the hash-sampled coarse centroids replaced
+    * by Lloyd-refined ones (trainCoarseCentroids: the shared PQ
+    * trainer at M = 1). Hash-sampled centroids inherit the corpus
+    * density, so dense regions spawn near-duplicate centroids and
+    * cell occupancy skews — oversized inverted lists bound the ANN
+    * tail latency at any probe budget; one exact-decimal Lloyd round
+    * rebalances them (measured occupancy skew + recall vs the
+    * hash-sampled baseline recorded in BASELINE.md). Downstream is
+    * byte-identical to q_emb_ivfpq_ann: residual PQ codebook, keyed
+    * candidate scoring, exact re-rank. Spec-graded (oracle=— ANN
+    * family): determinism + recall floor + the skew comparison.
+    */
+  def qEmbIvfpqLloyd(s: SparkSession, dir: String): DataFrame = {
+    val n = parquetRowCount(s, s"$dir/embeddings.parquet")
+    ivfpqAnn(embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id")),
+      k1 = 16, nProbe = 8, trainCap = 2048,
+      twoPhaseCut = n > 65536L, lloydCoarse = true)
+  }
+
+  /** Lloyd-trained coarse centroids for the IVF family: one (or more)
+    * exact-decimal k-means rounds on a hash-sampled training cap, via
+    * the SAME trainPqCodebook machinery at M = 1 (one "subspace" = the
+    * full vector — nearest-full-centroid assignment through the
+    * compiled PqCodes kernel, refit from exact per-dim decimal means,
+    * deterministic under any partitioning). Real IVF indexes train
+    * their coarse quantizer because hash-sampled centroids inherit the
+    * data's density — dense regions get many near-duplicate centroids
+    * and sparse regions none, so cell occupancy skews and tail probes
+    * scan oversized lists. Cost: O(iters · cap · k1 · d) on the
+    * sample + the one full assignment pass every IVF build already
+    * pays; driver state is the O(k1·d) centroid table.
+    */
+  private[graft] def trainCoarseCentroids(train: DataFrame, k1: Int,
+      iters: Int): Array[Array[Double]] =
+    trainPqCodebook(train, M = 1, K = k1, iters, subDim = EmbDim)(0)
+
   private[graft] def ivfpqAnn(emb0: DataFrame, k1: Int, nProbe: Int,
-      trainCap: Int, twoPhaseCut: Boolean = false): DataFrame = {
+      trainCap: Int, twoPhaseCut: Boolean = false,
+      lloydCoarse: Boolean = false, coarseIters: Int = 1): DataFrame = {
     // shortR = 100 (vs flat PQ's 50): coarse residuals on weakly
     // clustered data carry more quantization noise than raw vectors
     // (residual norm grows when the nearest centroid is far), so the
@@ -1803,9 +1843,22 @@ object LlmData {
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
     val emb = emb0.cache() // assignment, probes, re-rank fetch
-    val cent = emb.withColumn("h", xxhash64(col("vec_id")))
-      .orderBy("h", "vec_id").limit(k1)
-      .select(col("vec_id").as("cell"), col("v").as("cv"))
+    val cent =
+      if (!lloydCoarse)
+        emb.withColumn("h", xxhash64(col("vec_id")))
+          .orderBy("h", "vec_id").limit(k1)
+          .select(col("vec_id").as("cell"), col("v").as("cv"))
+      else {
+        val sess = emb0.sparkSession
+        import sess.implicits._
+        val train = emb.withColumn("h", xxhash64(col("vec_id")))
+          .orderBy("h", "vec_id").limit(trainCap)
+          .select("vec_id", "v")
+          .cache() // re-read once per Lloyd round
+        trainCoarseCentroids(train, k1, coarseIters).zipWithIndex
+          .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+          .toDF("cell", "cv")
+      }
     val wA = Window.partitionBy("vec_id").orderBy(col("cdist"), col("cell"))
     val resid = emb.crossJoin(broadcast(cent))
       .withColumn("cdist", dist2(col("v"), col("cv")))
@@ -4960,6 +5013,7 @@ object LlmData {
     "q_emb_pq_ann" -> (qEmbPqAnn _),
     "q_emb_opq_ann" -> (qEmbOpqAnn _),
     "q_emb_ivfpq_ann" -> (qEmbIvfpqAnn _),
+    "q_emb_ivfpq_lloyd" -> (qEmbIvfpqLloyd _),
     "q_emb_opqivf_ann" -> (qEmbOpqIvfAnn _),
     "q_emb_whiten_cov" -> (qEmbWhitenCov _),
     "q_emb_whiten" -> (qEmbWhiten _),

@@ -548,6 +548,101 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("IVFADC Lloyd coarse: deterministic, recall holds, occupancy skew vs hash-sampled measured") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def l2(x: Array[Double], y: Array[Double]): Double =
+      x.zip(y).map { case (p, q) => (p - q) * (p - q) }.sum
+    val a = LlmData.qEmbIvfpqLloyd(spark, dir).collect()
+    val b = LlmData.qEmbIvfpqLloyd(spark, dir).collect()
+    assert(a.nonEmpty && a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "Lloyd-coarse IVFADC drifted between runs")
+    // the trained centroids the operator actually used (trainCap 2048
+    // ≥ fixture 500 → the sample is the whole corpus)
+    val trainDf = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val lloydCents = LlmData.trainCoarseCentroids(trainDf, 16, 1)
+    // hash-sampled baseline centroids (the q_emb_ivfpq_ann pick)
+    val h = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "xxhash64(vec_id) AS h")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hashCents = vecs.map(_._1).sortBy(id => (h(id), id)).take(16)
+      .map(id => vecs.find(_._1 == id).get._2)
+    def occupancy(cents: Seq[Array[Double]]): Seq[Int] =
+      vecs.map { case (_, v) =>
+        cents.zipWithIndex.map { case (c, i) => (l2(v, c), i) }.min._2 }
+        .groupBy(identity).map(_._2.size).toSeq
+    def skew(occ: Seq[Int]): Double =
+      occ.max.toDouble / (vecs.length.toDouble / 16)
+    val (skH, skL) = (skew(occupancy(hashCents.toSeq)),
+      skew(occupancy(lloydCents.toSeq)))
+    val emptyH = 16 - occupancy(hashCents.toSeq).size
+    val emptyL = 16 - occupancy(lloydCents.toSeq).size
+    info(f"cell occupancy skew (max/mean): hash-sampled $skH%.2f " +
+      f"($emptyH empty cells), Lloyd $skL%.2f ($emptyL empty cells)")
+    assert(skL <= skH,
+      f"one Lloyd round should not worsen occupancy skew: $skL%.2f vs $skH%.2f")
+    // recall vs the Lloyd-probed-cells exact oracle (the IVFADC
+    // contract split: the coarse quantizer declares the probed cells,
+    // within them residual-PQ + re-rank must recover exact top-10)
+    def cellOf(v: Array[Double]): Int =
+      lloydCents.zipWithIndex.map { case (c, i) => (l2(v, c), i) }.min._2
+    val restricted = vecs.filter(_._1 < 5).flatMap { case (pid, pv) =>
+      val probed = lloydCents.zipWithIndex
+        .map { case (c, i) => (l2(pv, c), i) }.sorted.take(8).map(_._2).toSet
+      vecs.filter(t => t._1 != pid && probed(cellOf(t._2)))
+        .map { case (cid, cv) => (cid, l2(pv, cv)) }
+        .sortBy { case (cid, d) => (d, cid) }.take(10)
+        .map { case (cid, _) => (pid, cid) }
+    }.toSet
+    val got = a.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rRestricted = restricted.count(got.contains).toDouble / restricted.size
+    info(f"Lloyd-coarse IVFADC recall vs its probed-cells oracle: $rRestricted%.3f")
+    assert(rRestricted >= 0.6,
+      f"Lloyd-coarse recall $rRestricted%.3f vs the probed-cells exact oracle")
+    // the case Lloyd exists for: a CLUSTERED corpus (the real-embedding
+    // shape). The monotone Lloyd guarantee is QUANTIZATION ERROR —
+    // within-cell variance falls every round — which is what bounds
+    // residual-PQ noise and hence ADC ranking quality. Occupancy skew
+    // is measured and recorded but NOT monotone: on a cluster tighter
+    // than its centroid spacing the refit collapses that cluster's
+    // centroids together and one cell swallows it (measured on a
+    // 0.05-σ ball fixture — BASELINE.md), so the skew claim is an
+    // empirical per-corpus readout, never a guarantee.
+    val s2 = spark
+    import s2.implicits._
+    val clustered = (0 until 2000).map { i =>
+      val rnd = new java.util.Random(0xC1D ^ i)
+      val v =
+        if (i < 1600) Array.tabulate(64)(d => 5.0 * (if (d == 0) 1 else 0) +
+          0.5 * rnd.nextGaussian())   // dense ball, 80% of mass
+        else Array.fill(64)(2.0 * rnd.nextGaussian()) // spread 20%
+      (i.toLong, v)
+    }
+    val cdf = clustered.toDF("vec_id", "v")
+    val hashC = cdf.selectExpr("vec_id", "xxhash64(vec_id) AS h")
+      .orderBy("h", "vec_id").limit(16).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val hashCents2 = clustered.filter(t => hashC(t._1)).map(_._2)
+    val lloydCents2 = LlmData.trainCoarseCentroids(cdf, 16, 1)
+    def profile(cents: Seq[Array[Double]]): (Double, Double, Int) = {
+      val assigned = clustered.map { case (_, v) =>
+        val (d, i) = cents.zipWithIndex.map { case (c, i) => (l2(v, c), i) }.min
+        (i, d)
+      }
+      val occ = assigned.map(_._1).groupBy(identity).map(_._2.size).toSeq
+      (assigned.map(_._2).sum / clustered.size,
+        occ.max.toDouble / (2000.0 / 16), 16 - occ.size)
+    }
+    val (qeH, skH2, emH) = profile(hashCents2.toSeq)
+    val (qeL, skL2, emL) = profile(lloydCents2.toSeq)
+    info(f"clustered corpus — quantization error: hash $qeH%.1f, Lloyd $qeL%.1f; " +
+      f"occupancy skew: hash $skH2%.2f ($emH empty), Lloyd $skL2%.2f ($emL empty)")
+    assert(qeL < qeH,
+      f"one Lloyd round must cut quantization error: $qeL%.1f vs hash $qeH%.1f")
+  }
+
   test("OPQ ANN: deterministic, recall >= 0.5, beats plain PQ on a correlated corpus") {
     // registry entry on the real fixture: determinism + the PQ row's
     // recall bound (rotation preserves L2, so exact top-10 is the
