@@ -131,7 +131,10 @@ object LimeImage {
           (id, s, cs(s), masked, nSeg, x.length)
         }
       }
-      .toDF("doc_id", "spix", "c_kept", "c_masked", "n_seg", "n_pix")
+      // n_vals is the FLAT element count (pixels × channels) — named
+      // so because the sigmoid normalization below is over flat
+      // elements, not pixels; for grayscale the two coincide
+      .toDF("doc_id", "spix", "c_kept", "c_masked", "n_seg", "n_vals")
 
     // samples × superpixels fan-out; sample 0 is the unperturbed image
     val sw = perSpix
@@ -141,14 +144,14 @@ object LimeImage {
           .otherwise((Rng.u01(lit(cfg.seed), col("doc_id"), col("sample_id"),
             col("spix")) < 0.5).cast("double")))
 
-    val persample = sw.groupBy("doc_id", "sample_id", "n_seg", "n_pix")
+    val persample = sw.groupBy("doc_id", "sample_id", "n_seg", "n_vals")
       .agg(
         sum(col("keep") * col("c_kept") +
           (lit(1.0) - col("keep")) * col("c_masked")).as("score_lin"),
         sum(col("keep")).as("n_kept"),
         array_sort(collect_list(struct(col("spix"), col("keep")))).as("zs"))
       .withColumn("pred",
-        lit(1.0) / (lit(1.0) + exp(-col("score_lin") / sqrt(col("n_pix").cast("double")))))
+        lit(1.0) / (lit(1.0) + exp(-col("score_lin") / sqrt(col("n_vals").cast("double")))))
       // binary-mask cosine distance ×100 against kernel width 25 —
       // the LimeText rule (itself the public implementation's)
       .withColumn("dist",

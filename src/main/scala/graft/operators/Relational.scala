@@ -502,7 +502,11 @@ object Relational {
     val sv = cust.groupBy("c_mktsegment", "v").agg(count(lit(1)).as("csv"))
     val rs = sv.join(grid, "v")
       .groupBy("c_mktsegment")
-      .agg(sum((col("csv") * col("ar2")).cast("decimal(38,0)")).as("rs2"),
+      // cast ONE OPERAND before the multiply (the pcaBasis rule): a
+      // post-product cast would still run the multiply in long
+      // arithmetic, which wraps once csv·ar2 nears 2⁶³ at extreme
+      // corpus sizes; decimal × long promotes the product itself
+      .agg(sum(col("csv").cast("decimal(38,0)") * col("ar2")).as("rs2"),
         sum(col("csv")).as("n1"))
       .crossJoin(broadcast(tot))
       .withColumn("n2", col("nn") - col("n1"))
@@ -594,9 +598,14 @@ object Relational {
       .withColumn("sx", sum(col("v")).over(wN))
       .withColumn("sxx", sum(col("v") * col("v")).over(wN))
       .withColumn("mean", col("sx").cast("double") / col("n"))
-      .withColumn("std", sqrt(greatest(
+      // n = 1 makes the sample variance 0/0 = NaN, and greatest()
+      // would keep the NaN (both engines rank NaN largest), leaving z
+      // resting on cross-engine NaN formatting — a singleton peer
+      // group has no defined dispersion, so pin std = 0 explicitly
+      .withColumn("std", when(col("n") > 1, sqrt(greatest(
         (col("sxx").cast("double") - col("sx").cast("double") *
           col("sx").cast("double") / col("n")) / (col("n") - lit(1L)), lit(0.0))))
+        .otherwise(lit(0.0)))
       .withColumn("z", (col("v").cast("double") - col("mean")) /
         greatest(col("std"), lit(1e-9)))
     val wTop = Window.partitionBy("c_nationkey")
@@ -628,10 +637,15 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         sum(col("v")).as("sv"),
         sum(col("rn") * col("v")).as("siv"))
+      // a zero-sum group (negative balances cancelling) has no defined
+      // concentration, and the bare formula would divide by zero —
+      // where Spark doubles give NaN but DuckDB errors/NULLs, so the
+      // undefined case is pinned to NULL explicitly in both engines
       .select(col("c_mktsegment"), col("n"),
-        round(lit(2.0) * col("siv").cast("double") /
-          (col("n").cast("double") * col("sv").cast("double")) -
-          (col("n") + lit(1L)).cast("double") / col("n").cast("double"), 6)
+        when(col("sv") =!= lit(0),
+          round(lit(2.0) * col("siv").cast("double") /
+            (col("n").cast("double") * col("sv").cast("double")) -
+            (col("n") + lit(1L)).cast("double") / col("n").cast("double"), 6))
           .as("gini"))
       .orderBy("c_mktsegment")
   }
@@ -2090,8 +2104,9 @@ object Relational {
         |), z AS (
         |  SELECT c_nationkey, c_custkey, v,
         |    (CAST(v AS DOUBLE) - CAST(sx AS DOUBLE) / n) /
-        |      GREATEST(SQRT(GREATEST((CAST(sxx AS DOUBLE) -
-        |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1), 0.0)), 1e-9) AS zz
+        |      GREATEST(CASE WHEN n > 1 THEN SQRT(GREATEST((CAST(sxx AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1), 0.0))
+        |        ELSE 0.0 END, 1e-9) AS zz
         |  FROM m
         |), r AS (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
@@ -2111,9 +2126,11 @@ object Relational {
         |  FROM t
         |)
         |SELECT c_mktsegment, COUNT(*) AS n,
-        |  ROUND(2.0 * CAST(SUM(rn * v) AS DOUBLE) /
-        |    (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(v) AS DOUBLE)) -
-        |    CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS gini
+        |  CASE WHEN SUM(v) <> 0 THEN
+        |    ROUND(2.0 * CAST(SUM(rn * v) AS DOUBLE) /
+        |      (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(v) AS DOUBLE)) -
+        |      CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |  END AS gini
         |FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_agg_wmedian" ->
       """WITH t AS (

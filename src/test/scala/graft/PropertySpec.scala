@@ -8,8 +8,11 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 /** ScalaCheck property suite (SURVEY.md §5.4). Driver-side properties
   * of the LIME numerics — the distributed forms are exercised by
   * LimeSpec/DeterminismSpec; these pin the math over random inputs.
+  * Also hosts the degenerate-input battery for the round-9 statistics
+  * rows (gini / wmedian / zscore_peer), which needs the shared
+  * session.
   */
-class PropertySpec extends AnyFunSuite {
+class PropertySpec extends SparkSpec {
 
   private def check(name: String, prop: Prop, n: Int = 100): Unit = {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
@@ -107,5 +110,56 @@ class PropertySpec extends AnyFunSuite {
         assert(row.getInt(i) == expected, s"x=$x edges=$edges")
       }
     }
+  }
+
+  test("degenerate-input battery: gini / wmedian / zscore_peer stay defined") {
+    import graft.operators.Relational
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("degen").toString
+    // customer: nation 1 is a SINGLETON peer group (σ = 0/0 without
+    // the guard); segment EQ is all-equal balances (gini must be 0);
+    // segment ZERO sums to zero (gini undefined → NULL, never NaN/∞)
+    Seq(
+      (1L, 1L, "EQ", BigDecimal("100.00")),
+      (2L, 2L, "EQ", BigDecimal("100.00")),
+      (3L, 2L, "EQ", BigDecimal("100.00")),
+      (4L, 2L, "EQ", BigDecimal("100.00")),
+      (5L, 2L, "ZERO", BigDecimal("5.00")),
+      (6L, 2L, "ZERO", BigDecimal("-5.00")))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.parquet(s"$dir/customer.parquet")
+    // lineitem: flag A has ZERO TOTAL WEIGHT (the cumw·2 ≥ totw filter
+    // keeps every row → wmedian = min price, both engines); flag B is
+    // all-equal prices (wmedian = the value)
+    Seq(
+      ("A", BigDecimal("30.00"), 1L, 1, BigDecimal("0.00")),
+      ("A", BigDecimal("10.00"), 1L, 2, BigDecimal("0.00")),
+      ("A", BigDecimal("20.00"), 2L, 1, BigDecimal("0.00")),
+      ("B", BigDecimal("50.00"), 3L, 1, BigDecimal("2.00")),
+      ("B", BigDecimal("50.00"), 3L, 2, BigDecimal("1.00")))
+      .toDF("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber", "l_quantity")
+      .write.parquet(s"$dir/lineitem.parquet")
+
+    val gini = Relational.qAggGini(s, dir).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(gini("EQ").contains(0.0), s"all-equal gini must be 0, got ${gini("EQ")}")
+    assert(gini("ZERO").isEmpty, s"zero-sum gini must be NULL, got ${gini("ZERO")}")
+
+    val wm = Relational.qAggWeightedMedian(s, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(wm("B") == ((50.0, 3.0)), s"all-equal wmedian: ${wm("B")}")
+    assert(wm("A") == ((10.0, 0.0)),
+      s"zero-total-weight contract is min price + weight 0: ${wm("A")}")
+
+    val z = Relational.qWinZscorePeer(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(4)).toMap
+    assert(z.values.forall(v => !v.isNaN && !v.isInfinite),
+      s"z-scores must stay finite on degenerate groups: $z")
+    assert(z((1L, 1L)) == 0.0,
+      s"singleton peer group must z-score 0, got ${z((1L, 1L))}")
+    // all-equal nation 2 balances vary, but the all-equal SEGMENT rows
+    // within it are symmetric; just require every row defined
+    assert(z.size == 4, s"top-3 per nation over {1:1 row, 2:5 rows}: $z")
   }
 }
