@@ -1,9 +1,33 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Mutation canary for the oracle harness: with
+    * `GRAFT_VERIFY_MUTATE=<query>` (env) or `-Dgraft.verify.mutate=
+    * <query>`, the named query's FIRST NUMERIC COLUMN is shifted by
+    * +1 before the dump. A green sweep is only as trustworthy as the
+    * comparator's ability to go red; running the sweep with this flag
+    * and watching preflight/the driver FAIL exactly that query proves
+    * the hash compare actually bites (OutputContractSpec pins the
+    * mutation mechanism itself; the end-to-end red run is recorded in
+    * SURVEY §5). Production sweeps never set the flag.
+    */
+  private[graft] def mutate(name: String, df: DataFrame): DataFrame = {
+    val target = sys.env.get("GRAFT_VERIFY_MUTATE")
+      .orElse(sys.props.get("graft.verify.mutate"))
+    if (!target.contains(name)) df
+    else {
+      import org.apache.spark.sql.functions.{col, lit}
+      val numCol = df.schema.fields
+        .find(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+        .getOrElse(sys.error(s"mutation canary: no numeric column in $name"))
+        .name
+      System.err.println(s"[verify] MUTATION CANARY ACTIVE: $name.$numCol += 1")
+      df.withColumn(numCol, col(numCol) + lit(1))
+    }
+  }
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional extra args: restrict the dump to the named queries
@@ -26,7 +50,7 @@ object Verify {
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (name, _) => only(name) }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try mutate(name, fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -41,4 +41,29 @@ class OutputContractSpec extends SparkSpec {
     }
     assert(bad.isEmpty, bad.mkString(", "))
   }
+
+  test("oracle mutation canary: the flag perturbs exactly one numeric column of the target") {
+    // a two-round-green sweep is only as trustworthy as the
+    // comparator's ability to go red; the canary flag lets the sweep
+    // be run with one constant flipped, and THIS test pins that the
+    // flip is live, targeted, and a no-op when the flag is off
+    val df = graft.operators.Relational.qAggHash(spark, dir)
+    assert(Verify.mutate("q_agg_hash", df) eq df,
+      "flag off: mutate must be an identity pass-through")
+    sys.props("graft.verify.mutate") = "q_agg_hash"
+    try {
+      assert(Verify.mutate("q_filter_pred", df) eq df,
+        "untargeted queries must pass through untouched")
+      val mut = Verify.mutate("q_agg_hash", df)
+      val cols = df.columns
+      val before = df.collect().map(r => cols.map(c => r.get(r.fieldIndex(c))))
+      val after = mut.collect().map(r => cols.map(c => r.get(r.fieldIndex(c))))
+      val changed = cols.indices.filter(i =>
+        before.map(_(i)).toSeq != after.map(_(i)).toSeq)
+      val firstNum = df.schema.fields.indexWhere(
+        _.dataType.isInstanceOf[NumericType])
+      assert(changed == Seq(firstNum),
+        s"exactly the first numeric column must change, got indices $changed")
+    } finally sys.props -= "graft.verify.mutate"
+  }
 }
