@@ -184,6 +184,79 @@ object CorpusStreams {
       .select("a_id", "b_id", "jac")
   }
 
+  /** The corpus embedding artifact (vec_id, v, nrm) the embedding
+    * screen verifies against — the batch pipeline's own normed table.
+    */
+  def corpusEmbeddingArtifact(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LlmData.embWithNorms(s, dir)
+
+  def readEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+    s.readStream.schema(schema)
+      .option("basePath", dir)
+      .parquet(s"$dir/embeddings*.parquet")
+  }
+
+  /** Streaming incremental EMBEDDING near-dup screen (batch twin:
+    * q_dedup_embed_incr) — the vector-side face of dedupScreen, same
+    * bucket-state machinery over hyperplane-LSH bands instead of
+    * minhash bands: arriving vectors hash through the batch path's own
+    * seeded hyperplane signatures (bits × tables from the SAME
+    * derivation contract), the maintained band table lives as
+    * (band, sig)-bucket state, a pair emits once per shared bucket
+    * when its later side arrives with old×old suppressed inside the
+    * transform, and candidates verify exactly (cosine ≥ τ) against
+    * the static embedding artifact. Output distinct tuples ≡ the
+    * batch banded pair graph filtered to new-involving pairs,
+    * bit-for-bit (same signatures ⇒ same buckets ⇒ same candidates ⇒
+    * same verified cosines).
+    */
+  def embedScreen(vecs: DataFrame, corpusEmb: DataFrame, t: Long,
+      tau: Double, bits: Int, tables: Int, seed: Long): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val banded = vecs
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("sigs",
+        graft.functions.VectorExprs.hyperplaneSigs(col("v"), seed, tables, bits, 64))
+      .select(col("vec_id"), posexplode(col("sigs")))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("sig"))
+      .as[(Long, Int, Long)]
+    val cand = banded
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[BucketState, CandPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rs, state: GroupState[BucketState]) =>
+          var mem = state.getOption.map(_.ids).getOrElse(Nil)
+          val memSet = scala.collection.mutable.HashSet.empty[Long]
+          mem.foreach(memSet += _)
+          val incoming = rs.map(_._1).toSeq.distinct.sorted
+          val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+          incoming.foreach { x =>
+            if (!memSet.contains(x)) {
+              mem.foreach { m =>
+                val a = math.min(m, x); val b = math.max(m, x)
+                if (b > t) out += CandPair(a, b)
+              }
+              mem = x :: mem
+              memSet += x
+            }
+          }
+          state.update(BucketState(mem))
+          out.iterator
+      }
+    cand.toDF()
+      .join(corpusEmb.select(col("vec_id").as("a_id"),
+        col("v").as("av"), col("nrm").as("an")), "a_id")
+      .join(corpusEmb.select(col("vec_id").as("b_id"),
+        col("v").as("bv"), col("nrm").as("bn")), "b_id")
+      .withColumn("cosine", round(
+        graft.functions.VectorExprs.dotF64(col("av"), col("bv")) /
+          (col("an") * col("bn")), 6))
+      .filter(col("cosine") >= tau)
+      .select("a_id", "b_id", "cosine")
+  }
+
   case class DocKey(source: String, lang: String)
   case class Chi2State(counts: Map[DocKey, Long], seq: Long)
   case class Chi2Out(seq: Long, source: String, n_docs: Long, chi2_contrib: Double)

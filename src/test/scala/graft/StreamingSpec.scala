@@ -1232,6 +1232,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("embed-screen twin: file-source distinct pairs equal the batch LSH path's new-involving set") {
+    import graft.streaming.CorpusStreams
+    import graft.operators.LlmData
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val mx = s.read.parquet(s"$dir/embeddings.parquet")
+      .agg(max("vec_id")).head().getLong(0)
+    val t = mx - mx / 10
+    // ground truth: the batch banded graph (fixture band parameters —
+    // the DedupEmbedSpec contract, pinned pair-for-pair ≡ exact)
+    // filtered to new-involving pairs; same signatures ⇒ parity is
+    // bit-for-bit, not probabilistic
+    val batch = LlmData.embNearDupLsh(LlmData.embWithNorms(s, dir),
+        0.4, bits = 4, tables = 64, seed = LlmData.EmbLshSeed)
+      .filter(col("b_id") > t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val q = CorpusStreams.embedScreen(
+        CorpusStreams.readEmbeddings(s, dir),
+        CorpusStreams.corpusEmbeddingArtifact(s, dir), t,
+        tau = 0.4, bits = 4, tables = 64, seed = LlmData.EmbLshSeed)
+      .writeStream.format("memory").queryName("embscreen_file")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = s.sql("SELECT DISTINCT a_id, b_id, cosine FROM embscreen_file")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(batch.nonEmpty, "fixture must contain new-involving cosine pairs")
+      assert(streamed == batch,
+        s"embed screen diverged: missing=${batch.diff(streamed)} " +
+          s"extra=${streamed.diff(batch)}")
+    } finally q.stop()
+  }
+
   test("file-source anomaly twin matches batch rows on watermark-closed days") {
     // full-tuple parity (counts, sums, mean/std/z AND flags) with the
     // oracle-checked q_ev_anomaly, restricted to days the bounded
