@@ -42,6 +42,15 @@ object Verify {
         s"[verify] unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
       sys.exit(2)
     }
+    // same fail-fast for the mutation-canary flag: a typo'd target
+    // would mutate nothing and leave the red-sweep run
+    // indistinguishable from a flag that was never set
+    sys.env.get("GRAFT_VERIFY_MUTATE")
+      .orElse(sys.props.get("graft.verify.mutate"))
+      .filterNot(SparkEntry.queries.contains).foreach { bad =>
+        System.err.println(s"[verify] unknown mutation-canary target: $bad")
+        sys.exit(2)
+      }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")

@@ -1077,17 +1077,39 @@ case class BpeEncode(child: Expression, merges: Array[(String, String)])
       case t => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires array<string>, got ${t.sql}")
     }
-  // rank map is rebuilt per deserialized instance (executor-side), not
-  // shipped: keys join the pair on a space — unambiguous because
-  // symbols come from whitespace-split words and can never contain one
-  @transient private lazy val rankOf: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+  // Rank map is rebuilt per deserialized instance (executor-side), not
+  // shipped: keys join the pair on NUL (symbols are NUL-free text).
+  // A pair CAN legitimately appear at several ranks (a later merge can
+  // recreate an earlier pair's adjacency — e.g. ("ab", c) learned,
+  // then ("a", "b") re-exposes it next to c — and the trainer recounts
+  // fresh every round), so each key maps to its ASCENDING rank list
+  // and lookups take the first rank above the cursor: exactly the fold
+  // chain's next applicable pass.
+  @transient private lazy val ranksOf: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
     var i = 0
     while (i < merges.length) {
-      m.putIfAbsent(merges(i)._1 + " " + merges(i)._2, Integer.valueOf(i + 1))
+      m.computeIfAbsent(merges(i)._1 + " " + merges(i)._2,
+        _ => scala.collection.mutable.ArrayBuffer.empty[Int]) += (i + 1)
       i += 1
     }
-    m
+    val out = new java.util.HashMap[String, Array[Int]](m.size * 2)
+    m.forEach((k, v) => out.put(k, v.toArray)) // buffer order = ascending
+    out
+  }
+
+  // first rank of `key` strictly above `cursor`, or Int.MaxValue
+  private def nextRank(key: String, cursor: Int): Int = {
+    val rs = ranksOf.get(key)
+    if (rs == null) Int.MaxValue
+    else {
+      var lo = 0; var hi = rs.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (rs(mid) > cursor) hi = mid else lo = mid + 1
+      }
+      if (lo < rs.length) rs(lo) else Int.MaxValue
+    }
   }
 
   override def nullSafeEval(input: Any): Any = {
@@ -1095,15 +1117,21 @@ case class BpeEncode(child: Expression, merges: Array[(String, String)])
     var len = arr.numElements()
     val syms = new Array[String](len)
     var i = 0
-    while (i < len) { syms(i) = arr.getUTF8String(i).toString; i += 1 }
+    while (i < len) {
+      val u = arr.getUTF8String(i)
+      // null symbols are a data bug (the split/filter chain never
+      // yields them) — fail with the kernel-family message, not an NPE
+      require(u != null, "bpe_encode: null symbol element is not supported")
+      syms(i) = u.toString; i += 1
+    }
     var rCur = 0
     var more = len > 1
     while (more) {
       var best = Int.MaxValue
       var j = 0
       while (j < len - 1) {
-        val r = rankOf.get(syms(j) + " " + syms(j + 1))
-        if (r != null && r.intValue() > rCur && r.intValue() < best) best = r.intValue()
+        val r = nextRank(syms(j) + " " + syms(j + 1), rCur)
+        if (r < best) best = r
         j += 1
       }
       if (best == Int.MaxValue) more = false

@@ -1198,7 +1198,7 @@ object LlmData {
   // ===== similarity search =====
 
   /** Embedding dimension of the harness `embeddings` table (FIXTURES.md). */
-  private val EmbDim = 64
+  private[graft] val EmbDim = 64
 
   /** Codegen'd loop dot product (graft.functions.DotProductF64): same
     * left-to-right add order as `aggregate(zip_with(...))`, so results
@@ -1317,20 +1317,24 @@ object LlmData {
     */
   private[graft] def knnGraphAnn(emb0: DataFrame, k1: Int, nProbe: Int,
       k: Int): DataFrame = {
-    val emb = emb0.cache() // centroid pick + assignment + probe fan-out
+    val emb = emb0.cache() // centroid pick + the one ranking pass
     val cent = emb.withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h", "vec_id").limit(k1)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    def cellRank(keep: Int) = {
-      val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
-      emb.crossJoin(broadcast(cent))
-        .withColumn("ccos", dotCol(col("v"), col("cv")) / (col("nrm") * col("cn")))
-        .withColumn("crnk", row_number().over(w))
-        .filter(col("crnk") <= keep)
-    }
-    val assigned = cellRank(1)
+    // ONE N×k1 scoring+ranking pass serves both faces: the assignment
+    // is rank 1 of the same per-vector centroid ranking the probe
+    // fan-out reads ranks 1..nProbe of — evaluating it twice would
+    // double the operator's dominant cost (the N×k1 dots), so the
+    // ranked table is cached and filtered twice instead
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    val ranked = emb.crossJoin(broadcast(cent))
+      .withColumn("ccos", dotCol(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("crnk", row_number().over(w))
+      .filter(col("crnk") <= nProbe)
+      .cache() // read by the assignment filter AND the probe fan-out
+    val assigned = ranked.filter(col("crnk") === 1)
       .select(col("cent_id").as("cell"), col("vec_id"), col("v"), col("nrm"))
-    val probes = cellRank(nProbe)
+    val probes = ranked
       .select(col("vec_id").as("src_id"), col("v").as("sv"),
         col("nrm").as("sn"), col("cent_id").as("cell"))
     val wCell = Window.partitionBy("src_id", "cell")

@@ -2025,7 +2025,9 @@ object Relational {
         |  SELECT c_mktsegment, v, COUNT(*) AS csv FROM cust GROUP BY 1, 2
         |), rs AS (
         |  SELECT c_mktsegment,
-        |    CAST(SUM(csv * ar2) AS BIGINT) AS rs2,
+        |    -- one operand cast BEFORE the multiply (mirrors the Spark
+        |    -- side): a post-product BIGINT cast would wrap near 2^63
+        |    SUM(CAST(csv AS DECIMAL(38,0)) * ar2) AS rs2,
         |    CAST(SUM(csv) AS BIGINT) AS n1
         |  FROM sv JOIN grid USING (v) GROUP BY 1
         |)

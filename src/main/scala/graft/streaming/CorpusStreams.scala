@@ -83,6 +83,38 @@ object CorpusStreams {
   case class BucketState(ids: List[Long])
   case class CandPair(a_id: Long, b_id: Long)
 
+  /** The shared band-bucket state machine of BOTH streaming screens
+    * (text minhash bands and embedding hyperplane bands): state is the
+    * bucket's member id list (in total the maintained signature
+    * artifact), a pair emits exactly once per shared bucket when the
+    * LATER of the two arrives (ascending within a trigger, so the
+    * output set is arrival-order- and trigger-boundary-independent),
+    * replays screen once, and old×old pairs (max ≤ t) are suppressed
+    * before anything materializes. Factored once so the suppression /
+    * replay rules can never drift between the two screens.
+    */
+  private def screenBucket(t: Long)(
+      rs: Iterator[(Long, Int, Long)],
+      state: GroupState[BucketState]): Iterator[CandPair] = {
+    var mem = state.getOption.map(_.ids).getOrElse(Nil)
+    val memSet = scala.collection.mutable.HashSet.empty[Long]
+    mem.foreach(memSet += _)
+    val incoming = rs.map(_._1).toSeq.distinct.sorted
+    val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+    incoming.foreach { x =>
+      if (!memSet.contains(x)) {
+        mem.foreach { m =>
+          val a = math.min(m, x); val b = math.max(m, x)
+          if (b > t) out += CandPair(a, b)
+        }
+        mem = x :: mem
+        memSet += x
+      }
+    }
+    state.update(BucketState(mem))
+    out.iterator
+  }
+
   /** The corpus shingle artifact the streaming screen verifies against
     * — the batch pipeline's own word-bigram shingle table (doc_id,
     * shingles, sz), maintained as arriving shards are admitted.
@@ -151,26 +183,7 @@ object CorpusStreams {
       .groupByKey(r => (r._2, r._3))
       .flatMapGroupsWithState[BucketState, CandPair](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (_, rs, state: GroupState[BucketState]) =>
-          var mem = state.getOption.map(_.ids).getOrElse(Nil)
-          val memSet = scala.collection.mutable.HashSet.empty[Long]
-          mem.foreach(memSet += _)
-          // ascending within the trigger: the later id of an intra-
-          // trigger pair is the "arriving" side, same as cross-trigger
-          val incoming = rs.map(_._1).toSeq.distinct.sorted
-          val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
-          incoming.foreach { x =>
-            if (!memSet.contains(x)) { // replays screen once
-              mem.foreach { m =>
-                val a = math.min(m, x); val b = math.max(m, x)
-                if (b > t) out += CandPair(a, b)
-              }
-              mem = x :: mem
-              memSet += x
-            }
-          }
-          state.update(BucketState(mem))
-          out.iterator
+        case (_, rs, state: GroupState[BucketState]) => screenBucket(t)(rs, state)
       }
     cand.toDF()
       .join(corpusShingles.select(col("doc_id").as("a_id"),
@@ -212,13 +225,14 @@ object CorpusStreams {
     * same verified cosines).
     */
   def embedScreen(vecs: DataFrame, corpusEmb: DataFrame, t: Long,
-      tau: Double, bits: Int, tables: Int, seed: Long): DataFrame = {
+      tau: Double, bits: Int, tables: Int, seed: Long,
+      dim: Int = graft.operators.LlmData.EmbDim): DataFrame = {
     val s = vecs.sparkSession
     import s.implicits._
     val banded = vecs
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("sigs",
-        graft.functions.VectorExprs.hyperplaneSigs(col("v"), seed, tables, bits, 64))
+        graft.functions.VectorExprs.hyperplaneSigs(col("v"), seed, tables, bits, dim))
       .select(col("vec_id"), posexplode(col("sigs")))
       .select(col("vec_id"), col("pos").as("band"), col("col").as("sig"))
       .as[(Long, Int, Long)]
@@ -226,24 +240,7 @@ object CorpusStreams {
       .groupByKey(r => (r._2, r._3))
       .flatMapGroupsWithState[BucketState, CandPair](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (_, rs, state: GroupState[BucketState]) =>
-          var mem = state.getOption.map(_.ids).getOrElse(Nil)
-          val memSet = scala.collection.mutable.HashSet.empty[Long]
-          mem.foreach(memSet += _)
-          val incoming = rs.map(_._1).toSeq.distinct.sorted
-          val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
-          incoming.foreach { x =>
-            if (!memSet.contains(x)) {
-              mem.foreach { m =>
-                val a = math.min(m, x); val b = math.max(m, x)
-                if (b > t) out += CandPair(a, b)
-              }
-              mem = x :: mem
-              memSet += x
-            }
-          }
-          state.update(BucketState(mem))
-          out.iterator
+        case (_, rs, state: GroupState[BucketState]) => screenBucket(t)(rs, state)
       }
     cand.toDF()
       .join(corpusEmb.select(col("vec_id").as("a_id"),

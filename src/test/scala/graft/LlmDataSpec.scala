@@ -416,6 +416,31 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("BPE encode kernel: a re-learned pair (same pair at two ranks) matches the fold chain") {
+    // A learned table CAN hold the same pair twice: after ("ab", "c")
+    // is exhausted at rank 1, a later ("a", "b") merge re-exposes
+    // "ab" next to "c" and the trainer (which recounts fresh every
+    // round) may learn ("ab", "c") again. Only the SECOND occurrence
+    // may fire on pairs formed after rank 2 — a rank map that keeps
+    // just the first rank would dead-end them (kernel regression case).
+    val s = spark
+    import s.implicits._
+    val merges = Array(("ab", "c"), ("a", "b"), ("ab", "c"))
+    val words = Seq("abc", "abcabc", "ababc", "zabcz").toDF("w")
+      .selectExpr("w", "filter(split(w, ''), x -> x != '') AS syms")
+    val both = words
+      .withColumn("kern", graft.functions.VectorExprs.bpeEncode(col("syms"), merges))
+      .withColumn("chain", LlmData.bpeFoldChain(col("syms"), merges))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](2) == r.getSeq[String](3),
+        s"word '${r.getString(0)}': kernel ${r.getSeq[String](2)} != chain ${r.getSeq[String](3)}")
+    }
+    // and the headline case resolves fully: a+b -> ab, then ab+c -> abc
+    val abc = both.find(_.getString(0) == "abc").get.getSeq[String](2)
+    assert(abc == Seq("abc"), s"'abc' must merge to one token, got $abc")
+  }
+
   test("BPE encode kernel at 1000-merge depth: reference-equal, plan size merge-count-independent") {
     val s = spark
     import s.implicits._
