@@ -207,4 +207,24 @@ class PlanShapeSpec extends SparkSpec {
     // expand + output sort; no joins — the round-trip is scan-shaped
     pin("q_src_avro", 3, 0)
   }
+
+  test("round-10 shapes: ANN kNN graph keyed join + assignment-table kernels") {
+    // knn_ann: the centroid broadcast and the N×k1 ranking live inside
+    // the cached `ranked` subtree; the OUTER plan is the scale story —
+    // the probes×assigned pair join is KEYED on the cell (one exchange
+    // per side, never a broadcast of a corpus-sized side), the
+    // phase-1 (src, cell) window PIGGYBACKS the join's hash(cell)
+    // partitioning (a subset key satisfies the clustering — only a
+    // sort is inserted, no 5th exchange), then the (src) window and
+    // the output sort. A broadcast appearing here would mean a
+    // corpus-sized side started broadcasting; a 5th shuffle would
+    // mean the phase-1 cut stopped reusing the join exchange.
+    pin("q_emb_knn_ann", 4, 0)
+    // pq_codes: ONE narrow kernel pass + posexplode + output sort —
+    // any join or aggregate appearing is a regression
+    pin("q_emb_pq_codes", 1, 0)
+    // ivf_cells: crossJoin(broadcast(16-row centroid table)) +
+    // per-vector argmin window + output sort
+    pin("q_emb_ivf_cells", 2, 1)
+  }
 }
