@@ -209,6 +209,13 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("round-10 shapes: ANN kNN graph keyed join + assignment-table kernels") {
+    // earlier suites may have MATERIALIZED knn_ann's ranked/emb caches
+    // (DedupEmbedSpec runs the operator): a materialized cache carries
+    // row stats, the planner sees the 500-row fixture side and
+    // rightly broadcasts it — a fixture-size adaptation, not the
+    // at-scale shape this pin guards. Clear caches so the pin reads
+    // the stats-free plan (the one a fresh 100 TB session would get).
+    spark.catalog.clearCache()
     // knn_ann: the centroid broadcast and the N×k1 ranking live inside
     // the cached `ranked` subtree; the OUTER plan is the scale story —
     // the probes×assigned pair join is KEYED on the cell (one exchange
