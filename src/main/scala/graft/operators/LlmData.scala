@@ -488,6 +488,38 @@ object LlmData {
   def qDedupCluster(s: SparkSession, dir: String): DataFrame =
     clusterPairs(dedupPairs(s, dir).select("a_id", "b_id"), s)
 
+  /** Multimodal dedup verdict (`q_dedup_multimodal`) — the production
+    * composition of the TEXT near-dup graph (word-bigram Jaccard ≥
+    * 0.3) and the EMBEDDING near-dup graph (cosine ≥ 0.4) into ONE
+    * keep/drop decision: two documents that match in EITHER modality
+    * collapse into the same cluster (paraphrases that lexical overlap
+    * misses, and verbatim copies whose embeddings drifted, both
+    * caught by the union). The union graph feeds the same adaptive
+    * clusterPairs closure; each doc survives only as its cluster's
+    * min-id representative, unpaired docs are singletons.
+    *
+    * Scale shape: both pair graphs are the session artifacts every
+    * other dedup consumer composes (built once, pair-graph-sized);
+    * the union/distinct and the closure run on the pair graph, never
+    * the corpus; the corpus-side cost is ONE broadcast join of the
+    * membership table (pair-graph-bounded at any realistic dup rate).
+    * Oracle: both pair sets + the recursive-CTE closure rebuilt in
+    * DuckDB (the q_dedup_cluster precedent), hash-checked end-to-end.
+    */
+  def qDedupMultimodal(s: SparkSession, dir: String): DataFrame = {
+    val edges = dedupPairs(s, dir).select("a_id", "b_id")
+      .union(embedPairs(s, dir).select("a_id", "b_id"))
+      .distinct()
+    val clusters = clusterPairs(edges, s)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    documents(s, dir).select("doc_id", "source")
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      .withColumn("keep", col("cluster_id") === col("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end dedup decision: the keep/drop verdict per document
     * after BOTH passes — exact text dedup (keep the min doc_id of
     * each normalized-text group) and near-dup clustering (keep only
@@ -4317,6 +4349,40 @@ object LlmData {
         |SELECT node_id AS doc_id, cluster_id,
         |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM comp ORDER BY doc_id""".stripMargin,
+    // union of the text and embedding pair graphs, closed by the same
+    // recursive-CTE components as q_dedup_cluster (inlined reading
+    // `upairs` — `pairs` is the text CTE's name), verdict per doc
+    "q_dedup_multimodal" ->
+      s"""WITH RECURSIVE $jaccardPairCtes,
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |ep AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |      ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine
+        |    FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  ) WHERE cosine >= 0.4
+        |), upairs AS (
+        |  SELECT a_id, b_id FROM pairs UNION SELECT a_id, b_id FROM ep
+        |), edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM upairs
+        |  UNION ALL SELECT b_id, a_id FROM upairs
+        |), reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+        |), comp AS (
+        |  SELECT id AS node_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+        |), sz AS (
+        |  SELECT cluster_id AS c, COUNT(*) AS n FROM comp GROUP BY cluster_id
+        |)
+        |SELECT d.doc_id, d.source,
+        |  COALESCE(comp.cluster_id, d.doc_id) AS cluster_id,
+        |  COALESCE(sz.n, 1) AS cluster_size,
+        |  (COALESCE(comp.cluster_id, d.doc_id) = d.doc_id) AS keep
+        |FROM documents d
+        |LEFT JOIN comp ON comp.node_id = d.doc_id
+        |LEFT JOIN sz ON sz.c = COALESCE(comp.cluster_id, d.doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_semantic" ->
       s"""WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |pairs AS (
@@ -4970,6 +5036,7 @@ object LlmData {
     "q_dedup_contain" -> (qDedupContain _),
     "q_dedup_cluster" -> (qDedupCluster _),
     "q_dedup_apply" -> (qDedupApply _),
+    "q_dedup_multimodal" -> (qDedupMultimodal _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embed" -> (qDedupEmbed _),
