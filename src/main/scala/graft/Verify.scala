@@ -28,6 +28,20 @@ object Verify {
       df.withColumn(numCol, col(numCol) + lit(1))
     }
   }
+  /** Validation for the canary flag, factored out so the spec can pin
+    * both failure modes without forking a JVM: the target must be a
+    * registered query AND a member of the restricted selection when
+    * one was passed (a valid-but-unselected target would mutate
+    * nothing — the same silent no-op the unknown-name check exists to
+    * prevent). Returns the error message, or None when valid.
+    */
+  private[graft] def canaryTargetError(target: String,
+      only: Set[String]): Option[String] =
+    if (!SparkEntry.queries.contains(target))
+      Some(s"unknown mutation-canary target: $target")
+    else if (only.nonEmpty && !only(target))
+      Some(s"mutation-canary target not in the selected queries: $target")
+    else None
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional extra args: restrict the dump to the named queries
@@ -44,11 +58,14 @@ object Verify {
     }
     // same fail-fast for the mutation-canary flag: a typo'd target
     // would mutate nothing and leave the red-sweep run
-    // indistinguishable from a flag that was never set
+    // indistinguishable from a flag that was never set — and the
+    // target must also be in the RESTRICTED selection when one was
+    // passed, or a valid-but-unselected target reproduces the same
+    // silent no-mutation failure
     sys.env.get("GRAFT_VERIFY_MUTATE")
       .orElse(sys.props.get("graft.verify.mutate"))
-      .filterNot(SparkEntry.queries.contains).foreach { bad =>
-        System.err.println(s"[verify] unknown mutation-canary target: $bad")
+      .flatMap(canaryTargetError(_, only)).foreach { msg =>
+        System.err.println(s"[verify] $msg")
         sys.exit(2)
       }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -1085,11 +1085,14 @@ case class BpeEncode(child: Expression, merges: Array[(String, String)])
   // fresh every round), so each key maps to its ASCENDING rank list
   // and lookups take the first rank above the cursor: exactly the fold
   // chain's next applicable pass.
+  // escaped, not a literal NUL byte in source: a raw 0x00 is invisible
+  // in editors and makes grep treat the file as binary
+  private val NulSep = "\u0000"
   @transient private lazy val ranksOf: java.util.HashMap[String, Array[Int]] = {
     val m = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
     var i = 0
     while (i < merges.length) {
-      m.computeIfAbsent(merges(i)._1 + " " + merges(i)._2,
+      m.computeIfAbsent(merges(i)._1 + NulSep + merges(i)._2,
         _ => scala.collection.mutable.ArrayBuffer.empty[Int]) += (i + 1)
       i += 1
     }
@@ -1130,7 +1133,7 @@ case class BpeEncode(child: Expression, merges: Array[(String, String)])
       var best = Int.MaxValue
       var j = 0
       while (j < len - 1) {
-        val r = nextRank(syms(j) + " " + syms(j + 1), rCur)
+        val r = nextRank(syms(j) + NulSep + syms(j + 1), rCur)
         if (r < best) best = r
         j += 1
       }

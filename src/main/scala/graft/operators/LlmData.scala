@@ -1346,6 +1346,18 @@ object LlmData {
   /** Shared ANN kNN-graph core with the cell count and probe fan-out
     * exposed so ScaleOpsSpec can force production fractions
     * (nProbe ≪ k1) on a 50k corpus.
+    *
+    * Cache retention contract (the SparkEntry session rule): the
+    * returned plan reads TWO cached relations — `emb` (N×d, for the
+    * centroid pick and the scoring pass) and `ranked` (N×k1, filtered
+    * once for the assignment and once for the probe fan-out) — and
+    * both stay registered after the output materializes, because the
+    * result is lazy and unpersisting inside this function would drop
+    * them before the consumer's job runs. Harness entry points
+    * (Verify/Bench) run `spark.catalog.clearCache()` per query; any
+    * other long-lived session must do the same (or unpersist) after
+    * materializing, or repeated calls accumulate one N×k1 ranked
+    * table per invocation.
     */
   private[graft] def knnGraphAnn(emb0: DataFrame, k1: Int, nProbe: Int,
       k: Int): DataFrame = {
@@ -1390,11 +1402,10 @@ object LlmData {
     */
   def qSimLshAnn(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-    import org.apache.spark.ml.linalg.Vectors
-    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
+    import org.apache.spark.ml.functions.array_to_vector
     val emb = embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("features", toVec(col("v")))
+      .withColumn("features", array_to_vector(col("v")))
     val lsh = new BucketedRandomProjectionLSH()
       .setBucketLength(0.4).setNumHashTables(6).setSeed(42)
       .setInputCol("features").setOutputCol("hashes")
@@ -1748,6 +1759,74 @@ object LlmData {
       .withColumn("cdist", dist2(col("v"), col("cv")))
       .withColumn("r", row_number().over(wA)).filter(col("r") === 1)
       .select(col("vec_id"), col("cell"), round(col("cdist"), 6).as("cdist"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle-checked COSINE cell-assignment table (`q_sim_ivf_cells`) —
+    * qSimIvfAnn's deterministic assignment half converted to
+    * hash-trust (the q_emb_ivf_cells playbook, cosine edition): the
+    * nearest-of-k1-centroids-by-cosine argmax every similarity-side
+    * IVF probe and inverted list is built from, with the
+    * engine-portable smallest-vec_id centroid pick standing in for
+    * the xxhash64 sample DuckDB can't reproduce (the sampling rule is
+    * orthogonal to the assignment kernel under grade). Both cosine
+    * operands are index-order IEEE folds (the compiled dotF64 kernel
+    * ≡ DuckDB's prepend-0 list_reduce bit-for-bit), and sqrt/divide
+    * are IEEE-deterministic, so the argmax, its tie rule (cosine
+    * DESC, smaller cent_id — qSimIvfAnn's own window order), and the
+    * rounded cosine readout all hash-match across engines. Broadcast
+    * O(k1) centroid table + per-vector argmax window — the
+    * q_emb_assign shape, no data×data join at any corpus size.
+    */
+  def qSimIvfCells(s: SparkSession, dir: String): DataFrame = {
+    val k1 = 16
+    val emb = embWithNorms(s, dir)
+    val cent = emb.orderBy("vec_id").limit(k1)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+    val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))
+    emb.crossJoin(broadcast(cent))
+      .withColumn("ccos", dotCol(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("r", row_number().over(wA)).filter(col("r") === 1)
+      .select(col("vec_id"), col("cell"), round(col("ccos"), 6).as("ccos"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle-checked TWO-LEVEL cell-assignment table
+    * (`q_sim_ivf2_cells`) — ivfTwoLevel's deterministic assignment
+    * half converted to hash-trust: coarse cell (nearest of k1 = 8
+    * coarse centroids by cosine), then fine list (nearest of the
+    * cell's OWN k2 = 8 fine centroids — the k2 smallest-vec_id
+    * members of the coarse cell, the engine-portable stand-in for
+    * ivfTwoLevel's smallest-hash pick). The fine assignment flows
+    * through a join KEYED on the coarse cell exactly like the
+    * production operator (the k1·k2 fine table never broadcasts
+    * whole), so the oracle pins the very composition that makes the
+    * two-level index scale: level-2 candidates bounded by the
+    * vector's own cell. Tie rules are the production windows' (cosine
+    * DESC, smaller centroid id, both levels); cosines are the same
+    * IEEE fold as q_sim_ivf_cells, so both argmaxes and the rounded
+    * fine cosine hash-match in DuckDB.
+    */
+  def qSimIvf2Cells(s: SparkSession, dir: String): DataFrame = {
+    val k1 = 8; val k2 = 8
+    val emb = embWithNorms(s, dir)
+    val coarse = emb.orderBy("vec_id").limit(k1)
+      .select(col("vec_id").as("c1_id"), col("v").as("c1v"), col("nrm").as("c1n"))
+    val wV = Window.partitionBy("vec_id").orderBy(col("c1cos").desc, col("c1_id"))
+    val cellOf = emb.crossJoin(broadcast(coarse))
+      .withColumn("c1cos", dotCol(col("v"), col("c1v")) / (col("nrm") * col("c1n")))
+      .withColumn("r", row_number().over(wV)).filter(col("r") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c1_id"))
+      .cache() // read by the fine-centroid pick AND the fine assignment
+    val wC = Window.partitionBy("c1_id").orderBy("vec_id")
+    val fine = cellOf.withColumn("fr", row_number().over(wC)).filter(col("fr") <= k2)
+      .select(col("c1_id"), col("vec_id").as("c2_id"), col("v").as("c2v"), col("nrm").as("c2n"))
+    val wV2 = Window.partitionBy("vec_id").orderBy(col("c2cos").desc, col("c2_id"))
+    cellOf.join(fine, "c1_id")
+      .withColumn("c2cos", dotCol(col("v"), col("c2v")) / (col("nrm") * col("c2n")))
+      .withColumn("r2", row_number().over(wV2)).filter(col("r2") === 1)
+      .select(col("vec_id"), col("c1_id").as("cell"), col("c2_id").as("list_id"),
+        round(col("c2cos"), 6).as("fcos"))
       .orderBy("vec_id")
   }
 
@@ -4533,6 +4612,78 @@ object LlmData {
         |)
         |SELECT vec_id, cell, ROUND(d2, 6) AS cdist
         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // Cosine edition of the q_emb_ivf_cells replay: both fold operands
+    // (dot and each norm) accumulate prepend-0 left-to-right — bit-
+    // identical to the compiled dotF64 kernel — and sqrt/divide are
+    // IEEE, so the argmax and its (ccos DESC, cell) tie rule match.
+    "q_sim_ivf_cells" ->
+      """WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |v AS (
+        |  SELECT vec_id, e,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, 64), i -> e[i] * e[i])),
+        |      (a, b) -> a + b)) AS nrm
+        |  FROM v0
+        |),
+        |cent AS (SELECT vec_id AS cell, e AS cv, nrm AS cn FROM v ORDER BY vec_id LIMIT 16),
+        |d AS (
+        |  SELECT v.vec_id, cell,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, 64), i -> e[i] * cv[i])),
+        |      (a, b) -> a + b) / (nrm * cn) AS ccos
+        |  FROM v CROSS JOIN cent
+        |), r AS (
+        |  SELECT vec_id, cell, ccos,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+        |  FROM d
+        |)
+        |SELECT vec_id, cell, ROUND(ccos, 6) AS ccos
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // Two-level replay: coarse argmax over the 8 smallest-vec_id
+    // centroids, fine centroids = the 8 smallest-vec_id members OF THE
+    // VECTOR'S OWN CELL (join keyed on the cell, like the production
+    // plan), fine argmax ties (c2cos DESC, c2_id).
+    "q_sim_ivf2_cells" ->
+      """WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |v AS (
+        |  SELECT vec_id, e,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, 64), i -> e[i] * e[i])),
+        |      (a, b) -> a + b)) AS nrm
+        |  FROM v0
+        |),
+        |coarse AS (SELECT vec_id AS c1_id, e AS c1v, nrm AS c1n FROM v ORDER BY vec_id LIMIT 8),
+        |a1 AS (
+        |  SELECT vec_id, e, nrm, c1_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c1cos DESC, c1_id) AS rn
+        |  FROM (
+        |    SELECT v.vec_id, e, nrm, c1_id,
+        |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(generate_series(1, 64), i -> e[i] * c1v[i])),
+        |        (a, b) -> a + b) / (nrm * c1n) AS c1cos
+        |    FROM v CROSS JOIN coarse
+        |  )
+        |),
+        |cellof AS (SELECT vec_id, e, nrm, c1_id FROM a1 WHERE rn = 1),
+        |fine AS (
+        |  SELECT c1_id, vec_id AS c2_id, e AS c2v, nrm AS c2n
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c1_id ORDER BY vec_id) AS fr
+        |        FROM cellof)
+        |  WHERE fr <= 8
+        |),
+        |a2 AS (
+        |  SELECT cellof.vec_id, cellof.c1_id, c2_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, 64), i -> e[i] * c2v[i])),
+        |      (a, b) -> a + b) / (nrm * c2n) AS c2cos
+        |  FROM cellof JOIN fine ON cellof.c1_id = fine.c1_id
+        |), r AS (
+        |  SELECT vec_id, c1_id, c2_id, c2cos,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c2cos DESC, c2_id) AS rn
+        |  FROM a2
+        |)
+        |SELECT vec_id, c1_id AS cell, c2_id AS list_id, ROUND(c2cos, 6) AS fcos
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q_text_tokens" ->
       s"""SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT word) AS n_distinct,
         |  ROUND(CAST(SUM(CAST(LENGTH(word) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_len
@@ -5096,6 +5247,8 @@ object LlmData {
     "q_emb_whiten_cov" -> (qEmbWhitenCov _),
     "q_emb_whiten" -> (qEmbWhiten _),
     "q_emb_pq_codes" -> (qEmbPqCodes _),
-    "q_emb_ivf_cells" -> (qEmbIvfCells _)
+    "q_emb_ivf_cells" -> (qEmbIvfCells _),
+    "q_sim_ivf_cells" -> (qSimIvfCells _),
+    "q_sim_ivf2_cells" -> (qSimIvf2Cells _)
   )
 }

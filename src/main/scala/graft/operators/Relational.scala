@@ -2025,9 +2025,14 @@ object Relational {
         |  SELECT c_mktsegment, v, COUNT(*) AS csv FROM cust GROUP BY 1, 2
         |), rs AS (
         |  SELECT c_mktsegment,
-        |    -- one operand cast BEFORE the multiply (mirrors the Spark
-        |    -- side): a post-product BIGINT cast would wrap near 2^63
-        |    SUM(CAST(csv AS DECIMAL(38,0)) * ar2) AS rs2,
+        |    -- both operands cast to DECIMAL(19,0) BEFORE the multiply
+        |    -- (mirrors the Spark side's pre-product cast): the product
+        |    -- width 19+19 stays inside DECIMAL(38,0), so DuckDB keeps
+        |    -- exact decimal arithmetic — a DECIMAL(38,0) operand would
+        |    -- push the product past 38 digits and silently fall back
+        |    -- to DOUBLE (~2^53 exact), losing the cross-engine parity
+        |    -- near 2^63; a post-product BIGINT cast would wrap there
+        |    SUM(CAST(csv AS DECIMAL(19,0)) * CAST(ar2 AS DECIMAL(19,0))) AS rs2,
         |    CAST(SUM(csv) AS BIGINT) AS n1
         |  FROM sv JOIN grid USING (v) GROUP BY 1
         |)

@@ -66,4 +66,20 @@ class OutputContractSpec extends SparkSpec {
         s"exactly the first numeric column must change, got indices $changed")
     } finally sys.props -= "graft.verify.mutate"
   }
+
+  test("canary target validation rejects unknown AND valid-but-unselected targets") {
+    // both failure modes leave a red-sweep run indistinguishable from
+    // a flag that was never set: a typo'd name mutates nothing, and a
+    // REAL name outside an explicit query selection mutates nothing
+    // too (the restricted sweep never runs it)
+    assert(Verify.canaryTargetError("q_agg_hash", Set.empty).isEmpty,
+      "known target + full sweep must validate")
+    assert(Verify.canaryTargetError("q_agg_hash", Set("q_agg_hash", "q_filter_pred")).isEmpty,
+      "known target inside the restricted selection must validate")
+    assert(Verify.canaryTargetError("q_agg_hsah", Set.empty).exists(_.contains("unknown")),
+      "typo'd target must be rejected")
+    assert(Verify.canaryTargetError("q_agg_hash", Set("q_filter_pred"))
+        .exists(_.contains("not in the selected")),
+      "valid-but-unselected target must be rejected")
+  }
 }
