@@ -2535,10 +2535,13 @@ object LlmData {
     *
     * No end-of-word marker (merges act within words; the marker is a
     * one-line concat if a downstream tokenizer wants boundary-aware
-    * merges). Spec-graded (oracle=— iterative argmax loop is not
-    * SQL-expressible): LlmDataSpec pins the merge table EQUAL to a
-    * driver-side reference BPE over the same word counts, plus
-    * determinism.
+    * merges). Oracle-checked since round 11: the registered round
+    * count is fixed (10), so the "iterative" loop unrolls into a
+    * 10-generation DuckDB CTE chain (bpeOracleSql) that replays every
+    * argmax and rewrite — the hash check pins the exact counts, the
+    * UTF-8-byte-order tie contract, and the non-overlapping rewrite
+    * cross-engine. LlmDataSpec additionally pins the merge table
+    * EQUAL to a driver-side reference BPE, plus determinism.
     */
   def qTextBpe(s: SparkSession, dir: String): DataFrame =
     bpeMergeArtifact(s, dir).orderBy("rank")
@@ -2625,6 +2628,74 @@ object LlmData {
       .withColumn("merged", concat(col("left"), col("right")))
       .select("rank", "left", "right", "merged", "pair_count")
       .orderBy("rank")
+  }
+
+  /** DuckDB replay of the BPE trainer (the q_text_bpe oracle) — the
+    * merge loop converted from spec-trust to oracle-trust: `rounds`
+    * unrolled CTE generations, each one pair-count argmax + one vocab
+    * rewrite, over the SAME word-frequency table the Spark trainer
+    * reduces the corpus to. Every quantity is exact long arithmetic
+    * (pair counts are SUM over COUNT(*) weights) and the argmax
+    * tie-break is (n DESC, left, right) where both engines compare
+    * strings by UTF-8 BYTE order (DuckDB's binary collation ≡ Spark's
+    * UTF8String ordering — the declared contract of the §2 row, which
+    * is exactly what this oracle now pins cross-engine, supplementary
+    * plane included).
+    *
+    * The rewrite is the subtle half: the trainer's carry/emit state
+    * machine applies one merge as a LEFT-TO-RIGHT NON-OVERLAPPING
+    * pass. SQL `replace()` has the same scan discipline, so each
+    * vocab word rides as a delimited STRING and the merge becomes one
+    * string replace — with the delimiter scheme making symbol
+    * boundaries unambiguous: symbols join on a DOUBLED chr(1)
+    * ("␁␁a␁␁b␁␁"), and the pattern "␁a␁␁b␁" keeps one outer ␁ on
+    * each side in the source. A matched replacement consumes only the
+    * INNER delimiters, so back-to-back occurrences ("aaaa" under
+    * (a,a) → [aa, aa]) still match — the trailing source ␁ the scan
+    * continues at doubles as the next match's leading ␁ — while a
+    * symbol whose text merely ends in `l` or starts with `r` can
+    * never match (its inner side lacks the doubled delimiter).
+    * Symbols are chr(1)-free text — the same control-char-free
+    * contract as the BpeEncode kernel's NUL pair keys.
+    */
+  private[graft] def bpeOracleSql(rounds: Int): String = {
+    val words =
+      """SELECT w, COUNT(*) AS cnt
+        |    FROM (SELECT unnest(list_filter(string_split(lower(trim(text)), ' '),
+        |                                    x -> x <> '')) AS w FROM documents)
+        |    GROUP BY w""".stripMargin
+    val w0 =
+      s"""w0 AS (
+         |  SELECT chr(1) || chr(1) ||
+         |    array_to_string(list_filter(string_split(w, ''), x -> x <> ''),
+         |                    chr(1) || chr(1)) || chr(1) || chr(1) AS vs, cnt
+         |  FROM (
+         |    $words
+         |  ) WHERE length(w) > 1
+         |)""".stripMargin
+    val gens = (1 to rounds).map { k =>
+      s"""p$k AS (
+         |  SELECT p.l AS l, p.r AS r, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+         |      i -> struct_pack(l := syms[i], r := syms[i + 1]))) AS p, cnt
+         |    FROM (SELECT list_filter(string_split(vs, chr(1)), x -> x <> '') AS syms, cnt
+         |          FROM w${k - 1})
+         |  ) GROUP BY 1, 2
+         |),
+         |m$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
+         |w$k AS (
+         |  SELECT replace(vs, chr(1) || l || chr(1) || chr(1) || r || chr(1),
+         |                 chr(1) || l || r || chr(1)) AS vs, cnt
+         |  FROM w${k - 1} CROSS JOIN m$k
+         |)""".stripMargin
+    }
+    val out = (1 to rounds).map { k =>
+      s"""SELECT $k AS "rank", l AS "left", r AS "right", l || r AS merged, n AS pair_count FROM m$k"""
+    }.mkString("\nUNION ALL ")
+    s"""WITH $w0,
+       |${gens.mkString(",\n")}
+       |$out
+       |ORDER BY "rank"""".stripMargin
   }
 
   /** The per-merge higher-order fold chain — the plan-encoded BPE
@@ -4684,6 +4755,9 @@ object LlmData {
         |)
         |SELECT vec_id, c1_id AS cell, c2_id AS list_id, ROUND(c2cos, 6) AS fcos
         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // Full trainer replay — see bpeOracleSql's scaladoc for the
+    // delimited-string rewrite scheme and the byte-order tie contract.
+    "q_text_bpe" -> bpeOracleSql(10),
     "q_text_tokens" ->
       s"""SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT word) AS n_distinct,
         |  ROUND(CAST(SUM(CAST(LENGTH(word) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_len
