@@ -263,6 +263,93 @@ class LimeSpec extends SparkSpec {
     assert(g1.nonEmpty, "grayscale regression guard needs rows")
   }
 
+  test("explainImage SLIC: content-adaptive segments, planted top-1 matches ground truth (gray + RGB)") {
+    val s = spark
+    import s.implicits._
+    // 16×16 images: near-zero gaussian background with a bright 3×4
+    // rectangle planted OFF the 2×2 grid alignment (odd offsets), so a
+    // content-adaptive segmentation must carve it out where the fixed
+    // grid cannot follow it
+    val side = 16
+    def mkImages(ch: Int): Seq[(Long, Array[Byte], Array[Double])] = {
+      val rnd = new java.util.Random(11 + ch)
+      (0L until 4L).map { id =>
+        val x = Array.fill(side * side * ch)(0.1 * rnd.nextGaussian())
+        val oy = 1 + 2 * id.toInt // odd row offset per image
+        val ox = 3
+        for (py <- oy until oy + 3; px <- ox until ox + 4; c <- 0 until ch)
+          x((py * side + px) * ch + c) = 50.0 + 0.1 * rnd.nextGaussian()
+        val bb = java.nio.ByteBuffer.allocate(4 * x.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        x.foreach(v => bb.putFloat(v.toFloat))
+        (id, bb.array(), x.map(v => v.toFloat.toDouble))
+      }
+    }
+    for (ch <- Seq(1, 3)) {
+      val imgs = mkImages(ch)
+      val seg = graft.lime.LimeImage.slic(k = 16, iters = 10, compactness = 1.0)
+      // the segmentation itself: deterministic, 4-connected, and NOT
+      // the 2×2 grid
+      imgs.foreach { case (id, _, x) =>
+        val l1 = seg(x, side, ch); val l2 = seg(x, side, ch)
+        assert(l1.toSeq == l2.toSeq, s"img $id ch=$ch: slic not deterministic")
+        val grid = graft.lime.LimeImage.gridSegment(x, side, ch)
+        assert(l1.toSeq != grid.toSeq,
+          s"img $id ch=$ch: slic degenerated to the 2x2 grid")
+        val nSeg = l1.max + 1
+        assert((0 until nSeg).forall(v => l1.contains(v)), "labels not dense")
+        // 4-connectivity: flood from each label's first pixel must
+        // reach every pixel of that label
+        (0 until nSeg).foreach { v =>
+          val members = l1.indices.filter(l1(_) == v).toSet
+          val seen = scala.collection.mutable.Set(members.min)
+          val stack = scala.collection.mutable.Stack(members.min)
+          while (stack.nonEmpty) {
+            val p = stack.pop()
+            val py = p / side; val px = p % side
+            Seq((py - 1, px), (py + 1, px), (py, px - 1), (py, px + 1)).foreach {
+              case (qy, qx) =>
+                if (qy >= 0 && qy < side && qx >= 0 && qx < side) {
+                  val q = qy * side + qx
+                  if (members(q) && !seen(q)) { seen += q; stack.push(q) }
+                }
+            }
+          }
+          assert(seen == members, s"img $id ch=$ch: label $v not 4-connected")
+        }
+      }
+      // end-to-end: LIME top-1 over the SLIC segments must equal the
+      // ground-truth effect argmax computed from the same labels
+      val df = imgs.map(t => (t._1, t._2)).toDF("doc_id", "payload")
+      def run() = graft.lime.LimeImage.explainImage(df,
+        decode = if (ch == 3) graft.lime.LimeImage.f32leRgb
+                 else graft.lime.LimeImage.f32le,
+        channels = ch, segment = seg).collect()
+      val e1 = run(); val e2 = run()
+      assert(e1.nonEmpty && e1.length == e2.length)
+      e1.zip(e2).foreach { case (a, b) => assert(a.toString == b.toString) }
+      e1.filter(_.getInt(1) == 1).foreach { r =>
+        val x = imgs(r.getLong(0).toInt)._3
+        val labels = seg(x, side, ch)
+        val nSeg = labels.max + 1
+        val eff = Array.fill(nSeg)(0.0)
+        val sx = Array.ofDim[Double](nSeg, ch); val ss = Array.ofDim[Double](nSeg, ch)
+        val cnt = Array.ofDim[Int](nSeg, ch)
+        for (f <- x.indices) {
+          val p = f / ch; val c = f % ch; val sgm = labels(p)
+          eff(sgm) += graft.lime.LimeImage.pixelSign(f) * x(f)
+          sx(sgm)(c) += x(f); ss(sgm)(c) += graft.lime.LimeImage.pixelSign(f)
+          cnt(sgm)(c) += 1
+        }
+        val delta = (0 until nSeg).map(sgm => math.abs(eff(sgm) -
+          (0 until ch).map(c => sx(sgm)(c) / cnt(sgm)(c) * ss(sgm)(c)).sum))
+        val truth = delta.zipWithIndex.maxBy(t => (t._1, -t._2))._2
+        assert(r.getInt(2) == truth,
+          s"img ${r.getLong(0)} ch=$ch: SLIC LIME top-1 ${r.getInt(2)} != ground truth $truth")
+      }
+    }
+  }
+
   test("SP-LIME picks distinct instances with non-increasing gains") {
     val picked = LimeOps.spLimePick(spark, dir).collect()
     assert(picked.length == 3)
