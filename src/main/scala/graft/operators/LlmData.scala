@@ -2658,7 +2658,11 @@ object LlmData {
     * Symbols are chr(1)-free text — the same control-char-free
     * contract as the BpeEncode kernel's NUL pair keys.
     */
-  private[graft] def bpeOracleSql(rounds: Int): String = {
+  /** The trainer CTE chain shared by both BPE oracles: w0 (delimited
+    * word-frequency vocab) and, per round k, the pair-count table pk,
+    * the argmax mk and the rewritten vocab wk.
+    */
+  private def bpeTrainerChain(rounds: Int): String = {
     val words =
       """SELECT w, COUNT(*) AS cnt
         |    FROM (SELECT unnest(list_filter(string_split(lower(trim(text)), ' '),
@@ -2689,13 +2693,60 @@ object LlmData {
          |  FROM w${k - 1} CROSS JOIN m$k
          |)""".stripMargin
     }
+    s"""$w0,
+       |${gens.mkString(",\n")}""".stripMargin
+  }
+
+  private[graft] def bpeOracleSql(rounds: Int): String = {
     val out = (1 to rounds).map { k =>
       s"""SELECT $k AS "rank", l AS "left", r AS "right", l || r AS merged, n AS pair_count FROM m$k"""
     }.mkString("\nUNION ALL ")
-    s"""WITH $w0,
-       |${gens.mkString(",\n")}
+    s"""WITH ${bpeTrainerChain(rounds)}
        |$out
        |ORDER BY "rank"""".stripMargin
+  }
+
+  /** DuckDB replay of q_text_bpe_apply — the tokenizer CONSUMER
+    * converted to oracle-trust on top of the trainer replay: the
+    * learned merges re-apply per DISTINCT word (the operator's own
+    * word-frequency trick) as `rounds` chained replaces in rank order
+    * over the same doubled-chr(1) delimited strings — each replace is
+    * one left-to-right non-overlapping pass, exactly the fold chain
+    * the compiled BpeEncode kernel is spec-pinned equal to — then the
+    * per-word subword counts join back onto the token stream for the
+    * per-document aggregate.
+    */
+  private[graft] def bpeApplyOracleSql(rounds: Int): String = {
+    val applies = (1 to rounds).map { k =>
+      s"""a$k AS (
+         |  SELECT w, replace(vs, chr(1) || l || chr(1) || chr(1) || r || chr(1),
+         |                    chr(1) || l || r || chr(1)) AS vs
+         |  FROM a${k - 1} CROSS JOIN m$k
+         |)""".stripMargin
+    }
+    s"""WITH ${bpeTrainerChain(rounds)},
+       |dw AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(lower(trim(text)), ' '),
+       |                                    x -> x <> '')) AS w
+       |  FROM documents
+       |),
+       |a0 AS (
+       |  SELECT w, chr(1) || chr(1) ||
+       |    array_to_string(list_filter(string_split(w, ''), x -> x <> ''),
+       |                    chr(1) || chr(1)) || chr(1) || chr(1) AS vs
+       |  FROM (SELECT DISTINCT w FROM dw)
+       |),
+       |${applies.mkString(",\n")},
+       |wt AS (
+       |  SELECT w, len(list_filter(string_split(vs, chr(1)), x -> x <> '')) AS n_sub
+       |  FROM a$rounds
+       |)
+       |SELECT doc_id,
+       |  COUNT(*) AS n_words,
+       |  CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+       |  ROUND(CAST(SUM(LENGTH(w)) AS DOUBLE) / SUM(n_sub), 6) AS chars_per_subword
+       |FROM dw JOIN wt USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** The per-merge higher-order fold chain — the plan-encoded BPE
@@ -2720,10 +2771,12 @@ object LlmData {
     * linearly in merge depth), and documents join the resulting
     * (word → n_subwords) table back by word — the token stream is
     * never rewritten per occurrence, the word-frequency trick of the
-    * trainer applied to inference. Spec-graded (oracle=— the chain is
-    * the trainer's iterative output): per-doc counts pinned to a
-    * driver-side reference tokenization at fixture scale, and the
-    * kernel pinned ≡ the bpeFoldChain plan-encoded form plus a
+    * trainer applied to inference. Oracle-checked since round 11
+    * (bpeApplyOracleSql — the trainer-chain replay plus a
+    * per-distinct-word re-apply of the merges as rank-ordered
+    * delimited replaces); the spec additionally pins per-doc counts
+    * to a driver-side reference tokenization at fixture scale, and
+    * the kernel ≡ the bpeFoldChain plan-encoded form plus a
     * 1,000-merge depth case.
     */
   def qTextBpeApply(s: SparkSession, dir: String): DataFrame = {
@@ -4758,6 +4811,9 @@ object LlmData {
     // Full trainer replay — see bpeOracleSql's scaladoc for the
     // delimited-string rewrite scheme and the byte-order tie contract.
     "q_text_bpe" -> bpeOracleSql(10),
+    // Trainer replay + per-distinct-word re-apply — see
+    // bpeApplyOracleSql.
+    "q_text_bpe_apply" -> bpeApplyOracleSql(10),
     "q_text_tokens" ->
       s"""SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT word) AS n_distinct,
         |  ROUND(CAST(SUM(CAST(LENGTH(word) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_len
