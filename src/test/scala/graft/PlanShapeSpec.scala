@@ -234,4 +234,22 @@ class PlanShapeSpec extends SparkSpec {
     // per-vector argmin window + output sort
     pin("q_emb_ivf_cells", 2, 1)
   }
+
+  test("round-11 shapes: cosine cell assignments") {
+    spark.catalog.clearCache()
+    // sim_ivf_cells: the q_emb_ivf_cells shape in cosine — crossJoin
+    // (broadcast(16-row centroid table)) + per-vector argmax window +
+    // output sort
+    pin("q_sim_ivf_cells", 2, 1)
+    // sim_ivf2_cells: level 1 = the ONE O(k1) broadcast cross; level 2
+    // = the fine table joined KEYED on the coarse cell (never
+    // broadcast whole — the composition that scales); windows for the
+    // fine pick, the fine argmax, and the output sort
+    val (s, b, plan) = exchanges("q_sim_ivf2_cells")
+    assert(b <= 1,
+      s"only the O(k1) coarse table may broadcast ($b):\n${plan.take(3000)}")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"the fine assignment must be a cell-KEYED join:\n${plan.take(3000)}")
+    assert(s <= 6, s"unexpected extra shuffles ($s):\n${plan.take(3000)}")
+  }
 }
