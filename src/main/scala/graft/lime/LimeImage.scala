@@ -224,14 +224,12 @@ object LimeImage {
     // survivor through this array (paths are short: a merge target is
     // always an earlier component)
     val mergedInto = scala.collection.mutable.ArrayBuffer.empty[Int]
-    val firstPix = scala.collection.mutable.ArrayBuffer.empty[Int]
-    val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
     val stack = new java.util.ArrayDeque[Int]()
     var p0 = 0
     while (p0 < n) {
       if (comp(p0) < 0) {
         val id = mergedInto.length
-        mergedInto += id; firstPix += p0
+        mergedInto += id
         var size = 0
         stack.push(p0)
         comp(p0) = id
@@ -254,7 +252,6 @@ object LimeImage {
             d += 1
           }
         }
-        sizes += size
         if (size < minSize && id > 0) {
           // the raster-preceding adjacent component: left neighbor of
           // the first pixel if it exists, else the top neighbor (one
@@ -329,6 +326,11 @@ object LimeImage {
         val side = math.sqrt(nPixels.toDouble).toInt
         require(side * side == nPixels,
           s"lime_image: $nPixels pixels is not a square grid")
+        // a zero-byte payload contributes no segments and no rows —
+        // the pre-seam behavior (nSeg was 0); without the guard
+        // labels.max would throw a message-free empty.max
+        if (nPixels == 0) Seq.empty
+        else {
         val labels = segment(x, side, channels)
         val nSeg = labels.max + 1
         val cs = new Array[Double](nSeg)
@@ -347,6 +349,7 @@ object LimeImage {
           val masked = (0 until channels)
             .map(c => sumX(s)(c) / cnt(s)(c) * sumSign(s)(c)).sum
           (id, s, cs(s), masked, nSeg, x.length)
+        }
         }
       }
       // n_vals is the FLAT element count (pixels × channels) — named

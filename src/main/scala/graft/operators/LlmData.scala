@@ -2555,7 +2555,7 @@ object LlmData {
     */
   private[graft] def bpeMergeArtifact(s: SparkSession, dir: String): DataFrame =
     pairArtifact(s, dir, "bpemerges", s"$dir/documents.parquet") {
-      bpeMerges(docsNorm(s, dir), rounds = 10)
+      bpeMerges(docsNorm(s, dir), BpeRounds)
     }
 
   /** Left-to-right non-overlapping application of one merge (a, b) to
@@ -2658,6 +2658,13 @@ object LlmData {
     * Symbols are chr(1)-free text — the same control-char-free
     * contract as the BpeEncode kernel's NUL pair keys.
     */
+  /** The registered merge-round count — referenced by the trainer
+    * artifact AND both DuckDB oracle generators, so a round-count
+    * change cannot silently desynchronize the engines (it would only
+    * have surfaced as a hash mismatch at sweep time otherwise).
+    */
+  private[graft] val BpeRounds = 10
+
   /** The trainer CTE chain shared by both BPE oracles: w0 (delimited
     * word-frequency vocab) and, per round k, the pair-count table pk,
     * the argmax mk and the rewritten vocab wk.
@@ -2717,11 +2724,19 @@ object LlmData {
     * per-document aggregate.
     */
   private[graft] def bpeApplyOracleSql(rounds: Int): String = {
+    // LEFT JOIN ON TRUE + COALESCE, NOT a cross join: if the trainer
+    // converged early (m_k empty — possible on a low-diversity
+    // corpus), a cross join would annihilate every later a_k and the
+    // oracle would read zero rows while the Spark operator (which
+    // just applies the merges that exist) emits one per document.
+    // With the left join an empty m_k contributes NULL l/r, the
+    // replace yields NULL, and COALESCE keeps the vocab unchanged —
+    // exactly the kernel's no-op on an absent rank.
     val applies = (1 to rounds).map { k =>
       s"""a$k AS (
-         |  SELECT w, replace(vs, chr(1) || l || chr(1) || chr(1) || r || chr(1),
-         |                    chr(1) || l || r || chr(1)) AS vs
-         |  FROM a${k - 1} CROSS JOIN m$k
+         |  SELECT w, COALESCE(replace(vs, chr(1) || l || chr(1) || chr(1) || r || chr(1),
+         |                     chr(1) || l || r || chr(1)), vs) AS vs
+         |  FROM a${k - 1} LEFT JOIN m$k ON TRUE
          |)""".stripMargin
     }
     s"""WITH ${bpeTrainerChain(rounds)},
@@ -4810,10 +4825,10 @@ object LlmData {
         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // Full trainer replay — see bpeOracleSql's scaladoc for the
     // delimited-string rewrite scheme and the byte-order tie contract.
-    "q_text_bpe" -> bpeOracleSql(10),
+    "q_text_bpe" -> bpeOracleSql(BpeRounds),
     // Trainer replay + per-distinct-word re-apply — see
     // bpeApplyOracleSql.
-    "q_text_bpe_apply" -> bpeApplyOracleSql(10),
+    "q_text_bpe_apply" -> bpeApplyOracleSql(BpeRounds),
     "q_text_tokens" ->
       s"""SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT word) AS n_distinct,
         |  ROUND(CAST(SUM(CAST(LENGTH(word) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_len
