@@ -355,6 +355,28 @@ class LlmDataSpec extends SparkSpec {
       s"distributed BPE diverged from the reference:\n got $got\n ref $ref")
   }
 
+  test("BPE tie-break beyond the BMP: supplementary-plane ties resolve in UTF-8 byte order") {
+    val s = spark
+    import s.implicits._
+    // The one regime where UTF-8 byte order and JVM UTF-16 order
+    // genuinely DISAGREE: '！' (U+FF01 — BMP, UTF-8 EF BC 81) vs
+    // '𐀀' (U+10000 — supplementary, UTF-8 F0 90 80 80). As UTF-16
+    // code units '！' (FF01) sorts AFTER the surrogate D800, so a
+    // String-compareTo trainer would pick 𐀀 first; the declared
+    // contract (UTF8String ≡ DuckDB binary collation = byte order)
+    // picks ！. Also pins that split('') keeps the supplementary
+    // char WHOLE (code-point split — verified one-off against the
+    // DuckDB replay, which picks the identical table on this corpus).
+    val docs = Seq("！z", "𐀀z").toDF("text")
+      .withColumn("norm_text",
+        org.apache.spark.sql.functions.lower(
+          org.apache.spark.sql.functions.trim(org.apache.spark.sql.functions.col("text"))))
+    val merges = LlmData.bpeMerges(docs, rounds = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(merges == Seq((1, "！", "z", 1L), (2, "𐀀", "z", 1L)),
+      s"supplementary-plane tie resolved off-contract: $merges")
+  }
+
   test("BPE apply: per-doc subword counts equal a reference tokenization") {
     val a = LlmData.qTextBpeApply(spark, dir).collect()
     val b = LlmData.qTextBpeApply(spark, dir).collect()
