@@ -1254,6 +1254,151 @@ object LlmData {
       .orderBy("probe_id", "rnk")
   }
 
+  /** Maximal-marginal-relevance diversified retrieval (`q_sim_mmr`) —
+    * Carbonell & Goldstein, SIGIR 1998: the RAG re-ranking primitive
+    * that trades relevance against redundancy. For each probe, k = 5
+    * greedy rounds each pick
+    * argmax_d λ·cos(q, d) − (1−λ)·max_{p∈picked} cos(d, p)
+    * (λ = 0.7; round 1's empty-picked penalty is 0, so it is the pure
+    * relevance argmax; ties → smaller vec_id; the penalty FLOORS at
+    * 0 — a candidate anti-correlated with every pick is treated as
+    * unpenalized, never rewarded). Plain top-k returns
+    * five near-duplicates of the best hit; MMR's picks cover the
+    * neighborhood — exactly why retrieval pipelines re-rank with it.
+    *
+    * Shape (the SpLime greedy idiom): the per-probe candidate table
+    * (qcos, running max-sim-to-picked) is cached; each round is ONE
+    * argmax window job collecting O(probes) winner rows, then a
+    * broadcast of those winners updates the running penalty —
+    * rounds chain cache-to-cache with parents unpersisted (the
+    * bpeMerges accounting), driver state O(k·probes). At corpus
+    * scale the candidate set arrives from the ANN family (compose
+    * q_sim_ivf_ann's probe output) instead of the broadcast-probes ×
+    * corpus scan; the greedy machinery is candidate-count-linear
+    * either way.
+    *
+    * Oracle: the λ-blend runs in EXACT DECIMAL on both engines (the
+    * repo's decimal firewall): the 6-rounded cosines cast to
+    * decimal(18,6), λ = 0.7/0.3 are decimal literals, so every score
+    * is an exact scale-7 decimal — a double blend would round-flip at
+    * 1e-6 boundaries (observed at sf0.01 before this cast). The k
+    * greedy rounds then unroll into a DuckDB CTE chain exactly like
+    * the BPE trainer replay, and argmax + readout hash-match.
+    */
+  def qSimMmr(s: SparkSession, dir: String): DataFrame =
+    mmrPick(embWithNorms(s, dir), s, k = 5)
+
+  /** The MMR greedy core with the probe set and k exposed (the
+    * knnGraphAnn pattern) so the spec can run planted-diversity
+    * fixtures through the exact production path.
+    */
+  private[graft] def mmrPick(embIn: DataFrame, s: SparkSession, k: Int): DataFrame = {
+    val d6 = "decimal(18,6)"
+    val emb = embIn.cache() // probes + candidates + winner fetch
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    var cands = broadcast(probes)
+      .join(emb, col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"), col("v"), col("nrm"),
+        round(dotCol(col("pv"), col("v")) / (col("pn") * col("nrm")), 6)
+          .cast(d6).as("qcos"),
+        lit(0).cast(d6).as("maxpick"))
+      .cache()
+    val session = s
+    import session.implicits._
+    val lam = lit(new java.math.BigDecimal("0.7"))
+    val mu = lit(new java.math.BigDecimal("0.3"))
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long)]
+    val wA = Window.partitionBy("probe_id").orderBy(col("score").desc, col("vec_id"))
+    for (rk <- 1 to k) {
+      val winners = cands
+        .withColumn("score", lam * col("qcos") - mu * col("maxpick"))
+        .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+        // readout in exact tenth-micro units: a decimal→double cast
+        // differs from DuckDB's in the last ulp (observed), a long
+        // cannot
+        .select(col("probe_id"), col("vec_id"),
+          (col("score") * lit(10000000)).cast("long").as("score_e7"),
+          col("v"), col("nrm"))
+        .collect()
+      winners.foreach { r =>
+        picked += ((r.getLong(0), rk, r.getLong(1), r.getLong(2)))
+      }
+      if (rk < k) {
+        val wdf = winners.map(r => (r.getLong(0), r.getLong(1),
+            r.getSeq[Double](3), r.getDouble(4)))
+          .toSeq.toDF("probe_id", "wid", "wv", "wn")
+        val next = cands.join(broadcast(wdf), "probe_id")
+          .filter(col("vec_id") =!= col("wid"))
+          .select(col("probe_id"), col("vec_id"), col("v"), col("nrm"), col("qcos"),
+            greatest(col("maxpick"),
+              round(dotCol(col("v"), col("wv")) / (col("nrm") * col("wn")), 6)
+                .cast(d6)).as("maxpick"))
+          .cache()
+        cands.unpersist()
+        cands = next
+      }
+    }
+    cands.unpersist()
+    picked.toSeq.toDF("probe_id", "rank", "vec_id", "score_e7")
+      .orderBy("probe_id", "rank")
+  }
+
+  /** DuckDB replay of the MMR greedy loop — k unrolled winner/update
+    * CTE generations (the bpeOracleSql pattern applied to the
+    * similarity family): every cosine is the same prepend-0
+    * list_reduce fold rounded 6 then cast DECIMAL(18,6), the λ-blend
+    * multiplies DECIMAL(2,1) literals so each score is the exact
+    * scale-7 decimal the Spark side computes, and ties order
+    * (score DESC, vec_id) — each round's argmax and the double
+    * readout of the exact decimal hash-match bit-for-bit.
+    */
+  private[graft] def mmrOracleSql(k: Int): String = {
+    def dotE(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(generate_series(1, 64), i -> $a[i] * $b[i])),
+         |      (x, y) -> x + y)""".stripMargin
+    val blend = "CAST(0.7 AS DECIMAL(2,1)) * qcos - CAST(0.3 AS DECIMAL(2,1)) * maxpick"
+    val gens = (1 to k).map { r =>
+      val win =
+        s"""w$r AS (
+           |  SELECT probe_id, vec_id, e AS we, nrm AS wn, score FROM (
+           |    SELECT *, $blend AS score,
+           |      ROW_NUMBER() OVER (PARTITION BY probe_id
+           |        ORDER BY $blend DESC, vec_id) AS rn
+           |    FROM c${r - 1}) WHERE rn = 1
+           |)""".stripMargin
+      if (r == k) win
+      else win + s""",
+        |c$r AS (
+        |  SELECT c.probe_id, c.vec_id, c.e, c.nrm, c.qcos,
+        |    GREATEST(c.maxpick,
+        |      CAST(ROUND(${dotE("c.e", "w.we")} / (c.nrm * w.wn), 6) AS DECIMAL(18,6))) AS maxpick
+        |  FROM c${r - 1} c JOIN w$r w
+        |    ON c.probe_id = w.probe_id AND c.vec_id <> w.vec_id
+        |)""".stripMargin
+    }
+    val out = (1 to k).map { r =>
+      s"""SELECT probe_id, $r AS "rank", vec_id, CAST(score * 10000000 AS BIGINT) AS score_e7 FROM w$r"""
+    }.mkString("\nUNION ALL ")
+    s"""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |v AS (
+       |  SELECT vec_id, e,
+       |    sqrt(${dotE("e", "e")}) AS nrm
+       |  FROM v0
+       |),
+       |p AS (SELECT vec_id AS probe_id, e AS pe, nrm AS pn FROM v WHERE vec_id < 5),
+       |c0 AS (
+       |  SELECT probe_id, v.vec_id, v.e, v.nrm,
+       |    CAST(ROUND(${dotE("v.e", "pe")} / (v.nrm * pn), 6) AS DECIMAL(18,6)) AS qcos,
+       |    CAST(0 AS DECIMAL(18,6)) AS maxpick
+       |  FROM v CROSS JOIN p WHERE v.vec_id <> probe_id
+       |),
+       |${gens.mkString(",\n")}
+       |$out
+       |ORDER BY probe_id, "rank"""".stripMargin
+  }
+
   /** Exact k-NN self-graph (k = 5): every vector's 5 nearest neighbors
     * by cosine — the SemDeDup / graph-clustering / index-build
     * primitive. Exact all-pairs is inherently quadratic, so this is
@@ -4829,6 +4974,8 @@ object LlmData {
     // Trainer replay + per-distinct-word re-apply — see
     // bpeApplyOracleSql.
     "q_text_bpe_apply" -> bpeApplyOracleSql(BpeRounds),
+    // Unrolled greedy-round replay — see mmrOracleSql.
+    "q_sim_mmr" -> mmrOracleSql(5),
     "q_text_tokens" ->
       s"""SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT word) AS n_distinct,
         |  ROUND(CAST(SUM(CAST(LENGTH(word) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_len
@@ -5394,6 +5541,7 @@ object LlmData {
     "q_emb_pq_codes" -> (qEmbPqCodes _),
     "q_emb_ivf_cells" -> (qEmbIvfCells _),
     "q_sim_ivf_cells" -> (qSimIvfCells _),
-    "q_sim_ivf2_cells" -> (qSimIvf2Cells _)
+    "q_sim_ivf2_cells" -> (qSimIvf2Cells _),
+    "q_sim_mmr" -> (qSimMmr _)
   )
 }

@@ -355,6 +355,42 @@ class LlmDataSpec extends SparkSpec {
       s"distributed BPE diverged from the reference:\n got $got\n ref $ref")
   }
 
+  test("MMR: redundant near-duplicate of the top hit is deferred, plain top-k keeps it") {
+    val s = spark
+    import s.implicits._
+    // planted geometry in 64-d (unit vectors up to 1e-3 jitter):
+    // probe 0 = e0; hits 10/11 sit at cos ≈ 0.70 to the probe and
+    // cos ≈ 1.0 to EACH OTHER; the diverse hit 12 sits at cos = 0.65
+    // to the probe but ORTHOGONAL to the hit direction (cos(12, 10)
+    // ≈ −0.07, penalty floored at 0). Round 2: score(11) =
+    // 0.7·0.70 − 0.3·1.0 ≈ 0.19 < score(12) = 0.7·0.65 ≈ 0.455 —
+    // plain top-2 keeps the near-dup, MMR swaps in the diverse hit:
+    // the diversification that is the operator's reason to exist.
+    def vec(axis0: Double, axis1: Double, jitterSeed: Int): Array[Double] = {
+      val rnd = new java.util.Random(jitterSeed)
+      val v = Array.fill(64)(0.001 * rnd.nextGaussian())
+      v(0) += axis0; v(1) += axis1; v
+    }
+    val rows = Seq(
+      (0L, vec(1.0, 0.0, 1)),            // the probe
+      (10L, vec(0.71, 0.704, 2)),        // best hit
+      (11L, vec(0.70, 0.714, 3)),        // near-dup of the best hit
+      (12L, vec(0.65, -0.76, 4))) ++     // diverse, moderately relevant
+      (20L to 29L).map(i => (i, vec(-1.0, 0.02 * (i - 20), i.toInt))) // chaff
+    val emb = rows.toDF("vec_id", "v")
+      .withColumn("nrm", org.apache.spark.sql.functions.sqrt(
+        graft.functions.VectorExprs.dotF64(col("v"), col("v"))))
+    val got = LlmData.mmrPick(emb, s, k = 3)
+      .filter(col("probe_id") === 0)
+      .select("rank", "vec_id").as[(Int, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._2).take(2) == Seq(10L, 12L),
+      s"MMR must defer the near-duplicate: got $got")
+    // the deferred near-dup is still the round-3 pick (it remains the
+    // most relevant survivor once the penalty is shared)
+    assert(got == Seq((1, 10L), (2, 12L), (3, 11L)), s"full pick order: $got")
+    s.catalog.clearCache()
+  }
+
   test("BPE tie-break beyond the BMP: supplementary-plane ties resolve in UTF-8 byte order") {
     val s = spark
     import s.implicits._
