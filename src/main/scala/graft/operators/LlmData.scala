@@ -283,6 +283,57 @@ object LlmData {
     (singles, ranked)
   }
 
+  /** Per-source corpus datacard (`q_corpus_datacard`) — the datasheet
+    * readout every corpus release ships (Gebru et al., "Datasheets
+    * for Datasets", CACM 2021): one row per source with document and
+    * token counts, language spread (distinct count + modal language,
+    * ties → lexicographic), the q_text_quality pass share, and the
+    * exact-text duplicate rate (the qDedupExact loser share,
+    * attributed to the loser's source). The operator COMPOSES the
+    * pipeline's own building blocks — the shared whitespace
+    * tokenizer, the quality rule, the hash-grouped exact-dup
+    * ranking — so the card can never drift from what the filters
+    * actually did.
+    *
+    * Shape: docsNorm scans once into three partial-agged O(sources)/
+    * O(sources×langs) tables; the dup side reuses exactDupRanked's
+    * hash-group discipline (text bytes shuffle only for multi-member
+    * hash groups); everything joins back on the O(sources) key via
+    * broadcast. Exact long/count arithmetic; doubles only in the
+    * final rounded ratios.
+    */
+  def qCorpusDatacard(s: SparkSession, dir: String): DataFrame = {
+    val d = docsNorm(s, dir).cache() // base agg + lang mode + quality + dup
+    val base = d
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(expr(wordsExpr)).as("ntok"))
+      .withColumn("passed",
+        (col("n_chars").between(100, 450) &&
+          col("lang").isin("en", "es", "de", "fr") &&
+          col("ntok") >= 20).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("passed")).as("n_quality"))
+    val wL = Window.partitionBy("source").orderBy(col("cnt").desc, col("lang"))
+    val topLang = d.groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wL)).filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    val dups = exactDupRanked(s, dir)._2.filter(col("rn") > 1)
+      .groupBy("source").agg(count(lit(1)).as("n_dup_text"))
+    base.join(broadcast(topLang), "source")
+      .join(broadcast(dups), Seq("source"), "left")
+      .withColumn("n_dup_text", coalesce(col("n_dup_text"), lit(0L)))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_docs"), 6).as("avg_tokens"),
+        col("n_langs"), col("top_lang"),
+        round(col("n_quality").cast("double") / col("n_docs"), 6).as("pct_quality"),
+        col("n_dup_text"),
+        round(col("n_dup_text").cast("double") / col("n_docs"), 6).as("dup_rate"))
+      .orderBy("source")
+  }
+
   /** Exact near-dup pairs: word-bigram shingles, Jaccard >= 0.3 via
     * shared-shingle join + inclusion-exclusion. The exact baseline the
     * MinHash path is graded against.
@@ -4976,6 +5027,45 @@ object LlmData {
     "q_text_bpe_apply" -> bpeApplyOracleSql(BpeRounds),
     // Unrolled greedy-round replay — see mmrOracleSql.
     "q_sim_mmr" -> mmrOracleSql(5),
+    // Composes the tokenizer, quality rule, and exact-dup ranking the
+    // pipeline's own operators use — same expressions, same windows.
+    "q_corpus_datacard" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang, n_chars,
+        |    len(list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')) AS ntok,
+        |    lower(trim(text)) AS nt
+        |  FROM documents
+        |),
+        |base AS (
+        |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+        |    COUNT(DISTINCT lang) AS n_langs,
+        |    CAST(SUM(CASE WHEN n_chars BETWEEN 100 AND 450
+        |      AND lang IN ('en','es','de','fr') AND ntok >= 20
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+        |  FROM d GROUP BY source
+        |),
+        |tl AS (
+        |  SELECT source, lang AS top_lang FROM (
+        |    SELECT source, lang,
+        |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, lang) AS rn
+        |    FROM (SELECT source, lang, COUNT(*) AS cnt FROM d GROUP BY source, lang))
+        |  WHERE rn = 1
+        |),
+        |dups AS (
+        |  SELECT source, COUNT(*) AS n_dup_text FROM (
+        |    SELECT source, ROW_NUMBER() OVER (PARTITION BY nt ORDER BY doc_id) AS rn
+        |    FROM d) WHERE rn > 1
+        |  GROUP BY source
+        |)
+        |SELECT base.source, n_docs, n_tokens,
+        |  ROUND(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS avg_tokens,
+        |  n_langs, top_lang,
+        |  ROUND(CAST(n_quality AS DOUBLE) / n_docs, 6) AS pct_quality,
+        |  COALESCE(n_dup_text, 0) AS n_dup_text,
+        |  ROUND(CAST(COALESCE(n_dup_text, 0) AS DOUBLE) / n_docs, 6) AS dup_rate
+        |FROM base JOIN tl ON base.source = tl.source
+        |LEFT JOIN dups ON base.source = dups.source
+        |ORDER BY base.source""".stripMargin,
     "q_text_tokens" ->
       s"""SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT word) AS n_distinct,
         |  ROUND(CAST(SUM(CAST(LENGTH(word) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_len
@@ -5542,6 +5632,7 @@ object LlmData {
     "q_emb_ivf_cells" -> (qEmbIvfCells _),
     "q_sim_ivf_cells" -> (qSimIvfCells _),
     "q_sim_ivf2_cells" -> (qSimIvf2Cells _),
-    "q_sim_mmr" -> (qSimMmr _)
+    "q_sim_mmr" -> (qSimMmr _),
+    "q_corpus_datacard" -> (qCorpusDatacard _)
   )
 }
