@@ -243,6 +243,84 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Half-life-decayed event aggregates (`q_ev_decay`) — the
+    * freshness-weighted rollup behind "trending" counters and decayed
+    * engagement scores: each event contributes weight 2^−h where
+    * h = ⌊age_days / 7⌋ (weekly half-life, staircase form), with age
+    * measured back from the newest event's calendar day. Output per
+    * event_type: raw count/sum, the decayed count and value sum, and
+    * the decay ratio (how much of the type's raw mass is recent).
+    *
+    * Why the staircase instead of continuous exp(−λ·age): powers of
+    * two are EXACT both as binary doubles and as integer micro-units,
+    * so the whole aggregation runs in exact int64 arithmetic
+    * (weight_micro = 2²⁰ >> h, value terms in cent·micro units) and
+    * is partition-order- and engine-independent — exp/pow are
+    * libm-dependent and land outside the repo's IEEE firewall (the
+    * q_mix_temperature floor(sqrt) note). Honest bound, same pattern
+    * as q_agg_moments: cent·micro terms cap at ~2⁶³/n_events per
+    * type; past that the long sum would wrap and a decimal widening
+    * is the documented fix. One exchange (the event_type rollup,
+    * map-side partial); the as-of day rides a broadcast scalar row.
+    */
+  def qEvDecay(s: SparkSession, dir: String): DataFrame = {
+    val mx = events(s, dir).agg(to_date(max(col("ts"))).as("asof"))
+    events(s, dir).crossJoin(broadcast(mx))
+      .withColumn("age", datediff(col("asof"), to_date(col("ts"))))
+      .withColumn("h", least(expr("age div 7"), lit(40L)).cast("int"))
+      .withColumn("wmi", expr("shiftright(cast(1048576 as bigint), h)"))
+      .withColumn("cents", (d2(col("value")) * 100).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("cents")) / lit(100.0)).as("raw_sum"),
+        round(sum(col("wmi")) / lit(1048576.0), 6).as("decayed_count"),
+        round(sum(col("cents") * col("wmi")) / lit(104857600.0), 6).as("decayed_sum"),
+        round(sum(col("cents") * col("wmi")) /
+          (lit(1048576.0) * sum(col("cents"))), 6).as("decay_ratio"))
+      .orderBy("event_type")
+  }
+
+  /** Daily EWMA of event value per type (`q_ev_ewma`) — the smoothed
+    * trend line ops dashboards draw over the raw daily series (and
+    * the anomaly-score denominator when a mean must weight recent
+    * days higher than qEvAnomaly's uniform 7-day window). Ratio 1/2
+    * per day over a gap-filled daily spine, 14-day frame:
+    * ewma_t = Σ_k v_{t−k}·2⁻ᵏ / Σ_k 2⁻ᵏ.
+    *
+    * The q_ev_decay firewall extended to windows: the spine is
+    * gap-filled first (the qEvGapfill idiom) so ROW distance ≡ DAY
+    * distance inside the frame, the frame rides one collect_list
+    * window, and the weighted sum is an indexed transform+aggregate
+    * fold over EXACT cent·(2²⁰≫k) longs — the denominator has the
+    * closed form 2²¹ − (2²¹ ≫ L). Zero doubles until the one final
+    * division, identically associated in the oracle. Scale: the
+    * windowed table is the O(types × days) spine, never events; the
+    * raw stream reduces to it in ONE map-side-partial exchange.
+    */
+  def qEvEwma(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val daily = e.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((d2(col("value")) * 100).cast("long")).as("cents"))
+    val bounds = e.agg(to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi"))
+    val spine = e.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-13, 0)
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("cents", coalesce(col("cents"), lit(0L)))
+      .withColumn("ws", collect_list(col("cents")).over(w))
+      .withColumn("num", expr(
+        "aggregate(transform(ws, (x, i) -> x * shiftright(cast(1048576 as bigint), size(ws) - 1 - i)), cast(0 as bigint), (a, b) -> a + b)"))
+      .withColumn("den", expr(
+        "cast(2097152 as bigint) - shiftright(cast(2097152 as bigint), size(ws))"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        round(col("cents") / lit(100.0), 6).as("day_value"),
+        round(col("num") / (col("den") * lit(100.0)), 6).as("ewma"))
+      .orderBy("event_type", "day")
+  }
+
   /** Event-type transition matrix (first-order Markov view of user
     * behavior): consecutive event pairs within each user's timeline
     * (ordered by ts with event_id as the deterministic tiebreak),
@@ -502,6 +580,61 @@ object EventOps {
         |)
         |SELECT event_type, day, n_events, v, mean7, std7, z, (ABS(z) >= 2) AS is_anomaly
         |FROM z ORDER BY event_type, day""".stripMargin,
+    // Same staircase weights (2^20 >> h) in exact BIGINT; DuckDB's
+    // CAST(value AS DECIMAL(18,2)) mirrors d2 (the ev_tumble pairing),
+    // and 1048576.0 multiplies/divides are exact power-of-two scalings.
+    "q_ev_decay" ->
+      """WITH mx AS (SELECT CAST(MAX(ts) AS DATE) AS as_of FROM events),
+        |e AS (
+        |  SELECT event_type,
+        |    LEAST(date_diff('day', CAST(ts AS DATE), as_of) // 7, 40) AS h,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events CROSS JOIN mx
+        |), t AS (
+        |  SELECT event_type, cents, (CAST(1048576 AS BIGINT) >> h) AS wmi FROM e
+        |)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(cents) AS BIGINT) / 100.0 AS raw_sum,
+        |  ROUND(CAST(SUM(wmi) AS BIGINT) / 1048576.0, 6) AS decayed_count,
+        |  ROUND(CAST(SUM(cents * wmi) AS BIGINT) / 104857600.0, 6) AS decayed_sum,
+        |  ROUND(CAST(SUM(cents * wmi) AS BIGINT) /
+        |    (1048576.0 * CAST(SUM(cents) AS BIGINT)), 6) AS decay_ratio
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Gap-filled spine + windowed list + the SAME indexed power-of-two
+    // fold (DuckDB lambda index is 1-based: k = len − i); closed-form
+    // denominator; one double division at the end.
+    "q_ev_ewma" ->
+      """WITH b AS (SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi FROM events),
+        |daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2
+        |),
+        |spine AS (
+        |  SELECT event_type, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT DISTINCT event_type FROM events) CROSS JOIN b
+        |),
+        |g AS (
+        |  SELECT spine.event_type, spine.day,
+        |    COALESCE(daily.n_events, 0) AS n_events,
+        |    COALESCE(daily.cents, 0) AS cents
+        |  FROM spine LEFT JOIN daily
+        |    ON spine.event_type = daily.event_type AND spine.day = daily.day
+        |),
+        |win AS (
+        |  SELECT event_type, day, n_events, cents,
+        |    list(cents) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS ws
+        |  FROM g
+        |)
+        |SELECT event_type, day, n_events,
+        |  ROUND(cents / 100.0, 6) AS day_value,
+        |  ROUND(
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(ws, (x, i) -> x * (CAST(1048576 AS BIGINT) >> (len(ws) - i)))),
+        |      (a, b) -> a + b)
+        |    / ((CAST(2097152 AS BIGINT) - (CAST(2097152 AS BIGINT) >> len(ws))) * 100.0), 6) AS ewma
+        |FROM win ORDER BY event_type, day""".stripMargin,
     "q_ev_entropy" ->
       """WITH counts AS (
         |  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
@@ -640,6 +773,8 @@ object EventOps {
     "q_ev_retention" -> (qEvRetention _),
     "q_ev_anomaly" -> (qEvAnomaly _),
     "q_ev_entropy" -> (qEvEntropy _),
+    "q_ev_decay" -> (qEvDecay _),
+    "q_ev_ewma" -> (qEvEwma _),
     "q_ev_markov" -> (qEvMarkov _),
     "q_ev_sesspath" -> (qEvSesspath _),
     "q_ev_hourly" -> (qEvHourly _),

@@ -334,6 +334,173 @@ object LlmData {
       .orderBy("source")
   }
 
+  /** Rank-striped training-shard assignment (`q_pack_shards`) — the
+    * shard-map readout a trainer checks before a run: documents are
+    * snake-striped across W = 8 shards in descending token order
+    * WITHIN EACH SOURCE (round r fills shards left-to-right, round
+    * r+1 right-to-left — the parallel form of longest-processing-time
+    * scheduling: each source's heaviest W docs land on W distinct
+    * shards, and alternating direction cancels the systematic
+    * heavy-shard-0 bias plain modulo striping leaves). Output per
+    * shard: doc/token counts, token share, and balance = shard
+    * tokens ÷ ideal tokens; max−min balance is the imbalance a bad
+    * shard map would surface as straggler steps.
+    *
+    * Scale shape: ranks come from ONE exchange keyed on source (the
+    * per-source window partitioning every mixture op already uses)
+    * over a 3-column projection — text bytes never shuffle; the
+    * rollup is O(W) rows and the total rides a broadcast scalar.
+    * Exact long token arithmetic; doubles only in the final rounded
+    * ratios.
+    */
+  def qPackShards(s: SparkSession, dir: String): DataFrame = {
+    val nShards = 8
+    val w = Window.partitionBy("source").orderBy(col("ntok").desc, col("doc_id"))
+    val assigned = docsNorm(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(expr(wordsExpr)).cast("long").as("ntok"))
+      .withColumn("pos", row_number().over(w) - 1)
+      .withColumn("shard",
+        when(expr(s"(pos div $nShards) % 2") === 0, col("pos") % nShards)
+          .otherwise(lit(nShards - 1) - col("pos") % nShards).cast("long"))
+    val per = assigned.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("t"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") * lit(1.0) / col("t"), 6).as("tok_share"),
+        round(col("n_tokens") * lit(nShards.toDouble) / col("t"), 6).as("balance"))
+      .orderBy("shard")
+  }
+
+  /** Per-document lexical entropy (`q_text_entropy`) — the
+    * vocabulary-diversity quality signal (low unigram entropy marks
+    * keyword-stuffed / template / degenerate text that the
+    * top-word-fraction rule in q_text_repetition can miss when the
+    * repetition is spread over a few words). entropy =
+    * −Σ_w (c/n)·ln(c/n); norm_entropy divides by ln(n_words), the
+    * maximum attainable at that length, giving the 0–1 efficiency
+    * readout corpus dashboards plot.
+    *
+    * Cross-engine determinism: each ln term goes through the
+    * nano-unit long firewall (quantized HALF_UP at 1e-9, summed as
+    * exact int64 — the qEvEntropy/perplexity idiom), so the cross-row
+    * sum is partition-order-independent; the only doubles are the two
+    * final IEEE divisions, identically associated in the oracle.
+    * Scale shape: one exchange for the per-(doc, word) counts (the
+    * n-per-doc total is an unbounded window over the already-counted
+    * rows, not a second pass over tokens), one for the per-doc
+    * rollup — the token stream itself shuffles once.
+    */
+  def qTextEntropy(s: SparkSession, dir: String): DataFrame = {
+    val counts = docsNorm(s, dir)
+      .select(col("doc_id"), explode(expr(wordsExpr)).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    val wD = Window.partitionBy("doc_id")
+    counts
+      .withColumn("n", sum(col("c")).over(wD))
+      .withColumn("term", col("c") *
+        round(log(col("c").cast("double") / col("n")) * lit(1e9)).cast("long"))
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("n_words"), count(lit(1)).as("n_distinct"),
+        (-(sum(col("term")) / lit(1e9)) / max(col("n"))).as("ent_raw"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        round(col("ent_raw"), 6).as("entropy"),
+        round(when(col("n_words") > 1,
+          col("ent_raw") / log(col("n_words").cast("double")))
+          .otherwise(lit(0.0)), 6).as("norm_entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus snapshot diff (`q_corpus_diff`) — the release-over-release
+    * delta card dataset versioning ships: the incoming decile (doc_id
+    * above T = max − max/10, the q_dedup_incremental shard
+    * convention) diffed against the previous release per source —
+    * docs/tokens added, the incoming docs that are EXACT-TEXT
+    * duplicates of a previous-release doc (re-crawl leakage), and the
+    * resulting dup-rate / token-growth readouts.
+    *
+    * Scale shape: both halves come from one docsNorm scan; the
+    * dup-vs-previous check joins incoming to previous keyed on
+    * (xxhash64, norm_text) — text bytes shuffle ONCE per side, hash
+    * groups are tiny, and no all-pairs path exists (the
+    * exactDupRanked discipline). The per-source rollups are
+    * O(sources) tables joined broadcast-small; T derives from a
+    * 1-row max aggregate.
+    */
+  def qCorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val mx = documents(s, dir).agg(max("doc_id")).head().getLong(0)
+    val t = mx - mx / 10
+    val d = docsNorm(s, dir)
+      .select(col("doc_id"), col("source"), col("norm_text"),
+        size(expr(wordsExpr)).cast("long").as("ntok"))
+      .withColumn("h", xxhash64(col("norm_text")))
+    val prev = d.filter(col("doc_id") <= t)
+    val incoming = d.filter(col("doc_id") > t)
+    val prevAgg = prev.groupBy("source")
+      .agg(count(lit(1)).as("n_prev"), sum(col("ntok")).as("prev_tokens"))
+    val newAgg = incoming.groupBy("source")
+      .agg(count(lit(1)).as("n_new"), sum(col("ntok")).as("new_tokens"))
+    val dupNew = incoming
+      .join(prev.select("h", "norm_text").distinct(), Seq("h", "norm_text"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_new_dup_prev"))
+    prevAgg.join(newAgg, Seq("source"), "full")
+      .join(dupNew, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_prev"), lit(0L)).as("n_prev"),
+        coalesce(col("prev_tokens"), lit(0L)).as("prev_tokens"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("new_tokens"), lit(0L)).as("new_tokens"),
+        coalesce(col("n_new_dup_prev"), lit(0L)).as("n_new_dup_prev"))
+      .withColumn("dup_rate_new", round(when(col("n_new") === 0, lit(0.0))
+        .otherwise(col("n_new_dup_prev") * lit(1.0) / col("n_new")), 6))
+      .withColumn("tok_growth", round(when(col("prev_tokens") === 0, lit(0.0))
+        .otherwise(col("new_tokens") * lit(1.0) / col("prev_tokens")), 6))
+      .orderBy("source")
+  }
+
+  /** Per-cell embedding-distribution drift (`q_emb_centroid_shift`) —
+    * the drift monitor an embedding pipeline runs on every refresh:
+    * vectors are assigned to the q_sim_ivf_cells cosine cells
+    * (nearest of k1 = 16 smallest-vec_id centroids — the
+    * engine-portable pick), the corpus is split into the OLD half
+    * (vec_id ≤ max/2) and the NEW half, and each cell reports its
+    * occupancy share in both halves plus the share shift — a cell
+    * whose share moves is a region of embedding space the new data
+    * over- or under-populates (encoder drift, crawl-mix drift, or an
+    * upstream filter change).
+    *
+    * Scale shape: the assignment is the q_emb_assign broadcast
+    * shape (O(k1) centroid table, per-vector argmax window keyed on
+    * vec_id — no data×data join); the per-cell rollup is O(k1) rows
+    * and the half totals ride one broadcast scalar row. The shift is
+    * computed from the unrounded IEEE shares, identically associated
+    * in the oracle.
+    */
+  def qEmbCentroidShift(s: SparkSession, dir: String): DataFrame = {
+    val k1 = 16
+    val emb = embWithNorms(s, dir)
+    val mx = embeddings(s, dir).agg(max("vec_id")).head().getLong(0)
+    val t = mx / 2
+    val cent = emb.orderBy("vec_id").limit(k1)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+    val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))
+    val per = emb.crossJoin(broadcast(cent))
+      .withColumn("ccos", dotCol(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("r", row_number().over(wA)).filter(col("r") === 1)
+      .groupBy("cell")
+      .agg(count(when(col("vec_id") <= t, 1)).as("n_old"),
+        count(when(col("vec_id") > t, 1)).as("n_new"))
+    val tot = per.agg(sum("n_old").as("t_old"), sum("n_new").as("t_new"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_old"), col("n_new"),
+        round(col("n_old") * lit(1.0) / col("t_old"), 6).as("share_old"),
+        round(col("n_new") * lit(1.0) / col("t_new"), 6).as("share_new"),
+        round(col("n_new") * lit(1.0) / col("t_new") -
+          col("n_old") * lit(1.0) / col("t_old"), 6).as("shift"))
+      .orderBy("cell")
+  }
+
   /** Exact near-dup pairs: word-bigram shingles, Jaccard >= 0.3 via
     * shared-shingle join + inclusion-exclusion. The exact baseline the
     * MinHash path is graded against.
@@ -5066,6 +5233,117 @@ object LlmData {
         |FROM base JOIN tl ON base.source = tl.source
         |LEFT JOIN dups ON base.source = dups.source
         |ORDER BY base.source""".stripMargin,
+    // Snake-stripe replay: same per-source rank window, same integer
+    // round/position arithmetic, exact long token sums.
+    "q_pack_shards" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')) AS BIGINT) AS ntok
+        |  FROM documents
+        |), a AS (
+        |  SELECT ntok,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY ntok DESC, doc_id) - 1 AS pos
+        |  FROM d
+        |), sh AS (
+        |  SELECT ntok,
+        |    CASE WHEN (pos // 8) % 2 = 0 THEN pos % 8 ELSE 7 - pos % 8 END AS shard
+        |  FROM a
+        |), per AS (
+        |  SELECT shard, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens
+        |  FROM sh GROUP BY shard
+        |), tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM per)
+        |SELECT shard, n_docs, n_tokens,
+        |  ROUND(n_tokens * 1.0 / t, 6) AS tok_share,
+        |  ROUND(n_tokens * 8.0 / t, 6) AS balance
+        |FROM per CROSS JOIN tot ORDER BY shard""".stripMargin,
+    // The qEvEntropy nano-unit long firewall over per-doc word counts;
+    // the two final divisions are associated exactly as the Spark side.
+    "q_text_entropy" ->
+      """WITH counts AS (
+        |  SELECT doc_id, word, COUNT(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+        |    FROM documents
+        |  ) WHERE word <> '' GROUP BY doc_id, word
+        |), t AS (
+        |  SELECT doc_id, c,
+        |    SUM(c) OVER (PARTITION BY doc_id) AS n,
+        |    c * CAST(ROUND(LN(c / CAST(SUM(c) OVER (PARTITION BY doc_id) AS DOUBLE)) * 1000000000.0) AS BIGINT) AS term
+        |  FROM counts
+        |)
+        |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_words, COUNT(*) AS n_distinct,
+        |  ROUND(-(CAST(SUM(term) AS BIGINT) / 1000000000.0) / MAX(n), 6) AS entropy,
+        |  ROUND(CASE WHEN MAX(n) > 1
+        |    THEN (-(CAST(SUM(term) AS BIGINT) / 1000000000.0) / MAX(n)) / LN(CAST(MAX(n) AS DOUBLE))
+        |    ELSE 0.0 END, 6) AS norm_entropy
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Incoming decile (doc_id > max − max/10) vs previous release:
+    // per-source adds + exact-text dup-vs-previous via nt membership.
+    "q_corpus_diff" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lower(trim(text)) AS nt,
+        |    CAST(len(list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')) AS BIGINT) AS ntok
+        |  FROM documents
+        |), tt AS (SELECT MAX(doc_id) - MAX(doc_id) // 10 AS t FROM d),
+        |prev AS (SELECT d.* FROM d, tt WHERE doc_id <= t),
+        |nw AS (SELECT d.* FROM d, tt WHERE doc_id > t),
+        |pa AS (SELECT source, COUNT(*) AS n_prev, CAST(SUM(ntok) AS BIGINT) AS prev_tokens
+        |       FROM prev GROUP BY source),
+        |na AS (SELECT source, COUNT(*) AS n_new, CAST(SUM(ntok) AS BIGINT) AS new_tokens
+        |       FROM nw GROUP BY source),
+        |dup AS (SELECT source, COUNT(*) AS n_new_dup_prev FROM nw
+        |        WHERE nt IN (SELECT nt FROM prev) GROUP BY source),
+        |srcs AS (SELECT DISTINCT source FROM d)
+        |SELECT srcs.source,
+        |  COALESCE(n_prev, 0) AS n_prev,
+        |  COALESCE(prev_tokens, 0) AS prev_tokens,
+        |  COALESCE(n_new, 0) AS n_new,
+        |  COALESCE(new_tokens, 0) AS new_tokens,
+        |  COALESCE(n_new_dup_prev, 0) AS n_new_dup_prev,
+        |  ROUND(CASE WHEN COALESCE(n_new, 0) = 0 THEN 0.0
+        |    ELSE COALESCE(n_new_dup_prev, 0) * 1.0 / n_new END, 6) AS dup_rate_new,
+        |  ROUND(CASE WHEN COALESCE(prev_tokens, 0) = 0 THEN 0.0
+        |    ELSE COALESCE(new_tokens, 0) * 1.0 / prev_tokens END, 6) AS tok_growth
+        |FROM srcs LEFT JOIN pa ON srcs.source = pa.source
+        |LEFT JOIN na ON srcs.source = na.source
+        |LEFT JOIN dup ON srcs.source = dup.source
+        |ORDER BY srcs.source""".stripMargin,
+    // q_sim_ivf_cells' cosine assignment + old/new occupancy split;
+    // the shift subtracts the unrounded IEEE shares exactly as Spark.
+    "q_emb_centroid_shift" ->
+      """WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |v AS (
+        |  SELECT vec_id, e,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, 64), i -> e[i] * e[i])),
+        |      (a, b) -> a + b)) AS nrm
+        |  FROM v0
+        |),
+        |tt AS (SELECT MAX(vec_id) // 2 AS t FROM v),
+        |cent AS (SELECT vec_id AS cell, e AS cv, nrm AS cn FROM v ORDER BY vec_id LIMIT 16),
+        |d AS (
+        |  SELECT v.vec_id, cell,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, 64), i -> e[i] * cv[i])),
+        |      (a, b) -> a + b) / (nrm * cn) AS ccos
+        |  FROM v CROSS JOIN cent
+        |), r AS (
+        |  SELECT vec_id, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+        |  FROM d
+        |), per AS (
+        |  SELECT cell,
+        |    CAST(COUNT(CASE WHEN vec_id <= t THEN 1 END) AS BIGINT) AS n_old,
+        |    CAST(COUNT(CASE WHEN vec_id > t THEN 1 END) AS BIGINT) AS n_new
+        |  FROM r, tt WHERE rn = 1 GROUP BY cell
+        |), tot AS (
+        |  SELECT CAST(SUM(n_old) AS BIGINT) AS t_old, CAST(SUM(n_new) AS BIGINT) AS t_new
+        |  FROM per
+        |)
+        |SELECT cell, n_old, n_new,
+        |  ROUND(n_old * 1.0 / t_old, 6) AS share_old,
+        |  ROUND(n_new * 1.0 / t_new, 6) AS share_new,
+        |  ROUND(n_new * 1.0 / t_new - n_old * 1.0 / t_old, 6) AS shift
+        |FROM per CROSS JOIN tot ORDER BY cell""".stripMargin,
     "q_text_tokens" ->
       s"""SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT word) AS n_distinct,
         |  ROUND(CAST(SUM(CAST(LENGTH(word) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_len
@@ -5633,6 +5911,10 @@ object LlmData {
     "q_sim_ivf_cells" -> (qSimIvfCells _),
     "q_sim_ivf2_cells" -> (qSimIvf2Cells _),
     "q_sim_mmr" -> (qSimMmr _),
-    "q_corpus_datacard" -> (qCorpusDatacard _)
+    "q_corpus_datacard" -> (qCorpusDatacard _),
+    "q_pack_shards" -> (qPackShards _),
+    "q_text_entropy" -> (qTextEntropy _),
+    "q_corpus_diff" -> (qCorpusDiff _),
+    "q_emb_centroid_shift" -> (qEmbCentroidShift _)
   )
 }

@@ -1288,6 +1288,49 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** One-pass table profile (`q_profile_table`) — the ANALYZE/
+    * data-quality census every warehouse runs before trusting a new
+    * load: per column of `lineitem`, null count, exact distinct
+    * count, and (numeric columns) min/max as doubles. One row per
+    * column; the readout that catches an all-null load, a collapsed
+    * dimension, or an out-of-range measure before any query does.
+    *
+    * Scale shape: ONE corpus pass explodes each row into an 11-entry
+    * skinny (column, value) stream that PARTIAL-aggregates per
+    * partition before the single (column, value)-keyed distinct
+    * exchange — the same two-phase shape Spark plans for
+    * count(DISTINCT), made explicit; the final rollup is O(columns)
+    * rows. Strings and timestamps join the distinct census through an
+    * injective string form (the count is representation-independent);
+    * min/max stay typed and numeric-only, so no engine-specific
+    * string formatting ever reaches the output.
+    */
+  def qProfileTable(s: SparkSession, dir: String): DataFrame = {
+    val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val strCols = Seq("l_returnflag", "l_linestatus")
+    val tsCols = Seq("l_shipdate")
+    val entries =
+      numCols.map(c => struct(lit(c).as("cname"),
+        col(c).cast("double").as("vnum"), lit(null).cast("string").as("vstr"))) ++
+      strCols.map(c => struct(lit(c).as("cname"),
+        lit(null).cast("double").as("vnum"), col(c).as("vstr"))) ++
+      tsCols.map(c => struct(lit(c).as("cname"),
+        lit(null).cast("double").as("vnum"), col(c).cast("string").as("vstr")))
+    lineitem(s, dir)
+      .select(explode(array(entries: _*)).as("p"))
+      .select(col("p.cname").as("cname"),
+        col("p.vnum").as("vnum"),
+        coalesce(col("p.vnum").cast("string"), col("p.vstr")).as("vkey"))
+      .groupBy("cname")
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("vkey"))).as("n_null"),
+        countDistinct(col("vkey")).as("n_distinct"),
+        min(col("vnum")).as("min_num"),
+        max(col("vnum")).as("max_num"))
+      .orderBy("cname")
+  }
+
   // ===== §2.5 window functions =====
 
   def qWinRank(s: SparkSession, dir: String): DataFrame = {
@@ -1783,6 +1826,30 @@ object Relational {
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // Same 11-way stacked census: injective string keys for the
+    // distinct counts (count is representation-independent), typed
+    // numeric min/max, identical per-column null accounting.
+    "q_profile_table" ->
+      """WITH st AS (
+        |  SELECT 'l_orderkey' AS cname, CAST(l_orderkey AS DOUBLE) AS vnum, CAST(NULL AS VARCHAR) AS vstr FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS DOUBLE), NULL FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS DOUBLE), NULL FROM lineitem
+        |  UNION ALL SELECT 'l_linenumber', CAST(l_linenumber AS DOUBLE), NULL FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', CAST(l_quantity AS DOUBLE), NULL FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE), NULL FROM lineitem
+        |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE), NULL FROM lineitem
+        |  UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE), NULL FROM lineitem
+        |  UNION ALL SELECT 'l_returnflag', CAST(NULL AS DOUBLE), l_returnflag FROM lineitem
+        |  UNION ALL SELECT 'l_linestatus', CAST(NULL AS DOUBLE), l_linestatus FROM lineitem
+        |  UNION ALL SELECT 'l_shipdate', CAST(NULL AS DOUBLE), CAST(l_shipdate AS VARCHAR) FROM lineitem
+        |), k AS (
+        |  SELECT cname, vnum, COALESCE(CAST(vnum AS VARCHAR), vstr) AS vkey FROM st
+        |)
+        |SELECT cname, COUNT(*) AS n_rows,
+        |  COUNT(*) - COUNT(vkey) AS n_null,
+        |  COUNT(DISTINCT vkey) AS n_distinct,
+        |  MIN(vnum) AS min_num, MAX(vnum) AS max_num
+        |FROM k GROUP BY cname ORDER BY cname""".stripMargin,
     "q_agg_moments" ->
       """WITH p AS (
         |  SELECT l_returnflag, CAST(l_quantity AS DECIMAL(8,2)) AS x FROM lineitem
@@ -2353,6 +2420,7 @@ object Relational {
     "q_tpch_q16" -> (qTpchQ16 _),
     "q_tpch_q19" -> (qTpchQ19 _),
     "q_agg_moments" -> (qAggMoments _),
+    "q_profile_table" -> (qProfileTable _),
     "q_tpch_q18" -> (qTpchQ18 _),
     "q_win_rank" -> (qWinRank _),
     "q_win_topk_group" -> (qWinTopkGroup _),

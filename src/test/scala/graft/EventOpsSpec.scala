@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.EventOps
+import org.apache.spark.sql.functions.col
+
+/** Independent-recompute grades for the batch event operators whose
+  * oracle mirrors the CONSTRUCTION (a shared construction bug would
+  * pass both engines) — the LlmDataSpec recompute idiom.
+  */
+class EventOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ev_decay: staircase half-life weights recomputed independently") {
+    def halfUp(x: Double, scale: Int): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x).setScale(scale, java.math.RoundingMode.HALF_UP)
+    // plain-Scala reimplementation: UTC calendar-day age, h = age/7
+    // capped at 40, weight_micro = 2^20 >> h, value in exact cents
+    val ev = Tables.events(spark, dir)
+      .select(col("ts"), col("event_type"), col("value")).collect()
+      .map(r => (r.getTimestamp(0).toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate,
+        r.getString(1), r.getDouble(2)))
+    val asOf = ev.map(_._1).max(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    val expected = ev.groupBy(_._2).map { case (typ, xs) =>
+      val terms = xs.map { case (day, _, v) =>
+        val h = math.min(java.time.temporal.ChronoUnit.DAYS.between(day, asOf) / 7, 40L)
+        val wmi = 1048576L >> h
+        val cents = halfUp(v, 2).movePointRight(2).longValueExact
+        (cents, wmi)
+      }
+      val sumCents = terms.map(_._1).sum
+      val sumW = terms.map(_._2).sum
+      val sumCW = terms.map(t => t._1 * t._2).sum
+      typ -> (xs.length.toLong, sumCents / 100.0,
+        halfUp(sumW / 1048576.0, 6).doubleValue,
+        halfUp(sumCW / 104857600.0, 6).doubleValue,
+        halfUp(sumCW / (1048576.0 * sumCents), 6).doubleValue)
+    }
+    val got = EventOps.qEvDecay(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(got == expected, s"decay rollup diverges:\n got $got\n exp $expected")
+    // semantics the numbers must show: weights are a DECAY (ratio < 1
+    // unless everything is in the newest week) and the newest week
+    // contributes at full weight — an as-of-day event's wmi is 2^20
+    got.values.foreach { case (_, _, dc, _, ratio) =>
+      assert(ratio > 0.0 && ratio <= 1.0, s"decay_ratio out of (0,1]: $ratio")
+      assert(dc > 0.0, "decayed_count must be positive")
+    }
+  }
+
+  test("ev_ewma: dyadic EWMA over the gap-filled spine recomputed independently") {
+    def halfUp(x: Double, scale: Int): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x).setScale(scale, java.math.RoundingMode.HALF_UP)
+    val ev = Tables.events(spark, dir)
+      .select(col("ts"), col("event_type"), col("value")).collect()
+      .map(r => (r.getTimestamp(0).toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate,
+        r.getString(1), r.getDouble(2)))
+    val days = ev.map(_._1)
+    val (lo, hi) = (days.min(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _)),
+      days.max(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _)))
+    val spine = Iterator.iterate(lo)(_.plusDays(1)).takeWhile(!_.isAfter(hi)).toSeq
+    val daily = ev.groupBy(e => (e._2, e._1)).map { case (k, xs) =>
+      k -> (xs.length.toLong,
+        xs.map(e => halfUp(e._3, 2).movePointRight(2).longValueExact).sum)
+    }
+    val expected = ev.map(_._2).distinct.flatMap { typ =>
+      val series = spine.map(d => (d, daily.getOrElse((typ, d), (0L, 0L))))
+      series.zipWithIndex.map { case ((d, (ne, cents)), idx) =>
+        val frame = series.slice(math.max(0, idx - 13), idx + 1).map(_._2._2)
+        val l = frame.length
+        val num = frame.zipWithIndex.map { case (c, i) => c * (1048576L >> (l - 1 - i)) }.sum
+        val den = 2097152L - (2097152L >> l)
+        (typ, d.toString) -> (ne, halfUp(cents / 100.0, 6).doubleValue,
+          halfUp(num / (den * 100.0), 6).doubleValue)
+      }
+    }.toMap
+    val got = EventOps.qEvEwma(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got == expected, "EWMA diverges from the independent recompute")
+    // semantics: on a silent day the EWMA decays but stays positive
+    // once any mass entered the frame; it never exceeds the frame max
+    got.foreach { case (_, (_, _, e)) => assert(e >= 0.0) }
+  }
+}

@@ -904,4 +904,104 @@ class LlmDataSpec extends SparkSpec {
         s"byte-stat invariant broken: $r")
     }
   }
+
+  // shared independent tokenizer for the recompute specs below — the
+  // wordsExpr contract re-implemented in plain Scala
+  private def fixtureTokens(): Seq[(Long, String, Int)] =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), lower(trim(col("text"))).as("nt"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").count(_.nonEmpty)))
+      .toSeq
+
+  test("pack_shards: snake striping recomputed independently; heavy docs spread") {
+    val docs = fixtureTokens()
+    // independent reimplementation: per-source rank by (ntok desc, id),
+    // snake stripe across 8 shards, exact long totals
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+      ds.sortBy(d => (-d._3, d._1)).zipWithIndex.map { case (d, pos) =>
+        val shard = if ((pos / 8) % 2 == 0) pos % 8 else 7 - pos % 8
+        (shard.toLong, d._3.toLong)
+      }
+    }.groupBy(_._1).map { case (sh, xs) =>
+      sh -> (xs.size.toLong, xs.map(_._2).sum)
+    }
+    val got = LlmData.qPackShards(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected, s"shard totals diverge: got $got expected $expected")
+    // the balance property snake striping exists for: per-source, the 8
+    // heaviest docs land on 8 distinct shards
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      val top8 = ds.sortBy(d => (-d._3, d._1)).take(8)
+      val shards = top8.zipWithIndex.map { case (_, pos) => pos % 8 }.toSet
+      assert(shards.size == top8.size, s"top-8 of $src not spread")
+    }
+    // and the readout reflects it: balance stays within ±15% of ideal
+    val bal = LlmData.qPackShards(spark, dir).collect().map(_.getDouble(4))
+    assert(bal.forall(b => b > 0.85 && b < 1.15), s"imbalanced: ${bal.toSeq}")
+  }
+
+  test("text_entropy: per-doc entropy recomputed independently (quantization included)") {
+    def halfUp(x: Double, scale: Int): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x).setScale(scale, java.math.RoundingMode.HALF_UP)
+    val texts = Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(trim(col("text"))).as("nt")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    val expected = texts.map { case (id, ws) =>
+      val counts = ws.groupBy(identity).map(_._2.length.toLong)
+      val n = counts.sum
+      val term = counts.map(c => c * halfUp(math.log(c.toDouble / n) * 1e9, 0).longValueExact).sum
+      val ent = -(term / 1e9) / n
+      val norm = if (n > 1) ent / math.log(n.toDouble) else 0.0
+      id -> (n, counts.size.toLong, halfUp(ent, 6).doubleValue, halfUp(norm, 6).doubleValue)
+    }.toMap
+    val got = LlmData.qTextEntropy(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got == expected)
+    // sanity on the bound: norm_entropy ∈ [0, 1] + tie to n_distinct
+    got.values.foreach { case (n, nd, ent, norm) =>
+      assert(norm >= 0.0 && norm <= 1.000001, s"norm out of range: $norm")
+      assert(ent <= math.log(nd.toDouble) + 1e-6, "entropy above ln(n_distinct)")
+    }
+  }
+
+  test("corpus_diff: per-source delta card recomputed independently") {
+    val docs = fixtureTokens()
+    val nts = Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(trim(col("text"))).as("nt")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val mx = docs.map(_._1).max
+    val t = mx - mx / 10
+    val prevNt = docs.filter(_._1 <= t).map(d => nts(d._1)).toSet
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val (prev, nw) = ds.partition(_._1 <= t)
+      src -> (prev.size.toLong, prev.map(_._3.toLong).sum,
+        nw.size.toLong, nw.map(_._3.toLong).sum,
+        nw.count(d => prevNt(nts(d._1))).toLong)
+    }
+    val got = LlmData.qCorpusDiff(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got == expected, s"diff card diverges:\n got $got\n exp $expected")
+  }
+
+  test("emb_centroid_shift: occupancy equals the q_sim_ivf_cells assignment; shares close") {
+    val cells = LlmData.qSimIvfCells(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val mx = cells.map(_._1).max
+    val t = mx / 2
+    val expected = cells.groupBy(_._2).map { case (cell, xs) =>
+      cell -> (xs.count(_._1 <= t).toLong, xs.count(_._1 > t).toLong)
+    }
+    val rows = LlmData.qEmbCentroidShift(spark, dir).collect()
+    val got = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected, "per-cell occupancy diverges from the shared assignment")
+    // shares are distributions; shifts cancel
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getDouble(5)).sum) < 1e-4)
+  }
 }
