@@ -3200,6 +3200,51 @@ object LlmData {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Cross-document chunk-level duplication (`q_dedup_chunks`) — the
+    * paragraph-dedup census (the Dolma/CCNet pass that whole-doc
+    * dedup misses: two docs that each copy the same boilerplate block
+    * but differ elsewhere): every doc is cut into the q_text_chunk
+    * 64-word/48-stride windows, and a chunk is CROSS-DOC duplicated
+    * when its exact text also occurs in at least one OTHER document.
+    * Output per doc: chunk count, duplicated-chunk count, and the
+    * duplicated fraction — the partial-overlap signal that feeds a
+    * chunk-level scrub decision rather than a whole-doc drop.
+    *
+    * Scale shape: chunk rows shuffle ONCE keyed on (xxhash64(chunk),
+    * chunk_text) for the cross-doc window (min≠max doc over the
+    * chunk-text group — countDistinct-free), then roll up on doc_id;
+    * the hash leads the key so the exchange distributes on 8 bytes
+    * and the text rides only to resolve collisions exactly. At 100 TB
+    * the same plan holds with the text column swapped for a 128-bit
+    * fingerprint (collision-negligible, chunk bytes never shuffle) —
+    * the documented production variant.
+    */
+  def qDedupChunks(s: SparkSession, dir: String): DataFrame = {
+    val C = 64; val S = 48
+    val ch = docsNorm(s, dir)
+      .withColumn("ws", expr(wordsExpr))
+      .filter(size(col("ws")) > 0)
+      .withColumn("chunk_id", explode(expr(
+        s"sequence(0, int(greatest(ceil((size(ws) - $C) / CAST($S AS DOUBLE)), 0)))")))
+      .select(col("doc_id"),
+        expr(s"array_join(slice(ws, chunk_id * $S + 1, $C), ' ')").as("chunk_text"))
+      .withColumn("h", xxhash64(col("chunk_text")))
+    val wC = Window.partitionBy("h", "chunk_text")
+    val per = ch
+      .withColumn("xdoc",
+        (min(col("doc_id")).over(wC) =!= max(col("doc_id")).over(wC)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum(col("xdoc")).as("n_dup_chunks"))
+    documents(s, dir).select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"))
+      .withColumn("dup_chunk_frac", round(when(col("n_chunks") === 0, lit(0.0))
+        .otherwise(col("n_dup_chunks") * lit(1.0) / col("n_chunks")), 6))
+      .orderBy("doc_id")
+  }
+
   /** Zipf rank-frequency slope per source: OLS fit of ln(freq) over
     * ln(rank) for the top-50 words — natural text tracks slope ≈ −1,
     * so a flat or cliff-shaped slope flags templated/boilerplate or
@@ -5391,6 +5436,38 @@ object LlmData {
         |  len(list_slice(ws, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS n_chunk_words,
         |  array_to_string(list_slice(ws, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // Same q_text_chunk windows; cross-doc = min(doc)≠max(doc) over
+    // the chunk-text group; per-doc rollup + zero-fill via doc spine.
+    "q_dedup_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS ws
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, ws,
+        |    unnest(generate_series(0,
+        |      GREATEST(CAST(CEIL((len(ws) - 64) / 48.0) AS INT), 0))) AS chunk_id
+        |  FROM d WHERE len(ws) > 0
+        |), ch AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_slice(ws, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ') AS chunk_text
+        |  FROM c
+        |), x AS (
+        |  SELECT doc_id,
+        |    CASE WHEN MIN(doc_id) OVER (PARTITION BY chunk_text)
+        |           <> MAX(doc_id) OVER (PARTITION BY chunk_text)
+        |         THEN 1 ELSE 0 END AS xdoc
+        |  FROM ch
+        |), per AS (
+        |  SELECT doc_id, COUNT(*) AS n_chunks, CAST(SUM(xdoc) AS BIGINT) AS n_dup_chunks
+        |  FROM x GROUP BY doc_id
+        |)
+        |SELECT documents.doc_id,
+        |  COALESCE(n_chunks, 0) AS n_chunks,
+        |  COALESCE(n_dup_chunks, 0) AS n_dup_chunks,
+        |  ROUND(CASE WHEN COALESCE(n_chunks, 0) = 0 THEN 0.0
+        |    ELSE COALESCE(n_dup_chunks, 0) * 1.0 / n_chunks END, 6) AS dup_chunk_frac
+        |FROM documents LEFT JOIN per ON documents.doc_id = per.doc_id
+        |ORDER BY documents.doc_id""".stripMargin,
     "q_text_novelty" ->
       """WITH w AS (
         |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS w
@@ -5915,6 +5992,7 @@ object LlmData {
     "q_pack_shards" -> (qPackShards _),
     "q_text_entropy" -> (qTextEntropy _),
     "q_corpus_diff" -> (qCorpusDiff _),
-    "q_emb_centroid_shift" -> (qEmbCentroidShift _)
+    "q_emb_centroid_shift" -> (qEmbCentroidShift _),
+    "q_dedup_chunks" -> (qDedupChunks _)
   )
 }

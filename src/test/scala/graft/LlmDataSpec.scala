@@ -988,6 +988,39 @@ class LlmDataSpec extends SparkSpec {
     assert(got == expected, s"diff card diverges:\n got $got\n exp $expected")
   }
 
+  test("dedup_chunks: planted shared block flags the overlapping windows only") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("chunkdup").toFile.getAbsolutePath
+    // a 64-word boilerplate block shared by docs 1 and 2 at different
+    // offsets, unique remainders; doc 3 fully unique; doc 4 an exact
+    // copy of doc 1 (whole-doc dup => every chunk duplicated)
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val block = words("boiler", 64)
+    val d1 = words("alpha", 48) + " " + block + " " + words("omega", 32)
+    val d2 = block + " " + words("beta", 80)
+    val d3 = words("gamma", 144)
+    val docs = Seq(
+      (1L, d1, "en", "src0", d1.length.toLong),
+      (2L, d2, "en", "src0", d2.length.toLong),
+      (3L, d3, "en", "src1", d3.length.toLong),
+      (4L, d1, "en", "src1", d1.length.toLong))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = LlmData.qDedupChunks(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 4 ≡ doc 1: every one of its chunks occurs in the other doc
+    assert(got(4L)._1 == got(4L)._2 && got(4L)._2 > 0, s"whole-doc dup not fully flagged: $got")
+    assert(got(1L) == got(4L), "identical docs must profile identically")
+    // doc 3 shares nothing
+    assert(got(3L)._2 == 0, s"unique doc flagged: ${got(3L)}")
+    // docs 1 and 2 share only the boilerplate block — SOME but not all
+    // chunks flagged on doc 2 (stride alignment decides which windows
+    // reproduce exactly; doc 1's flags are dominated by the doc-4 copy)
+    assert(got(2L)._2 > 0 && got(2L)._2 < got(2L)._1,
+      s"partial overlap must flag a strict subset on doc 2: ${got(2L)}")
+  }
+
   test("emb_centroid_shift: occupancy equals the q_sim_ivf_cells assignment; shares close") {
     val cells = LlmData.qSimIvfCells(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
