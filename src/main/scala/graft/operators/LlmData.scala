@@ -363,10 +363,13 @@ object LlmData {
       .withColumn("shard",
         when(expr(s"(pos div $nShards) % 2") === 0, col("pos") % nShards)
           .otherwise(lit(nShards - 1) - col("pos") % nShards).cast("long"))
-    val per = assigned.groupBy("shard")
+    // total via an unpartitioned window over the O(W) rollup — a
+    // per.agg + crossJoin would RE-EXECUTE the whole scan+window
+    // lineage for the 1-row total (caught in the round-11 plan audit)
+    val wAll = Window.partitionBy()
+    assigned.groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
-    val tot = per.agg(sum(col("n_tokens")).as("t"))
-    per.crossJoin(broadcast(tot))
+      .withColumn("t", sum(col("n_tokens")).over(wAll))
       .select(col("shard"), col("n_docs"), col("n_tokens"),
         round(col("n_tokens") * lit(1.0) / col("t"), 6).as("tok_share"),
         round(col("n_tokens") * lit(nShards.toDouble) / col("t"), 6).as("balance"))
@@ -437,20 +440,21 @@ object LlmData {
       .withColumn("h", xxhash64(col("norm_text")))
     val prev = d.filter(col("doc_id") <= t)
     val incoming = d.filter(col("doc_id") > t)
-    val prevAgg = prev.groupBy("source")
-      .agg(count(lit(1)).as("n_prev"), sum(col("ntok")).as("prev_tokens"))
-    val newAgg = incoming.groupBy("source")
-      .agg(count(lit(1)).as("n_new"), sum(col("ntok")).as("new_tokens"))
+    // both halves' counts in ONE conditional aggregation over one scan
+    // (separate prev/new groupBys + a full-outer join would scan the
+    // corpus twice and add a join — round-11 plan-audit fix); only the
+    // text-bearing dup check needs its own pass
+    val halves = d.groupBy("source").agg(
+      count(when(col("doc_id") <= t, 1)).as("n_prev"),
+      sum(when(col("doc_id") <= t, col("ntok")).otherwise(lit(0L))).as("prev_tokens"),
+      count(when(col("doc_id") > t, 1)).as("n_new"),
+      sum(when(col("doc_id") > t, col("ntok")).otherwise(lit(0L))).as("new_tokens"))
     val dupNew = incoming
       .join(prev.select("h", "norm_text").distinct(), Seq("h", "norm_text"), "left_semi")
       .groupBy("source").agg(count(lit(1)).as("n_new_dup_prev"))
-    prevAgg.join(newAgg, Seq("source"), "full")
-      .join(dupNew, Seq("source"), "left")
-      .select(col("source"),
-        coalesce(col("n_prev"), lit(0L)).as("n_prev"),
-        coalesce(col("prev_tokens"), lit(0L)).as("prev_tokens"),
-        coalesce(col("n_new"), lit(0L)).as("n_new"),
-        coalesce(col("new_tokens"), lit(0L)).as("new_tokens"),
+    halves.join(dupNew, Seq("source"), "left")
+      .select(col("source"), col("n_prev"), col("prev_tokens"),
+        col("n_new"), col("new_tokens"),
         coalesce(col("n_new_dup_prev"), lit(0L)).as("n_new_dup_prev"))
       .withColumn("dup_rate_new", round(when(col("n_new") === 0, lit(0.0))
         .otherwise(col("n_new_dup_prev") * lit(1.0) / col("n_new")), 6))
@@ -485,14 +489,18 @@ object LlmData {
     val cent = emb.orderBy("vec_id").limit(k1)
       .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
     val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))
-    val per = emb.crossJoin(broadcast(cent))
+    // half totals via an unpartitioned window over the O(k1) rollup —
+    // a per.agg + crossJoin would re-run the assignment crossJoin +
+    // argmax window a second time (round-11 plan-audit fix)
+    val wAll = Window.partitionBy()
+    emb.crossJoin(broadcast(cent))
       .withColumn("ccos", dotCol(col("v"), col("cv")) / (col("nrm") * col("cn")))
       .withColumn("r", row_number().over(wA)).filter(col("r") === 1)
       .groupBy("cell")
       .agg(count(when(col("vec_id") <= t, 1)).as("n_old"),
         count(when(col("vec_id") > t, 1)).as("n_new"))
-    val tot = per.agg(sum("n_old").as("t_old"), sum("n_new").as("t_new"))
-    per.crossJoin(broadcast(tot))
+      .withColumn("t_old", sum(col("n_old")).over(wAll))
+      .withColumn("t_new", sum(col("n_new")).over(wAll))
       .select(col("cell"), col("n_old"), col("n_new"),
         round(col("n_old") * lit(1.0) / col("t_old"), 6).as("share_old"),
         round(col("n_new") * lit(1.0) / col("t_new"), 6).as("share_new"),
