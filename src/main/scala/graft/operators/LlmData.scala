@@ -2510,6 +2510,56 @@ object LlmData {
     byLabel.join(centroid, "label").orderBy("label")
   }
 
+  /** Per-label cluster-quality readout (`q_emb_silhouette`) — the
+    * silhouette-style census run after any labeling/clustering step
+    * (complements q_emb_assign's per-VECTOR purity view with the
+    * per-CLUSTER aggregate a dashboard tracks): for every label, the
+    * mean cosine of members to their OWN label centroid (cohesion),
+    * the mean cosine to the best OTHER-label centroid (the closest
+    * confusable cluster), and the separation margin between the two.
+    * A label whose margin collapses is two clusters mislabeled as
+    * one — or one split in two.
+    *
+    * Determinism firewalls, all precedented: centroids from exact
+    * per-dimension decimal sums (the qEmbNormOps/qEmbAssign rule — no
+    * cross-row double accumulation), cosines as index-order IEEE
+    * folds (compiled dotF64 ≡ DuckDB's prepend-0 list_reduce), and
+    * the cross-row cosine means through the nano-unit long firewall
+    * (each cosine HALF_UP at 1e-9, summed as int64). Scale shape: the
+    * O(labels × d) centroid table ships as ONE broadcast; scoring is
+    * crossJoin(broadcast) + per-vector conditional-max — the
+    * q_emb_assign idiom, no data×data join; rollup is O(labels).
+    */
+  def qEmbSilhouette(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir).select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotCol(col("v"), col("v"))))
+    val perDim = emb.select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col").cast("decimal(18,9)")).as("sx"), count(lit(1)).as("cnt"))
+    val cents = perDim
+      .withColumn("c", col("sx").cast("double") / col("cnt"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cv"))
+      .select(col("label").as("c_label"), col("cv"))
+      .withColumn("cn", sqrt(dotCol(col("cv"), col("cv"))))
+    val per = emb.crossJoin(broadcast(cents))
+      .withColumn("ccos", dotCol(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .groupBy("vec_id", "label")
+      .agg(max(when(col("c_label") === col("label"), col("ccos"))).as("own"),
+        max(when(col("c_label") =!= col("label"), col("ccos"))).as("other"))
+      .select(col("label"),
+        round(col("own") * lit(1e9)).cast("long").as("own_n"),
+        round(col("other") * lit(1e9)).cast("long").as("other_n"))
+    per.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("own_n")) / lit(1e9) / count(lit(1)), 6).as("mean_cos_own"),
+        round(sum(col("other_n")) / lit(1e9) / count(lit(1)), 6).as("mean_cos_other"),
+        round((sum(col("own_n")) - sum(col("other_n"))) / lit(1e9) / count(lit(1)), 6)
+          .as("separation"))
+      .orderBy("label")
+  }
+
   /** Symmetric int8 quantization of the embedding column — the
     * standard vector-compression step before shipping an ANN index
     * (4× smaller vectors, SIMD-friendly integer dot products). Per
@@ -5103,6 +5153,47 @@ object LlmData {
     // runs in index order with a prepended 0.0 accumulator, matching
     // Spark's aggregate(zip_with(...)) fold exactly, so d2 (and the
     // argmin tie order) are bit-identical across engines.
+    // q_emb_assign's exact-decimal centroid CTE + cosine folds + the
+    // nano-unit mean firewall; division chains associated as Spark.
+    "q_emb_silhouette" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, e,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, 64), i -> e[i] * e[i])),
+        |      (a, b) -> a + b)) AS nrm
+        |  FROM v
+        |),
+        |perdim AS (
+        |  SELECT label, i, SUM(CAST(e[i] AS DECIMAL(18,9))) AS sx, COUNT(*) AS cnt
+        |  FROM v, unnest(generate_series(1, 64)) AS t(i)
+        |  GROUP BY label, i
+        |), cen AS (
+        |  SELECT label AS c_label, list(CAST(sx AS DOUBLE) / cnt ORDER BY i) AS cv
+        |  FROM perdim GROUP BY label
+        |), cen2 AS (
+        |  SELECT c_label, cv,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, 64), i -> cv[i] * cv[i])),
+        |      (a, b) -> a + b)) AS cn
+        |  FROM cen
+        |), sc AS (
+        |  SELECT vec_id, label, c_label,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, 64), i -> e[i] * cv[i])),
+        |      (a, b) -> a + b) / (nrm * cn) AS ccos
+        |  FROM n CROSS JOIN cen2
+        |), per AS (
+        |  SELECT label,
+        |    CAST(ROUND(MAX(CASE WHEN c_label = label THEN ccos END) * 1000000000.0) AS BIGINT) AS own_n,
+        |    CAST(ROUND(MAX(CASE WHEN c_label <> label THEN ccos END) * 1000000000.0) AS BIGINT) AS other_n
+        |  FROM sc GROUP BY vec_id, label
+        |)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  ROUND(CAST(SUM(own_n) AS BIGINT) / 1000000000.0 / COUNT(*), 6) AS mean_cos_own,
+        |  ROUND(CAST(SUM(other_n) AS BIGINT) / 1000000000.0 / COUNT(*), 6) AS mean_cos_other,
+        |  ROUND((CAST(SUM(own_n) AS BIGINT) - CAST(SUM(other_n) AS BIGINT)) / 1000000000.0 / COUNT(*), 6) AS separation
+        |FROM per GROUP BY label ORDER BY label""".stripMargin,
     "q_emb_assign" ->
       """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |perdim AS (
@@ -6001,6 +6092,7 @@ object LlmData {
     "q_text_entropy" -> (qTextEntropy _),
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_emb_centroid_shift" -> (qEmbCentroidShift _),
-    "q_dedup_chunks" -> (qDedupChunks _)
+    "q_dedup_chunks" -> (qDedupChunks _),
+    "q_emb_silhouette" -> (qEmbSilhouette _)
   )
 }

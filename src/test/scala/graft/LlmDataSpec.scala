@@ -1021,6 +1021,44 @@ class LlmDataSpec extends SparkSpec {
       s"partial overlap must flag a strict subset on doc 2: ${got(2L)}")
   }
 
+  test("emb_silhouette: tight planted clusters cohere; a mixed label's margin collapses") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("silh").toFile.getAbsolutePath
+    val rnd = new scala.util.Random(7)
+    def noisy(base: Array[Float]): Array[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+    def axis(i: Int): Array[Float] =
+      Array.tabulate(64)(j => if (j == i) 1f else 0f)
+    // labels 0 and 1: tight clusters on orthogonal axes; label 2: a
+    // 50/50 MIX of two more orthogonal directions (the mislabeled case)
+    val rows =
+      (0 until 20).map(k => (k.toLong, noisy(axis(0)).toSeq, 0)) ++
+      (0 until 20).map(k => (100L + k, noisy(axis(1)).toSeq, 1)) ++
+      (0 until 10).map(k => (200L + k, noisy(axis(2)).toSeq, 2)) ++
+      (0 until 10).map(k => (300L + k, noisy(axis(3)).toSeq, 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = LlmData.qEmbSilhouette(spark, tmp).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.keySet == Set(0, 1, 2))
+    // tight clusters: members hug their centroid, other centroids are
+    // near-orthogonal => separation close to 1
+    Seq(0, 1).foreach { l =>
+      val (_, own, _, sep) = got(l)
+      assert(own > 0.99, s"label $l cohesion $own")
+      assert(sep > 0.8, s"label $l separation $sep")
+    }
+    // the mixed label: its centroid sits between two orthogonal lobes,
+    // so cohesion collapses toward cos 45 deg (~0.71) and the margin
+    // shrinks well below the tight clusters'
+    val (_, ownMix, _, sepMix) = got(2)
+    assert(ownMix < 0.8, s"mixed-label cohesion should collapse: $ownMix")
+    assert(sepMix < got(0)._4 - 0.1 && sepMix < got(1)._4 - 0.1,
+      s"mixed-label margin should trail the tight clusters: $sepMix")
+  }
+
   test("emb_centroid_shift: occupancy equals the q_sim_ivf_cells assignment; shares close") {
     val cells = LlmData.qSimIvfCells(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
