@@ -321,6 +321,56 @@ object EventOps {
       .orderBy("event_type", "day")
   }
 
+  /** Session-level event-type co-occurrence (`q_ev_cooccur`) — the
+    * market-basket/association readout over behavioral sessions
+    * (baskets = the qEvSession 30-min-gap sessions, items = event
+    * types): for every unordered type pair, the number of sessions
+    * containing BOTH, the support (share of all sessions), and the
+    * lift n_ab·N / (n_a·n_b) — lift > 1 marks types that travel
+    * together beyond what their base rates explain; the complement
+    * to qEvMarkov's ORDERED adjacent-transition view (co-occurrence
+    * sees a pair however far apart in the session).
+    *
+    * Scale shape: sessionization is the one event-stream exchange
+    * (user-keyed window, the qEvSession plan); everything after runs
+    * on the DISTINCT (user, session, type) table — bounded by
+    * sessions × types, not events — cached because three consumers
+    * read it (pair join, per-type counts, session total; the
+    * SparkEntry registry contract covers the cache). The pair join
+    * keys on (user, session), so each session contributes at most
+    * types² compact rows; lift closes over exact long products with
+    * ONE IEEE division.
+    */
+  def qEvCooccur(s: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val st = events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byTs))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+      .select("user_id", "session_id", "event_type").distinct()
+      .cache() // pair join + per-type counts + session total
+    val nSess = st.select("user_id", "session_id").distinct()
+      .agg(count(lit(1)).as("n_sess"))
+    val perType = st.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    val pairs = st.select(col("user_id"), col("session_id"), col("event_type").as("type_a"))
+      .join(st.select(col("user_id"), col("session_id"), col("event_type").as("type_b")),
+        Seq("user_id", "session_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(perType.select(col("event_type").as("type_a"), col("n_t").as("n_a"))), "type_a")
+      .join(broadcast(perType.select(col("event_type").as("type_b"), col("n_t").as("n_b"))), "type_b")
+      .crossJoin(broadcast(nSess))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        round(col("n_ab") * lit(1.0) / col("n_sess"), 6).as("support"),
+        round((col("n_ab") * col("n_sess")) * lit(1.0) / (col("n_a") * col("n_b")), 6).as("lift"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Event-type transition matrix (first-order Markov view of user
     * behavior): consecutive event pairs within each user's timeline
     * (ordered by ts with event_id as the deterministic tiebreak),
@@ -600,6 +650,42 @@ object EventOps {
         |  ROUND(CAST(SUM(cents * wmi) AS BIGINT) /
         |    (1048576.0 * CAST(SUM(cents) AS BIGINT)), 6) AS decay_ratio
         |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // The q_ev_session CTE (with event_type carried through) + distinct
+    // basket table + the same pair join; lift/support close over exact
+    // long products with one division each, associated as Spark.
+    "q_ev_cooccur" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessioned AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |), st AS (
+        |  SELECT DISTINCT user_id, session_id, event_type FROM sessioned
+        |), tot AS (
+        |  SELECT COUNT(*) AS n_sess FROM (SELECT DISTINCT user_id, session_id FROM st)
+        |), pt AS (
+        |  SELECT event_type, COUNT(*) AS n_t FROM st GROUP BY event_type
+        |), pr AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_ab
+        |  FROM st a JOIN st b
+        |    ON a.user_id = b.user_id AND a.session_id = b.session_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT type_a, type_b, n_ab,
+        |  ROUND(n_ab * 1.0 / n_sess, 6) AS support,
+        |  ROUND((n_ab * n_sess) * 1.0 / (pa.n_t * pb.n_t), 6) AS lift
+        |FROM pr
+        |JOIN pt pa ON pr.type_a = pa.event_type
+        |JOIN pt pb ON pr.type_b = pb.event_type
+        |CROSS JOIN tot
+        |ORDER BY type_a, type_b""".stripMargin,
     // Gap-filled spine + windowed list + the SAME indexed power-of-two
     // fold (DuckDB lambda index is 1-based: k = len − i); closed-form
     // denominator; one double division at the end.
@@ -775,6 +861,7 @@ object EventOps {
     "q_ev_entropy" -> (qEvEntropy _),
     "q_ev_decay" -> (qEvDecay _),
     "q_ev_ewma" -> (qEvEwma _),
+    "q_ev_cooccur" -> (qEvCooccur _),
     "q_ev_markov" -> (qEvMarkov _),
     "q_ev_sesspath" -> (qEvSesspath _),
     "q_ev_hourly" -> (qEvHourly _),

@@ -3461,6 +3461,38 @@ object LlmData {
       .orderBy("source")
   }
 
+  /** Mixture divergence readout (`q_mix_kl`) — KL(observed ‖ uniform)
+    * of the source-token mix, with each source's additive
+    * contribution p·ln(p·n): the one-number "how far is this corpus
+    * from the target mix" tracker that complements q_mix_weights'
+    * per-source reweighting (weights say how to FIX the mix; KL says
+    * how BAD it currently is, and the per-source terms say who's
+    * responsible — a negative term is an underrepresented source).
+    *
+    * Shares derive from exact long token counts; each term is
+    * quantized to nano-unit longs (HALF_UP — the qEvEntropy firewall)
+    * so the total is a partition-order-independent int64 window sum.
+    * One aggregation to the O(sources) table; every window here runs
+    * over that table, never the corpus.
+    */
+  def qMixKl(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    docsNorm(s, dir)
+      .select(col("source"), size(expr(wordsExpr)).cast("long").as("ntok"))
+      .groupBy("source").agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+      .withColumn("t", sum(col("n_tokens")).over(wAll))
+      .withColumn("nsrc", count(lit(1)).over(wAll))
+      .withColumn("share", col("n_tokens") * lit(1.0) / col("t"))
+      .withColumn("term_n",
+        round(col("share") * log(col("share") * col("nsrc")) * lit(1e9)).cast("long"))
+      .withColumn("kl_total", round(sum(col("term_n")).over(wAll) / lit(1e9), 6))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("share"), 6).as("tok_share"),
+        round(col("term_n") / lit(1e9), 6).as("kl_term"),
+        col("kl_total"))
+      .orderBy("source")
+  }
+
   /** Temperature-scaled source mixture (the multilingual/multi-source
     * upsampling rule: sample source s with probability ∝ p_s^α,
     * α = 1/T — here T = 2, the flatten-the-tail setting): per-source
@@ -5377,6 +5409,28 @@ object LlmData {
         |FROM base JOIN tl ON base.source = tl.source
         |LEFT JOIN dups ON base.source = dups.source
         |ORDER BY base.source""".stripMargin,
+    // Same O(sources) table + nano-unit term quantization; the share
+    // and term expressions associate exactly as the Spark side.
+    "q_mix_kl" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(CAST(len(list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')) AS BIGINT)) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source
+        |), w AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    CAST(SUM(n_tokens) OVER () AS BIGINT) AS t,
+        |    COUNT(*) OVER () AS nsrc
+        |  FROM per
+        |), t2 AS (
+        |  SELECT *, n_tokens * 1.0 / t AS share FROM w
+        |), t3 AS (
+        |  SELECT *, CAST(ROUND(share * LN(share * nsrc) * 1000000000.0) AS BIGINT) AS term_n FROM t2
+        |)
+        |SELECT source, n_docs, n_tokens,
+        |  ROUND(share, 6) AS tok_share,
+        |  ROUND(term_n / 1000000000.0, 6) AS kl_term,
+        |  ROUND(CAST(SUM(term_n) OVER () AS BIGINT) / 1000000000.0, 6) AS kl_total
+        |FROM t3 ORDER BY source""".stripMargin,
     // Snake-stripe replay: same per-source rank window, same integer
     // round/position arithmetic, exact long token sums.
     "q_pack_shards" ->
@@ -6093,6 +6147,7 @@ object LlmData {
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_emb_centroid_shift" -> (qEmbCentroidShift _),
     "q_dedup_chunks" -> (qDedupChunks _),
-    "q_emb_silhouette" -> (qEmbSilhouette _)
+    "q_emb_silhouette" -> (qEmbSilhouette _),
+    "q_mix_kl" -> (qMixKl _)
   )
 }

@@ -85,4 +85,41 @@ class EventOpsSpec extends SparkSpec {
     // once any mass entered the frame; it never exceeds the frame max
     got.foreach { case (_, (_, _, e)) => assert(e >= 0.0) }
   }
+
+  test("ev_cooccur: basket counts and lift recomputed independently") {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")).collect()
+      .map { r =>
+        val inst = r.getTimestamp(1).toInstant
+        (r.getLong(0), inst.getEpochSecond * 1000000L + inst.getNano / 1000L,
+          r.getLong(2), r.getString(3))
+      }
+    // independent sessionization: per user in (ts, event_id) order, a
+    // gap >= 30 min starts a new session (the qEvSession contract)
+    val baskets = ev.groupBy(_._1).toSeq.flatMap { case (u, xs) =>
+      var sid = 0L
+      var prev = Long.MinValue
+      xs.sortBy(x => (x._2, x._3)).map { x =>
+        if (prev == Long.MinValue || x._2 - prev >= 1800000000L) sid += 1
+        prev = x._2
+        ((u, sid), x._4)
+      }
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val n = baskets.size.toLong
+    val typeCount = baskets.values.toSeq.flatten.groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    val pairCount = baskets.values.toSeq
+      .flatMap(ts => ts.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val expected = pairCount.map { case ((a, b), nab) =>
+      (a, b) -> (nab, r6(nab * 1.0 / n),
+        r6((nab * n) * 1.0 / (typeCount(a) * typeCount(b))))
+    }
+    val got = EventOps.qEvCooccur(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got == expected, s"co-occurrence diverges:\n got $got\n exp $expected")
+  }
 }

@@ -1021,6 +1021,33 @@ class LlmDataSpec extends SparkSpec {
       s"partial overlap must flag a strict subset on doc 2: ${got(2L)}")
   }
 
+  test("mix_kl: divergence terms recomputed independently; uniform mix gives zero") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val docs = fixtureTokens()
+    val per = docs.groupBy(_._2).map { case (src, ds) =>
+      src -> (ds.size.toLong, ds.map(_._3.toLong).sum)
+    }
+    val t = per.values.map(_._2).sum
+    val nsrc = per.size
+    val terms = per.map { case (src, (_, tok)) =>
+      val share = tok * 1.0 / t
+      src -> java.math.BigDecimal.valueOf(share * math.log(share * nsrc) * 1e9)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+    }
+    val klTotal = r6(terms.values.sum / 1e9)
+    val expected = per.map { case (src, (nd, tok)) =>
+      src -> (nd, tok, r6(tok * 1.0 / t), r6(terms(src) / 1e9), klTotal)
+    }
+    val got = LlmData.qMixKl(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(got == expected, s"KL readout diverges:\n got $got\n exp $expected")
+    // Gibbs: KL >= 0, and it is 0 iff the mix is exactly uniform
+    assert(klTotal >= 0.0)
+  }
+
   test("emb_silhouette: tight planted clusters cohere; a mixed label's margin collapses") {
     val s = spark
     import s.implicits._
