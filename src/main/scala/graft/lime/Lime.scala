@@ -203,16 +203,18 @@ object Lime {
         }
       else exactQuantilesFromSketch(df, features, ps, r1).map(_.map(r6))
 
-    // Bin means/frequencies feed only the internal perturbation tables
-    // (never an oracle-checked output), so they skip the decimal
-    // firewall: plain double sums stay inside whole-stage codegen and
-    // drift ~1e-13 across partition layouts — far below the 1e-6
-    // non-oracle tolerance.
+    // Bin means now go through the decimal firewall (exact per-bin
+    // decimal sums → one double division), and bin frequencies were
+    // always exact long counts → one division — so BOTH are
+    // partition-order-independent AND engine-replicable. This is what
+    // lets lime_perturb carry a DuckDB oracle: the sampling
+    // thresholds (cumFreqs) and the emitted __val (binMeans) must be
+    // bit-reproducible from SQL, not 1e-13-wobbly double sums.
     val pass2 = features.zip(edges).flatMap { case (f, e) =>
       val bin = binOf(col(f), e)
       (0 until nBins).flatMap { b =>
         Seq(
-          (sum(when(bin === b, col(f))) /
+          (sum(when(bin === b, col(f).cast(D6))).cast("double") /
             greatest(sum(when(bin === b, 1).otherwise(0)), lit(1))).as(s"${f}__bm$b"),
           (sum(when(bin === b, 1).otherwise(0)).cast("double") / count(lit(1))).as(s"${f}__bf$b"))
       }

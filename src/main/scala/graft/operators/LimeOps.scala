@@ -98,7 +98,10 @@ object LimeOps {
       .orderBy("probe_id", "vec_id")
   }
 
-  // ===== RNG / linear-algebra stages (no oracle; spec-graded) =====
+  // ===== RNG / linear-algebra stages =====
+  // lime_perturb carries a full DuckDB oracle since round 11 (the
+  // XxSql hash-chain replay); the ridge/select/explain stages remain
+  // spec-graded — their d×d solves have no SQL form.
 
   def limePerturb(s: SparkSession, dir: String): DataFrame = {
     val stats = statsFor(s, dir)
@@ -211,6 +214,189 @@ object LimeOps {
 
   // ===== oracle SQL =====
 
+  /** DuckDB replay of Spark's `xxhash64` — the machinery that turns
+    * lime_perturb from spec-trust into oracle-trust. Spark's RNG is a
+    * PURE function of the counter tuple (Rng.scala: xxhash64 over
+    * (seed, instance_id, sample_id, feature)), and XXH64 is ~10
+    * wrapping 64-bit ops per value, so DuckDB can re-derive every
+    * uniform bit-for-bit: unsigned 64-bit state lives in HUGEINT
+    * ∈ [0, 2⁶⁴), wrap-multiply is the 32-bit-split identity
+    * a·b mod 2⁶⁴ = (a_lo·b + (a_hi·b mod 2³²)·2³²) mod 2⁶⁴ (all
+    * intermediates < 2⁹⁷ — inside HUGEINT), rotations are two exact
+    * power-of-two shifts, and xor round-trips through signed BIGINT.
+    * Each step becomes ONE chained-CTE column, so the expression tree
+    * stays linear (inlining would double per step through the split
+    * multiply). Constant subchains (the seed hash, the feature-name
+    * word/tail constants) fold at generation time in Scala BigInt —
+    * the same public algorithm, executed once.
+    */
+  private object XxSql {
+    val MASK: BigInt = (BigInt(1) << 64) - 1
+    val P1 = BigInt("9E3779B185EBCA87", 16); val P2 = BigInt("C2B2AE3D27D4EB4F", 16)
+    val P3 = BigInt("165667B19E3779F9", 16); val P4 = BigInt("85EBCA77C2B2AE63", 16)
+    val P5 = BigInt("27D4EB2F165667C5", 16)
+    private val M64 = "18446744073709551616::HUGEINT"
+    private val M32 = "4294967296::HUGEINT"
+    def rotlC(x: BigInt, r: Int): BigInt = ((x << r) | (x >> (64 - r))) & MASK
+    def mulC(a: BigInt, b: BigInt): BigInt = (a * b) & MASK
+
+    class Chain {
+      val defs = scala.collection.mutable.ArrayBuffer[String]() // defs(i) defines column xi
+      private def add(expr: String): String = { defs += expr; s"x${defs.size - 1}" }
+      def mulmod(a: String, b: BigInt): String =
+        add(s"((($a) % $M32) * $b::HUGEINT + ((($a) // $M32) * $b::HUGEINT % $M32) * $M32) % $M64")
+      def addmod(a: String, c: BigInt): String = add(s"(($a) + $c::HUGEINT) % $M64")
+      def rotl(a: String, r: Int): String =
+        add(s"(($a) * ${BigInt(1) << r}::HUGEINT % $M64 + ($a) // ${BigInt(1) << (64 - r)}::HUGEINT)")
+      def shr(a: String, r: Int): String = add(s"(($a) // ${BigInt(1) << r}::HUGEINT)")
+      private def sgn(a: String): String =
+        s"(CASE WHEN ($a) >= 9223372036854775808::HUGEINT THEN CAST(($a) - $M64 AS BIGINT) ELSE CAST(($a) AS BIGINT) END)"
+      private def unsgn(a: String): String =
+        add(s"(CASE WHEN ($a) < 0 THEN CAST(($a) AS HUGEINT) + $M64 ELSE CAST(($a) AS HUGEINT) END)")
+      def xor(a: String, b: String): String = unsgn(add(s"xor(${sgn(a)}, ${sgn(b)})"))
+      def xorC(a: String, c: BigInt): String = {
+        val lit = if (c >= (BigInt(1) << 63)) (c - (BigInt(1) << 64)).toString else c.toString
+        unsgn(add(s"xor(${sgn(a)}, $lit::BIGINT)"))
+      }
+      def const(c: BigInt): String = add(s"$c::HUGEINT")
+      def fmix(h0: String): String = {
+        val a = xor(h0, shr(h0, 33)); val b = mulmod(a, P2)
+        val c = xor(b, shr(b, 29)); val d = mulmod(c, P3)
+        xor(d, shr(d, 32))
+      }
+      /** Spark XXH64.hashLong of a non-negative BIGINT column, constant seed. */
+      def hashLongC(v: String, seed: BigInt): String = {
+        val h0 = const((seed + P5 + 8) & MASK)
+        val k1 = mulmod(rotl(mulmod(v, P2), 31), P1)
+        fmix(addmod(mulmod(rotl(xor(h0, k1), 27), P1), P4))
+      }
+      /** Spark XXH64.hashInt of a column in [0, 2³²), dynamic seed. */
+      def hashInt(v: String, seed: String): String = {
+        val h0 = addmod(seed, P5 + 4)
+        fmix(addmod(mulmod(rotl(xor(h0, mulmod(v, P1)), 23), P2), P3))
+      }
+      /** Spark XXH64.hashUnsafeBytes of a CONSTANT byte string (< 32 B),
+        * dynamic seed — word/tail constants folded at generation time.
+        */
+      def hashConstBytes(bytes: Array[Byte], seed: String): String = {
+        val n = bytes.length
+        require(n < 32, "constant-string hash supports < 32 bytes")
+        var h = addmod(seed, P5 + n)
+        var off = 0
+        while (off + 8 <= n) {
+          val w = BigInt(1, bytes.slice(off, off + 8).reverse) // little-endian
+          h = addmod(mulmod(rotl(xorC(h, mulC(rotlC(mulC(w, P2), 31), P1)), 27), P1), P4)
+          off += 8
+        }
+        if (off + 4 <= n) {
+          val w = BigInt(1, bytes.slice(off, off + 4).reverse)
+          h = addmod(mulmod(rotl(xorC(h, mulC(w, P1)), 23), P2), P3)
+          off += 4
+        }
+        while (off < n) {
+          h = mulmod(rotl(xorC(h, mulC(BigInt(bytes(off) & 0xff), P5)), 11), P1)
+          off += 1
+        }
+        fmix(h)
+      }
+      /** Rng.u01: top-53-bits uniform, identical association. */
+      def u01(h: String): String =
+        add(s"(CAST(${shr(h, 11)} AS DOUBLE) + 0.5) / 9007199254740992.0")
+      /** The chained CTEs: t0 AS (SELECT *, e0 AS x0 FROM base), ... */
+      def ctes(base: String): (String, String) = {
+        val parts = defs.zipWithIndex.map { case (e, i) =>
+          val src = if (i == 0) base else s"t${i - 1}"
+          s"t$i AS (SELECT *, $e AS x$i FROM $src)"
+        }
+        (parts.mkString(",\n"), s"t${defs.size - 1}")
+      }
+    }
+  }
+
+  /** The lime_perturb oracle: every stage of the perturb fan-out
+    * replayed in DuckDB — sampling uniforms from the XxSql hash chain
+    * (bit-identical to Rng.u01), bin edges from round-6 quantile_cont
+    * (the lime_discretize equivalence), cumulative bin frequencies
+    * from exact long counts with the same left-to-right double adds,
+    * bin means from exact decimal sums (the fitStats pass-2
+    * firewall), and the same reverse-fold bin pick / z flag / value
+    * lookup. Seed 42 (Long) ⇒ the seed hash folds to a constant.
+    */
+  private def perturbOracleSql(nSamples: Int, maxOrderkey: Int): String = {
+    val seedHash = { // hashLong(42, 42) — constant-folded in Scala
+      import XxSql._
+      def fmixC(h0: BigInt): BigInt = {
+        var h = h0
+        h ^= h >> 33; h = mulC(h, P2); h ^= h >> 29; h = mulC(h, P3); h ^= h >> 32
+        h
+      }
+      val h0 = (BigInt(42) + P5 + 8) & MASK
+      val k1 = mulC(rotlC(mulC(BigInt(42), P2), 31), P1)
+      fmixC(mulC(rotlC(h0 ^ k1, 27), P1) + P4 & MASK)
+    }
+    val ch = new XxSql.Chain
+    val hId = ch.hashLongC("CAST(instance_id AS HUGEINT)", seedHash)
+    val hSamp = ch.hashInt("CAST(sample_id AS HUGEINT)", hId)
+    val feats = limeFeatures
+    val uCols = feats.map(f => f -> ch.u01(ch.hashConstBytes(f.getBytes("UTF-8"), hSamp))).toMap
+    val (chainCtes, lastT) = ch.ctes("base")
+    def p(f: String) = f.split("_").last.take(2) // short prefix per feature
+    val edgeCols = feats.map { f =>
+      Seq(0.25, 0.5, 0.75).zipWithIndex.map { case (q, i) =>
+        s"ROUND(quantile_cont($f, $q), 6) AS ${p(f)}_e${i + 1}"
+      }.mkString(", ")
+    }.mkString(",\n    ")
+    def binExpr(x: String, f: String) =
+      s"(CASE WHEN $x > ${p(f)}_e3 THEN 3 WHEN $x > ${p(f)}_e2 THEN 2 WHEN $x > ${p(f)}_e1 THEN 1 ELSE 0 END)"
+    val binStatCols = feats.flatMap { f =>
+      (0 until 4).flatMap { b =>
+        Seq(
+          s"CAST(SUM(CASE WHEN ${binExpr(f, f)} = $b THEN CAST($f AS DECIMAL(19,6)) END) AS DOUBLE) / GREATEST(SUM(CASE WHEN ${binExpr(f, f)} = $b THEN 1 ELSE 0 END), 1) AS ${p(f)}_bm$b",
+          s"CAST(SUM(CASE WHEN ${binExpr(f, f)} = $b THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS ${p(f)}_bf$b")
+      }
+    }.mkString(",\n    ")
+    val cumCols = feats.flatMap { f =>
+      Seq(s"${p(f)}_bf0 AS ${p(f)}_c0",
+        s"${p(f)}_bf0 + ${p(f)}_bf1 AS ${p(f)}_c1",
+        s"(${p(f)}_bf0 + ${p(f)}_bf1) + ${p(f)}_bf2 AS ${p(f)}_c2")
+    }.mkString(", ")
+    val outCols = feats.map { f =>
+      val u = uCols(f)
+      val sbin = s"(CASE WHEN $u < ${p(f)}_c0 THEN 0 WHEN $u < ${p(f)}_c1 THEN 1 WHEN $u < ${p(f)}_c2 THEN 2 ELSE 3 END)"
+      val ibin = binExpr(f, f)
+      val bin = s"(CASE WHEN sample_id = 0 THEN $ibin ELSE $sbin END)"
+      val bm = s"(CASE $bin WHEN 0 THEN ${p(f)}_bm0 WHEN 1 THEN ${p(f)}_bm1 WHEN 2 THEN ${p(f)}_bm2 ELSE ${p(f)}_bm3 END)"
+      s"""  $bin AS ${f}__bin,
+         |  CASE WHEN $bin = $ibin THEN 1.0 ELSE 0.0 END AS ${f}__z,
+         |  CASE WHEN sample_id = 0 THEN $f ELSE $bm END AS ${f}__val""".stripMargin
+    }.mkString(",\n")
+    s"""WITH inst AS (
+       |  SELECT l_orderkey * 10 + l_linenumber AS instance_id,
+       |    ${feats.mkString(", ")}
+       |  FROM lineitem WHERE l_orderkey <= $maxOrderkey
+       |),
+       |base AS (
+       |  SELECT inst.*, s.sample_id
+       |  FROM inst CROSS JOIN (SELECT unnest(generate_series(0, ${nSamples - 1})) AS sample_id) s
+       |),
+       |q AS (
+       |  SELECT
+       |    $edgeCols
+       |  FROM lineitem
+       |),
+       |bs AS (
+       |  SELECT
+       |    $binStatCols
+       |  FROM lineitem CROSS JOIN q
+       |),
+       |bs2 AS (SELECT *, $cumCols FROM bs),
+       |$chainCtes
+       |SELECT instance_id, sample_id,
+       |$outCols
+       |FROM $lastT CROSS JOIN q CROSS JOIN bs2
+       |ORDER BY instance_id, sample_id""".stripMargin
+  }
+
   private def statsCte = {
     def one(f: String) =
       s"""SELECT '$f' AS feature,
@@ -252,6 +438,8 @@ object LimeOps {
          |  CASE $chain ELSE 0 END AS l_extendedprice_bin
          |FROM lineitem, q ORDER BY instance_id""".stripMargin
     },
+    // Full RNG replay — see perturbOracleSql / XxSql scaladoc.
+    "lime_perturb" -> perturbOracleSql(8, 2),
     "lime_score" ->
       """WITH st AS (
         |  SELECT
