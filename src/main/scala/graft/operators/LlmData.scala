@@ -2139,8 +2139,10 @@ object LlmData {
     * nearest-of-k1-centroids-by-cosine argmax every similarity-side
     * IVF probe and inverted list is built from, with the
     * engine-portable smallest-vec_id centroid pick standing in for
-    * the xxhash64 sample DuckDB can't reproduce (the sampling rule is
-    * orthogonal to the assignment kernel under grade). Both cosine
+    * the xxhash64 sample (kept for continuity — since r11 the FULL
+    * replay exists: `ivfAnnOracleSql` reproduces the hash sample
+    * itself via the XxSql chain; this row still isolates the
+    * assignment kernel from the sampling rule). Both cosine
     * operands are index-order IEEE folds (the compiled dotF64 kernel
     * ≡ DuckDB's prepend-0 list_reduce bit-for-bit), and sqrt/divide
     * are IEEE-deterministic, so the argmax, its tie rule (cosine
@@ -2200,6 +2202,222 @@ object LlmData {
         round(col("c2cos"), 6).as("fcos"))
       .orderBy("vec_id")
   }
+
+  // ===== Full end-to-end ANN oracle replays (since r11) =====
+  //
+  // The ANN family's historical oracle blocker was never the math —
+  // the cosine folds, tie rules, and windows all replay (the
+  // q_sim_ivf_cells precedent) — it was the xxhash64 CENTROID SAMPLE:
+  // DuckDB has no xxhash64 and errors on BIGINT overflow. The
+  // graft.functions.XxSql HUGEINT-CTE chain (built for lime_perturb's
+  // RNG) removes that blocker: hashLong(vec_id, 42) replays
+  // bit-for-bit, signed ordering restored via one CASE, so the entire
+  // qSimIvfAnn / ivfTwoLevel / knnGraphAnn pipelines — hash-sampled
+  // centroids, assignment, probe fan-out, rounded-cosine re-rank —
+  // become hash-checkable end-to-end. The dynamic sizing (k = √N
+  // clamps, nProbe formulas) is re-derived in SQL from COUNT(*): both
+  // engines take CEIL∘SQRT of the same integer through IEEE doubles.
+
+  /** Index-order IEEE dot fold — bit-identical to the compiled dotF64
+    * kernel (the q_sim_ivf_cells-proven prepend-0 list_reduce form).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, 64), i -> $a[i] * $b[i])),
+       |      (xx, yy) -> xx + yy)""".stripMargin
+
+  /** Shared CTE prefix: `v` (vectors + norms) and `hashed`
+    * (vec_id → SIGNED xxhash64(vec_id), the Spark sampling order).
+    */
+  private def annOraclePrefix: String = {
+    val ch = new graft.functions.XxSql.Chain
+    val h = ch.hashLongC("vh", BigInt(42))
+    val (hctes, hlast) = ch.ctes("hb", "hx")
+    s"""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |v AS (
+       |  SELECT vec_id, e,
+       |    sqrt(${dotSql("e", "e")}) AS nrm
+       |  FROM v0
+       |),
+       |hb AS (SELECT vec_id, CAST(vec_id AS HUGEINT) AS vh FROM v0),
+       |$hctes,
+       |hashed AS (SELECT vec_id, ${ch.signed(h)} AS h FROM $hlast)""".stripMargin
+  }
+
+  /** qSimIvfAnn end-to-end: k = clamp(⌈√N⌉, 4, 65536) hash-sampled
+    * centroids, nProbe = clamp(⌈k/2⌉, 2, 64), probes = vec_id < 5,
+    * candidates via the cell-keyed join, rank over the ROUNDED cosine
+    * with the production tie rule (cosine DESC, vec_id).
+    */
+  private[graft] def ivfAnnOracleSql: String =
+    s"""$annOraclePrefix,
+       |p1 AS (
+       |  SELECT GREATEST(4, LEAST(65536,
+       |    CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) AS k
+       |  FROM v
+       |),
+       |p2 AS (SELECT k, GREATEST(2, LEAST(64, CAST(CEIL(k / 2.0) AS BIGINT))) AS np FROM p1),
+       |cent AS (
+       |  SELECT cent_id, cv, cn FROM (
+       |    SELECT v.vec_id AS cent_id, e AS cv, nrm AS cn,
+       |      ROW_NUMBER() OVER (ORDER BY h, v.vec_id) AS cr
+       |    FROM v JOIN hashed USING (vec_id)
+       |  ), p1 WHERE cr <= k
+       |),
+       |ac AS (
+       |  SELECT v.vec_id, e, nrm, cent_id,
+       |    ${dotSql("e", "cv")} / (nrm * cn) AS ccos
+       |  FROM v CROSS JOIN cent
+       |),
+       |assigned AS (
+       |  SELECT cent_id, vec_id, e, nrm FROM (
+       |    SELECT vec_id, e, nrm, cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+       |    FROM ac
+       |  ) WHERE rn = 1
+       |),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, e AS pv, nrm AS pn, cent_id FROM (
+       |    SELECT vec_id, e, nrm, cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+       |    FROM ac WHERE vec_id < 5
+       |  ), p2 WHERE rn <= np
+       |),
+       |cand AS (
+       |  SELECT probe_id, a.vec_id,
+       |    ROUND(${dotSql("pv", "e")} / (pn * a.nrm), 6) AS cosine
+       |  FROM probes JOIN assigned a USING (cent_id)
+       |  WHERE probe_id <> a.vec_id
+       |),
+       |r AS (
+       |  SELECT probe_id, vec_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rnk
+       |  FROM cand
+       |)
+       |SELECT probe_id, vec_id, cosine, rnk FROM r WHERE rnk <= 10
+       |ORDER BY probe_id, rnk""".stripMargin
+
+  /** ivfTwoLevel(k1=8, k2=8, nProbeC=4, nProbeF=16, topK=10)
+    * end-to-end: BOTH hash picks replayed — coarse = 8 smallest
+    * (h, vec_id), fine = per coarse cell the 8 smallest-(h, vec_id)
+    * MEMBERS — and the fine assignment flows through the cell-keyed
+    * join exactly like the production plan.
+    */
+  private[graft] def ivf2AnnOracleSql: String =
+    s"""$annOraclePrefix,
+       |vh AS (SELECT v.vec_id, e, nrm, h FROM v JOIN hashed USING (vec_id)),
+       |coarse AS (
+       |  SELECT vec_id AS c1_id, e AS c1v, nrm AS c1n FROM (
+       |    SELECT *, ROW_NUMBER() OVER (ORDER BY h, vec_id) AS cr FROM vh
+       |  ) WHERE cr <= 8
+       |),
+       |cellof AS (
+       |  SELECT vec_id, e, nrm, h, c1_id FROM (
+       |    SELECT vec_id, e, nrm, h, c1_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c1cos DESC, c1_id) AS rn
+       |    FROM (
+       |      SELECT vh.vec_id, e, nrm, h, c1_id,
+       |        ${dotSql("e", "c1v")} / (nrm * c1n) AS c1cos
+       |      FROM vh CROSS JOIN coarse
+       |    )
+       |  ) WHERE rn = 1
+       |),
+       |fine AS (
+       |  SELECT c1_id, vec_id AS c2_id, e AS c2v, nrm AS c2n FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY c1_id ORDER BY h, vec_id) AS fr
+       |    FROM cellof
+       |  ) WHERE fr <= 8
+       |),
+       |assigned AS (
+       |  SELECT c2_id, vec_id, e, nrm FROM (
+       |    SELECT cellof.vec_id, cellof.e AS e, cellof.nrm AS nrm, fine.c2_id,
+       |      ROW_NUMBER() OVER (PARTITION BY cellof.vec_id
+       |        ORDER BY ${dotSql("cellof.e", "c2v")} / (cellof.nrm * c2n) DESC, c2_id) AS rn
+       |    FROM cellof JOIN fine ON cellof.c1_id = fine.c1_id
+       |  ) WHERE rn = 1
+       |),
+       |probes0 AS (SELECT vec_id AS probe_id, e AS pv, nrm AS pn FROM v WHERE vec_id < 5),
+       |pc1 AS (
+       |  SELECT probe_id, pv, pn, c1_id FROM (
+       |    SELECT probe_id, pv, pn, c1_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id
+       |        ORDER BY ${dotSql("pv", "c1v")} / (pn * c1n) DESC, c1_id) AS rn
+       |    FROM probes0 CROSS JOIN coarse
+       |  ) WHERE rn <= 4
+       |),
+       |pl AS (
+       |  SELECT probe_id, pv, pn, c2_id FROM (
+       |    SELECT probe_id, pv, pn, c2_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id
+       |        ORDER BY ${dotSql("pv", "c2v")} / (pn * c2n) DESC, c2_id) AS rn
+       |    FROM pc1 JOIN fine ON pc1.c1_id = fine.c1_id
+       |  ) WHERE rn <= 16
+       |),
+       |cand AS (
+       |  SELECT probe_id, a.vec_id,
+       |    ROUND(${dotSql("pv", "e")} / (pn * a.nrm), 6) AS cosine
+       |  FROM pl JOIN assigned a USING (c2_id)
+       |  WHERE probe_id <> a.vec_id
+       |),
+       |r AS (
+       |  SELECT probe_id, vec_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rnk
+       |  FROM cand
+       |)
+       |SELECT probe_id, vec_id, cosine, rnk FROM r WHERE rnk <= 10
+       |ORDER BY probe_id, rnk""".stripMargin
+
+  /** knnGraphAnn(k1=clamp(⌈√N⌉), nProbe=clamp(⌈k1·3/4⌉, 2, 64), k=5)
+    * end-to-end: ONE ranking pass (ranked CTE) serves assignment
+    * (rank 1) and probe fan-out (ranks 1..nProbe) exactly like the
+    * cached production plan; per-(src, cell) cap then global top-k,
+    * both over the ROUNDED cosine.
+    */
+  private[graft] def knnAnnOracleSql: String =
+    s"""$annOraclePrefix,
+       |p1 AS (
+       |  SELECT GREATEST(4, LEAST(65536,
+       |    CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) AS k
+       |  FROM v
+       |),
+       |p2 AS (SELECT k, GREATEST(2, LEAST(64, CAST(CEIL(k * 3.0 / 4.0) AS BIGINT))) AS np FROM p1),
+       |cent AS (
+       |  SELECT cent_id, cv, cn FROM (
+       |    SELECT v.vec_id AS cent_id, e AS cv, nrm AS cn,
+       |      ROW_NUMBER() OVER (ORDER BY h, v.vec_id) AS cr
+       |    FROM v JOIN hashed USING (vec_id)
+       |  ), p1 WHERE cr <= k
+       |),
+       |ranked AS (
+       |  SELECT vec_id, e, nrm, cent_id, crnk FROM (
+       |    SELECT v.vec_id, e, nrm, cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${dotSql("e", "cv")} / (nrm * cn) DESC, cent_id) AS crnk
+       |    FROM v CROSS JOIN cent
+       |  ), p2 WHERE crnk <= np
+       |),
+       |assigned AS (SELECT cent_id AS cell, vec_id, e, nrm FROM ranked WHERE crnk = 1),
+       |probes AS (SELECT vec_id AS src_id, e AS sv, nrm AS sn, cent_id AS cell FROM ranked),
+       |cand AS (
+       |  SELECT src_id, cell, a.vec_id,
+       |    ROUND(${dotSql("sv", "e")} / (sn * a.nrm), 6) AS cosine
+       |  FROM probes JOIN assigned a USING (cell)
+       |  WHERE src_id <> a.vec_id
+       |),
+       |rc AS (
+       |  SELECT src_id, vec_id, cosine FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id, cell
+       |      ORDER BY cosine DESC, vec_id) AS rcell
+       |    FROM cand
+       |  ) WHERE rcell <= 5
+       |),
+       |ro AS (
+       |  SELECT src_id, vec_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cosine DESC, vec_id) AS rnk
+       |  FROM rc
+       |)
+       |SELECT src_id AS vec_id, vec_id AS neighbor_id, cosine, rnk
+       |FROM ro WHERE rnk <= 5 ORDER BY 1, rnk""".stripMargin
 
   /** Optimized product quantization (`q_emb_opq_ann`) — PQ after the
     * variance-balancing PCA rotation (Ge, He, Ke & Sun, "Optimized
@@ -5370,6 +5588,11 @@ object LlmData {
     "q_text_bpe_apply" -> bpeApplyOracleSql(BpeRounds),
     // Unrolled greedy-round replay — see mmrOracleSql.
     "q_sim_mmr" -> mmrOracleSql(5),
+    // Full end-to-end ANN replays (hash-sampled centroids via the
+    // XxSql xxhash64 chain) — see ivfAnnOracleSql's section comment.
+    "q_sim_ivf_ann" -> ivfAnnOracleSql,
+    "q_sim_ivf2_ann" -> ivf2AnnOracleSql,
+    "q_emb_knn_ann" -> knnAnnOracleSql,
     // Composes the tokenizer, quality rule, and exact-dup ranking the
     // pipeline's own operators use — same expressions, same windows.
     "q_corpus_datacard" ->
