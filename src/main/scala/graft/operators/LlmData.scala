@@ -1983,9 +1983,12 @@ object LlmData {
           element_at(col("codes"), m + 1).as("code"),
           sub(col("v"), m).as("sub"))): _*)).as("e"))
         .select(col("e.m"), col("e.code"), posexplode(col("e.sub")))
+      // exact decimal SUM → one double division (the binMeans firewall
+      // shape — engine-portable, unlike Spark's decimal-division
+      // rounding, so the Lloyd chain can be replayed by the PQ oracle)
       val fitted = subRows.groupBy("m", "code", "pos")
-        .agg((sum(col("col").cast("decimal(28,12)")) / count(lit(1)))
-          .cast("double").as("mean"))
+        .agg((sum(col("col").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("mean"))
         .collect()
       // empty clusters keep their previous centroid
       fitted.foreach { r =>
@@ -2418,6 +2421,260 @@ object LlmData {
        |)
        |SELECT src_id AS vec_id, vec_id AS neighbor_id, cosine, rnk
        |FROM ro WHERE rnk <= 5 ORDER BY 1, rnk""".stripMargin
+
+  /** pqAnn(trainCap=2048, flat cut) end-to-end — the whole PQ system
+    * replayed: hash-capped training sample and K-smallest-hash
+    * codebook init (the XxSql chain), THREE unrolled Lloyd rounds
+    * (assignment = the PqCodes kernel's per-subspace prepend-0 L2
+    * fold with strict-< argmin ≡ ties to the smaller code; refit =
+    * exact DECIMAL(28,12) sums → ONE double division — the binMeans
+    * firewall shape the trainer itself uses — with empty clusters
+    * keeping their previous centroid via LEFT JOIN + COALESCE), final
+    * corpus-wide code assignment, the per-probe ADC LUT, the
+    * adist-ranked top-50 shortlist, and the exact re-rank, all with
+    * the production tie rules. Lloyd is deterministic ROUND BY ROUND,
+    * so the unrolled chain pins every intermediate codebook, not just
+    * the final ranking.
+    */
+  /** Per-subspace L2 of a full-vector column against a subDim-dim
+    * centroid list, `m` in scope as a column — the PqCodes kernel's
+    * own left-to-right fold order.
+    */
+  private def subD2Sql(e: String, cv: String, m: String, sub: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, $sub),
+       |        j -> ($e[$m * $sub + j] - $cv[j]) * ($e[$m * $sub + j] - $cv[j]))),
+       |      (xx, yy) -> xx + yy)""".stripMargin
+
+  /** Unrolled trainPqCodebook replay: `iters` Lloyd rounds over
+    * `$pre train` (columns vec_id, $vcol, h), codebooks `${pre}cb0` …
+    * `${pre}cb$iters` (m, code, cv) — assignment is the PqCodes
+    * strict-< argmin (ties → smaller code), refit the exact
+    * DECIMAL(28,12)-sum → one-double-division firewall, empty clusters
+    * keep the previous centroid (LEFT JOIN + COALESCE). Caller
+    * provides the `${pre}train` CTE; this emits `${pre}cb0` (the
+    * K-smallest-hash init) and the rounds.
+    */
+  private def lloydCtes(pre: String, vcol: String, iters: Int,
+      M: Int, K: Int, sub: Int): String = {
+    val init =
+      s"""${pre}cb0 AS (
+         |  SELECT t.m, r.code,
+         |    list_transform(generate_series(1, $sub), j -> $vcol[t.m * $sub + j]) AS cv
+         |  FROM (
+         |    SELECT $vcol, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code
+         |    FROM ${pre}train
+         |  ) r CROSS JOIN (SELECT unnest(generate_series(0, ${M - 1})) AS m) t
+         |  WHERE r.code < $K
+         |)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""${pre}d$i AS (
+         |  SELECT tr.vec_id, cb.m, cb.code,
+         |    ${subD2Sql(s"tr.$vcol", "cb.cv", "cb.m", sub)} AS d2
+         |  FROM ${pre}train tr CROSS JOIN ${pre}cb${i - 1} cb
+         |),
+         |${pre}a$i AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT vec_id, m, code,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+         |    FROM ${pre}d$i
+         |  ) WHERE rn = 1
+         |),
+         |${pre}f$i AS (
+         |  SELECT a.m, a.code, t.pos,
+         |    CAST(SUM(CAST($vcol[a.m * $sub + t.pos + 1] AS DECIMAL(28,12))) AS DOUBLE)
+         |      / COUNT(*) AS mean
+         |  FROM ${pre}a$i a JOIN ${pre}train USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${sub - 1})) AS pos) t
+         |  GROUP BY a.m, a.code, t.pos
+         |),
+         |${pre}cb$i AS (
+         |  SELECT p.m, p.code, COALESCE(n.cv, p.cv) AS cv
+         |  FROM ${pre}cb${i - 1} p LEFT JOIN (
+         |    SELECT m, code, list(mean ORDER BY pos) AS cv FROM ${pre}f$i GROUP BY m, code
+         |  ) n ON p.m = n.m AND p.code = n.code
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"$init,\n$rounds"
+  }
+
+  /** Shared ADC tail: codes (vec_id, m, code over `$vecs`) → per-probe
+    * LUT against `$cb` → adist (m-ordered left fold of LUT lookups) →
+    * top-`$shortR` shortlist by (adist, vec_id) → exact re-rank on the
+    * RAW vectors, ROUND 6, top-`$topK`. `$lutSrc` supplies
+    * (probe_id, pe) — the (possibly residual) LUT operand; for IVFADC
+    * it is per-(probe, cell) and codes carry their cell, so the join
+    * adds the cell key (the scan-avoidance core).
+    */
+  private def adcTailSql(codesT: String, lutT: String, cellKeyed: Boolean,
+      shortR: Int, topK: Int): String = {
+    val joinKeys = if (cellKeyed) "c.m = l.m AND c.code = l.code AND c.cell = l.cell"
+      else "c.m = l.m AND c.code = l.code"
+    s"""adist AS (
+       |  SELECT l.probe_id, c.vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.ld ORDER BY l.m)),
+       |      (xx, yy) -> xx + yy) AS adist
+       |  FROM $codesT c JOIN $lutT l ON $joinKeys
+       |  WHERE l.probe_id <> c.vec_id
+       |  GROUP BY l.probe_id, c.vec_id
+       |),
+       |sl AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS arnk
+       |    FROM adist
+       |  ) WHERE arnk <= $shortR
+       |),
+       |rr AS (
+       |  SELECT sl.probe_id, sl.vec_id,
+       |    ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, 64),
+       |        i -> (p.pe[i] - v.e[i]) * (p.pe[i] - v.e[i]))),
+       |      (xx, yy) -> xx + yy), 6) AS dist
+       |  FROM sl JOIN v ON sl.vec_id = v.vec_id
+       |  JOIN (SELECT vec_id AS pid, e AS pe FROM v WHERE vec_id < 5) p
+       |    ON sl.probe_id = p.pid
+       |),
+       |r AS (
+       |  SELECT probe_id, vec_id, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY dist, vec_id) AS rnk
+       |  FROM rr
+       |)
+       |SELECT probe_id, vec_id, dist, rnk FROM r WHERE rnk <= $topK
+       |ORDER BY probe_id, rnk""".stripMargin
+  }
+
+  /** pqAnn(trainCap=2048, flat cut) end-to-end — the whole PQ system
+    * replayed: hash-capped training sample and K-smallest-hash
+    * codebook init (the XxSql chain), THREE unrolled Lloyd rounds
+    * (assignment = the PqCodes kernel's per-subspace prepend-0 L2
+    * fold with strict-< argmin ≡ ties to the smaller code; refit =
+    * exact DECIMAL(28,12) sums → ONE double division — the binMeans
+    * firewall shape the trainer itself uses — with empty clusters
+    * keeping their previous centroid via LEFT JOIN + COALESCE), final
+    * corpus-wide code assignment, the per-probe ADC LUT, the
+    * adist-ranked top-50 shortlist, and the exact re-rank, all with
+    * the production tie rules. Lloyd is deterministic ROUND BY ROUND,
+    * so the unrolled chain pins every intermediate codebook, not just
+    * the final ranking.
+    */
+  private[graft] def pqAnnOracleSql: String = {
+    val M = 8; val K = 16; val iters = 3; val sub = 8
+    s"""$annOraclePrefix,
+       |qtrain AS (
+       |  SELECT v.vec_id, e, h FROM v JOIN hashed USING (vec_id)
+       |  ORDER BY h, vec_id LIMIT 2048
+       |),
+       |${lloydCtes("q", "e", iters, M, K, sub)},
+       |dF AS (
+       |  SELECT v.vec_id, cb.m, cb.code,
+       |    ${subD2Sql("e", "cb.cv", "cb.m", sub)} AS d2
+       |  FROM v CROSS JOIN qcb$iters cb
+       |),
+       |codes AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT vec_id, m, code,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+       |    FROM dF
+       |  ) WHERE rn = 1
+       |),
+       |lut AS (
+       |  SELECT p.vec_id AS probe_id, cb.m, cb.code,
+       |    ${subD2Sql("p.e", "cb.cv", "cb.m", sub)} AS ld
+       |  FROM (SELECT vec_id, e FROM v WHERE vec_id < 5) p CROSS JOIN qcb$iters cb
+       |),
+       |${adcTailSql("codes", "lut", cellKeyed = false, shortR = 50, topK = 10)}""".stripMargin
+  }
+
+  /** ivfpqAnn(k1=16, nProbe=8, trainCap=2048, flat cut) end-to-end —
+    * IVFADC replayed on top of the PQ machinery: hash-sampled coarse
+    * centroids (or ONE exact-decimal coarse Lloyd round — the
+    * q_emb_ivfpq_lloyd variant, the same trainer at M = 1 whose
+    * cells are codebook indices 0..k1−1 in hash order), per-vector
+    * nearest-cell assign + RESIDUAL v − c(v) (exact per-dim IEEE
+    * subtraction), the residual-trained codebook, per-(probe, probed
+    * cell) LUTs from the probe's residual against THAT cell, the
+    * cell-KEYED adist join, top-100 shortlist, exact re-rank.
+    */
+  private[graft] def ivfpqAnnOracleSql(lloydCoarse: Boolean): String = {
+    val M = 8; val K = 16; val iters = 3; val sub = 8
+    val k1 = 16; val nProbe = 8
+    val cent =
+      if (!lloydCoarse)
+        s"""cent AS (
+           |  SELECT vec_id AS cell, e AS cv FROM (
+           |    SELECT v.vec_id, e, ROW_NUMBER() OVER (ORDER BY h, v.vec_id) AS cr
+           |    FROM v JOIN hashed USING (vec_id)
+           |  ) WHERE cr <= $k1
+           |)""".stripMargin
+      else
+        // trainCoarseCentroids: trainPqCodebook at M = 1 over the full
+        // 64-dim vector, ONE round; cells are CODEBOOK INDICES (the
+        // Scala zipWithIndex), i.e. hash-order init positions
+        s"""ctrain AS (
+           |  SELECT v.vec_id, e, h FROM v JOIN hashed USING (vec_id)
+           |  ORDER BY h, vec_id LIMIT 2048
+           |),
+           |${lloydCtes("c", "e", iters = 1, M = 1, K = k1, sub = 64)},
+           |cent AS (SELECT code AS cell, cv FROM ccb1)""".stripMargin
+    s"""$annOraclePrefix,
+       |$cent,
+       |resid AS (
+       |  SELECT vec_id, cell,
+       |    list_transform(generate_series(1, 64), i -> e[i] - cv[i]) AS rv
+       |  FROM (
+       |    SELECT vec_id, e, cell, cv,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdist, cell) AS rn
+       |    FROM (
+       |      SELECT v.vec_id, e, cell, cv,
+       |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(generate_series(1, 64),
+       |            i -> (e[i] - cv[i]) * (e[i] - cv[i]))),
+       |          (xx, yy) -> xx + yy) AS cdist
+       |      FROM v CROSS JOIN cent
+       |    )
+       |  ) WHERE rn = 1
+       |),
+       |rtrain AS (
+       |  SELECT resid.vec_id, rv, h FROM resid JOIN hashed USING (vec_id)
+       |  ORDER BY h, vec_id LIMIT 2048
+       |),
+       |${lloydCtes("r", "rv", iters, M, K, sub)},
+       |dF AS (
+       |  SELECT resid.vec_id, resid.cell, cb.m, cb.code,
+       |    ${subD2Sql("rv", "cb.cv", "cb.m", sub)} AS d2
+       |  FROM resid CROSS JOIN rcb$iters cb
+       |),
+       |codes AS (
+       |  SELECT vec_id, cell, m, code FROM (
+       |    SELECT vec_id, cell, m, code,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+       |    FROM dF
+       |  ) WHERE rn = 1
+       |),
+       |pcell AS (
+       |  SELECT probe_id, cell,
+       |    list_transform(generate_series(1, 64), i -> pe[i] - cv[i]) AS prv
+       |  FROM (
+       |    SELECT probe_id, pe, cell, cv,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cdist, cell) AS rn
+       |    FROM (
+       |      SELECT p.vec_id AS probe_id, p.e AS pe, cell, cv,
+       |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(generate_series(1, 64),
+       |            i -> (p.e[i] - cv[i]) * (p.e[i] - cv[i]))),
+       |          (xx, yy) -> xx + yy) AS cdist
+       |      FROM (SELECT vec_id, e FROM v WHERE vec_id < 5) p CROSS JOIN cent
+       |    )
+       |  ) WHERE rn <= $nProbe
+       |),
+       |lut AS (
+       |  SELECT pcell.probe_id, pcell.cell, cb.m, cb.code,
+       |    ${subD2Sql("prv", "cb.cv", "cb.m", sub)} AS ld
+       |  FROM pcell CROSS JOIN rcb$iters cb
+       |),
+       |${adcTailSql("codes", "lut", cellKeyed = true, shortR = 100, topK = 10)}""".stripMargin
+  }
 
   /** Optimized product quantization (`q_emb_opq_ann`) — PQ after the
     * variance-balancing PCA rotation (Ge, He, Ke & Sun, "Optimized
@@ -5593,6 +5850,9 @@ object LlmData {
     "q_sim_ivf_ann" -> ivfAnnOracleSql,
     "q_sim_ivf2_ann" -> ivf2AnnOracleSql,
     "q_emb_knn_ann" -> knnAnnOracleSql,
+    "q_emb_pq_ann" -> pqAnnOracleSql,
+    "q_emb_ivfpq_ann" -> ivfpqAnnOracleSql(lloydCoarse = false),
+    "q_emb_ivfpq_lloyd" -> ivfpqAnnOracleSql(lloydCoarse = true),
     // Composes the tokenizer, quality rule, and exact-dup ranking the
     // pipeline's own operators use — same expressions, same windows.
     "q_corpus_datacard" ->
