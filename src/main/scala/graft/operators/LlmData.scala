@@ -4646,6 +4646,62 @@ object LlmData {
         !col("has_brace") && !col("has_boiler"))
       .orderBy("doc_id")
 
+  /** The filter-stack rule set shared by qQualityRulestats and its
+    * spec: name → FAIL predicate over the per-doc signal columns
+    * (n_words, mwl, maxwl, alpha_frac, has_brace, has_boiler, n_chars,
+    * lang). One definition so the ablation census can never drift from
+    * the rules it claims to measure.
+    */
+  private[graft] val qualityRules: Seq[(String, Column)] = Seq(
+    "gopher_word_count" -> !col("n_words").between(10, 100000),
+    "gopher_mean_word_len" -> !col("mwl").between(2.0, 12.0),
+    "gopher_max_word_len" -> !(col("maxwl") <= 30),
+    "c4_alpha_frac" -> !(col("alpha_frac") >= 0.8),
+    "c4_brace" -> col("has_brace"),
+    "c4_boilerplate" -> col("has_boiler"),
+    "len_chars" -> !col("n_chars").between(100, 450),
+    "lang_whitelist" -> !col("lang").isin("en", "es", "de", "fr"))
+
+  /** Quality-rule ablation census (`q_quality_rulestats`) — the
+    * standard readout for TUNING a filter stack before a 100 TB run:
+    * for each rule of the combined gopher + C4 + length + language
+    * stack, how many documents it kills (n_fail), how many it ALONE
+    * kills (n_unique_fail — the rule's marginal contribution; a rule
+    * with many fails but zero unique fails is redundant with the rest
+    * of the stack and can be dropped or loosened for free), and the
+    * fail rate. Signals are computed once per document (the gopher /
+    * C4 expressions verbatim — round-6 ratios so both engines gate on
+    * identical values), rules fan out row-wise via explode over a
+    * literal struct array (no join, no second corpus pass), and the
+    * census is one partial-aggregating exchange over (rule) — O(rules)
+    * output at any corpus size.
+    */
+  def qQualityRulestats(s: SparkSession, dir: String): DataFrame = {
+    val base = docsNorm(s, dir)
+      .withColumn("w", expr(wordsExpr))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(col("w")).as("n_words"),
+        round(length(regexp_replace(col("norm_text"), " ", "")) /
+          size(col("w")).cast("double"), 6).as("mwl"),
+        array_max(expr("transform(w, x -> length(x))")).as("maxwl"),
+        round(size(expr("filter(w, x -> x rlike '^[a-z]+$')")) /
+          size(col("w")).cast("double"), 6).as("alpha_frac"),
+        col("norm_text").contains("{").as("has_brace"),
+        (col("norm_text").contains("javascript") ||
+         col("norm_text").contains("lorem ipsum")).as("has_boiler"))
+    val flagged = base.select(
+      explode(array(qualityRules.map { case (n, p) =>
+        struct(lit(n).as("rule"), p.cast("int").as("fail"))
+      }: _*)).as("e"),
+      qualityRules.map(_._2.cast("int")).reduce(_ + _).as("doc_fails"))
+    flagged.groupBy(col("e.rule").as("rule"))
+      .agg(sum(col("e.fail")).as("n_fail"),
+        sum(when(col("e.fail") === 1 && col("doc_fails") === 1, 1)
+          .otherwise(0)).as("n_unique_fail"),
+        round(sum(col("e.fail")).cast("double") / count(lit(1)), 6).as("fail_rate"))
+      .orderBy("rule")
+  }
+
   /** Vocabulary heavy hitters via Spark's DataSketches frequent-items
     * family (`approx_top_k*`): the most frequent corpus tokens, in
     * both one-shot and mergeable form. The mergeable branch builds one
@@ -6380,6 +6436,46 @@ object LlmData {
         |    (CAST(n AS DOUBLE) * (nn - n))), 6) AS drifted
         |FROM ks ORDER BY source""".stripMargin,
     // regexp_full_match('[a-z]+') ≡ Spark's anchored rlike '^[a-z]+$'
+    // Same per-doc signal expressions as the gopher/C4 oracles; the
+    // census is exact integer counts + one rounded rate per rule, and
+    // the unique-kill column gates on the same 8 booleans both engines
+    // computed (see qQualityRulestats/qualityRules).
+    "q_quality_rulestats" -> {
+      val ruleSql = Seq(
+        "gopher_word_count" -> "(NOT (len(w) BETWEEN 10 AND 100000))",
+        "gopher_mean_word_len" ->
+          "(NOT (ROUND(length(replace(nt, ' ', '')) / CAST(len(w) AS DOUBLE), 6) BETWEEN 2.0 AND 12.0))",
+        "gopher_max_word_len" -> "(NOT (list_max(list_transform(w, x -> length(x))) <= 30))",
+        "c4_alpha_frac" ->
+          "(NOT (ROUND(len(list_filter(w, x -> regexp_full_match(x, '[a-z]+'))) / CAST(len(w) AS DOUBLE), 6) >= 0.8))",
+        "c4_brace" -> "contains(nt, '{')",
+        "c4_boilerplate" -> "(contains(nt, 'javascript') OR contains(nt, 'lorem ipsum'))",
+        "len_chars" -> "(NOT (n_chars BETWEEN 100 AND 450))",
+        "lang_whitelist" -> "(NOT (lang IN ('en','es','de','fr')))")
+      val flags = ruleSql.zipWithIndex
+        .map { case ((_, p), i) => s"$p AS r$i" }.mkString(",\n    ")
+      val total = ruleSql.indices.map(i => s"CAST(r$i AS INT)").mkString(" + ")
+      val perRule = ruleSql.zipWithIndex.map { case ((name, _), i) =>
+        s"""SELECT '$name' AS rule,
+           |  CAST(SUM(CAST(r$i AS INT)) AS BIGINT) AS n_fail,
+           |  CAST(SUM(CASE WHEN r$i AND doc_fails = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_fail,
+           |  ROUND(CAST(SUM(CAST(r$i AS INT)) AS DOUBLE) / COUNT(*), 6) AS fail_rate
+           |FROM g""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, n_chars, lower(trim(text)) AS nt,
+         |    list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS w
+         |  FROM documents
+         |), f AS (
+         |  SELECT doc_id, lang, n_chars, nt,
+         |    $flags
+         |  FROM d
+         |), g AS (
+         |  SELECT *, ($total) AS doc_fails FROM f
+         |)
+         |$perRule
+         |ORDER BY rule""".stripMargin
+    },
     "q_quality_c4" ->
       """WITH d AS (
         |  SELECT doc_id, lower(trim(text)) AS nt,
@@ -6603,6 +6699,7 @@ object LlmData {
     "q_text_pmi" -> (qTextPmi _),
     "q_text_keywords" -> (qTextKeywords _),
     "q_quality_c4" -> (qQualityC4 _),
+    "q_quality_rulestats" -> (qQualityRulestats _),
     "q_emb_outlier" -> (qEmbOutlier _),
     "q_sample_importance" -> (qSampleImportance _),
     "q_emb_knn" -> (qEmbKnn _),

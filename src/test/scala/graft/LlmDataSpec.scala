@@ -1102,4 +1102,66 @@ class LlmDataSpec extends SparkSpec {
     assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-4)
     assert(math.abs(rows.map(_.getDouble(5)).sum) < 1e-4)
   }
+
+  test("quality_rulestats: planted corpus exercises every rule; unique kills exact") {
+    val s = spark
+    import s.implicits._
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val tmp = java.nio.file.Files.createTempDirectory("rulestats").toFile.getAbsolutePath
+    // one doc per rule, each failing EXACTLY that rule (so every
+    // unique-kill count is nonzero and predictable), plus one clean
+    // doc and one failing seven rules at once (doc_fails > 1 ⇒ it
+    // contributes to n_fail but to NO n_unique_fail)
+    val good = ('a' to 'z').map(c => s"word$c").mkString(" ") // 26×5 chars, 155 total
+    val nineLong = ('a' to 'i').map(c => s"abcdefghijk$c").mkString(" ") // 9 words of 12
+    val docs = Seq(
+      (1L, good, "en"),                                     // clean
+      (2L, good + " {x", "en"),                             // c4_brace
+      (3L, good + " javascript", "en"),                     // c4_boilerplate
+      (4L, good + " " + "z" * 31, "en"),                    // gopher_max_word_len
+      (5L, nineLong, "en"),                                 // gopher_word_count (9 < 10)
+      (6L, good, "xx"),                                     // lang_whitelist
+      (7L, good + " " + (1 to 9).map(_ => "1111").mkString(" "), "en"), // c4_alpha_frac 26/35
+      (8L, (1 to 60).map(_ => "a").mkString(" "), "en"),    // gopher_mean_word_len (1.0)
+      (9L, good + " " + good + " " + good, "en"),           // len_chars (467 > 450)
+      (10L, "{ javascript " + "z" * 40, "en"))              // multi-fail (no uniques)
+    val rows = docs.map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // independent recompute of the stack (plain Scala mirror)
+    val fails: Seq[(Long, Map[String, Boolean])] = rows.map { case (id, t, l, _, nc) =>
+      val nt = t.trim.toLowerCase
+      val w = nt.split(" ").filter(_.nonEmpty)
+      val mwl = r6(nt.replace(" ", "").length.toDouble / w.length)
+      val alpha = r6(w.count(_.matches("[a-z]+")).toDouble / w.length)
+      id -> Map(
+        "gopher_word_count" -> !(w.length >= 10 && w.length <= 100000),
+        "gopher_mean_word_len" -> !(mwl >= 2.0 && mwl <= 12.0),
+        "gopher_max_word_len" -> !(w.map(_.length).max <= 30),
+        "c4_alpha_frac" -> !(alpha >= 0.8),
+        "c4_brace" -> nt.contains("{"),
+        "c4_boilerplate" -> (nt.contains("javascript") || nt.contains("lorem ipsum")),
+        "len_chars" -> !(nc >= 100 && nc <= 450),
+        "lang_whitelist" -> !Set("en", "es", "de", "fr")(l))
+    }
+    // the planted corpus must exercise the design: docs 2..9 fail
+    // exactly one rule each, all rules distinct; doc 10 fails 7
+    val perDoc = fails.toMap
+    assert(perDoc(1L).values.forall(!_), "clean doc failed a rule")
+    (2L to 9L).foreach { id =>
+      assert(perDoc(id).values.count(identity) == 1, s"doc $id not a single-rule plant: ${perDoc(id).filter(_._2)}")
+    }
+    assert((2L to 9L).map(id => perDoc(id).filter(_._2).keys.head).toSet.size == 8)
+    assert(perDoc(10L).values.count(identity) == 7, s"doc 10: ${perDoc(10L).filter(_._2)}")
+    val ruleNames = perDoc(1L).keys.toSeq
+    val expected = ruleNames.map { r =>
+      val nFail = fails.count(_._2(r)).toLong
+      val nUnique = fails.count { case (_, m) => m(r) && m.values.count(identity) == 1 }.toLong
+      r -> (nFail, nUnique, r6(nFail.toDouble / docs.size))
+    }.toMap
+    val got = LlmData.qQualityRulestats(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == expected, s"rulestats diverge:\n got $got\n exp $expected")
+  }
 }
