@@ -409,6 +409,41 @@ object EventOps {
       .orderBy("event_type", "hour_of_day")
   }
 
+  /** Inter-arrival gap census per event type (r11): gaps in
+    * microseconds between consecutive events of the same (user, type)
+    * — lag over the deterministic (ts, event_id) order — rolled up to
+    * per-type count, mean, median, p75, and max gap. The burstiness /
+    * cadence readout capacity planning and anomaly thresholds are
+    * tuned from. The tail quantile is p75, not p90, on purpose: 0.75
+    * is an exact binary fraction, so linear interpolation over exact
+    * long gaps is bit-identical across engines (the q_agg_quantile
+    * dyadic-fraction rule); 0.9 is not, and its 1-ulp formula noise
+    * at 10^11-microsecond magnitudes survives ROUND 6. The rounded
+    * readouts are in SECONDS (the qEvFunnelTime convention) because
+    * ROUND(x, 6) itself diverges across engines at 10^11 magnitudes —
+    * DuckDB's multiply-by-1e6 pushes past 2^53 while Spark rounds in
+    * BigDecimal; the max gap stays exact long microseconds. ONE user-keyed window shuffle (state O(1) per
+    * partition row in the running lag) + one O(types) partial-agg
+    * exchange; exact long microseconds everywhere, doubles only in
+    * the final rounded ratios/quantiles.
+    */
+  def qEvInterarrival(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(sum(col("gap_us")).cast("double") / count(lit(1)) / 1000000.0, 6)
+          .as("mean_gap_s"),
+        round(expr("percentile(gap_us, 0.5)") / 1000000.0, 6).as("median_gap_s"),
+        round(expr("percentile(gap_us, 0.75)") / 1000000.0, 6).as("p75_gap_s"),
+        max(col("gap_us")).as("max_gap_us"))
+      .orderBy("event_type")
+  }
+
   /** Last-touch attribution: each purchase credited to the same user's
     * most recent preceding view/click, flagged attributed when the gap
     * is ≤ 7 days. One shuffle on user_id + a running last-non-null
@@ -582,6 +617,23 @@ object EventOps {
         |FROM ev JOIN c ON ev.user_id = c.user_id
         |WHERE date_diff('day', c.cohort_day, ev.day) <= 7
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    // Exact long microseconds through the lag; doubles only in the
+    // final rounded mean/quantiles (quantile_cont ≡ Spark percentile,
+    // the q_agg_quantile-proven pair).
+    "q_ev_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts))
+        |      OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+        |  FROM events
+        |)
+        |SELECT event_type, COUNT(*) AS n_gaps,
+        |  ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS mean_gap_s,
+        |  ROUND(quantile_cont(gap_us, 0.5) / 1000000.0, 6) AS median_gap_s,
+        |  ROUND(quantile_cont(gap_us, 0.75) / 1000000.0, 6) AS p75_gap_s,
+        |  MAX(gap_us) AS max_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_ev_hourly" ->
       """WITH h AS (
         |  SELECT event_type, EXTRACT(HOUR FROM ts) AS hour_of_day,
@@ -865,6 +917,7 @@ object EventOps {
     "q_ev_markov" -> (qEvMarkov _),
     "q_ev_sesspath" -> (qEvSesspath _),
     "q_ev_hourly" -> (qEvHourly _),
+    "q_ev_interarrival" -> (qEvInterarrival _),
     "q_ev_attribution" -> (qEvAttribution _)
   )
 }

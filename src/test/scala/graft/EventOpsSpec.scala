@@ -122,4 +122,40 @@ class EventOpsSpec extends SparkSpec {
         (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
     assert(got == expected, s"co-occurrence diverges:\n got $got\n exp $expected")
   }
+
+  test("ev_interarrival: per-type gap census recomputed independently") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    // numpy/Spark linear interpolation at h = f*(n-1); f dyadic so the
+    // arithmetic is exact over long gaps (the operator's p75 contract)
+    def pct(sorted: Array[Long], f: Double): Double = {
+      val h = f * (sorted.length - 1)
+      val lo = sorted(h.toInt); val hi = sorted(math.ceil(h).toInt)
+      lo + (h - h.toInt) * (hi - lo)
+    }
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).toInstant.toEpochMilli * 1000 +
+          r.getTimestamp(2).toInstant.getNano / 1000 % 1000, r.getLong(3)))
+    val gaps = ev.groupBy(e => (e._1, e._2)).toSeq.flatMap { case (_, xs) =>
+      val ts = xs.sortBy(x => (x._3, x._4)).map(_._3)
+      ts.sliding(2).filter(_.length == 2).map(p => (xs.head._2, p(1) - p(0)))
+    }
+    val expected = gaps.groupBy(_._1).map { case (typ, xs) =>
+      val g = xs.map(_._2).sorted.toArray
+      typ -> (g.length.toLong,
+        r6(g.sum.toDouble / g.length / 1e6),
+        r6(pct(g, 0.5) / 1e6), r6(pct(g, 0.75) / 1e6), g.max)
+    }
+    val got = EventOps.qEvInterarrival(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))
+      .toMap
+    assert(got == expected, s"interarrival census diverges:\n got $got\n exp $expected")
+    // a gap census over positive time must be positive and ordered
+    got.values.foreach { case (n, mean, med, p75, mx) =>
+      assert(n > 0 && mean > 0 && med <= p75 && p75 <= mx / 1e6 + 1e-6)
+    }
+  }
 }
