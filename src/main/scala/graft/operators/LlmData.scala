@@ -3793,6 +3793,31 @@ object LlmData {
     * window reads the per-source VOCAB table (not the corpus), and
     * everything after the top-50 filter is O(sources·50).
     */
+  /** Lexical-richness census per source (r11): token count, type
+    * (distinct-word) count, hapax-legomenon count (words occurring
+    * exactly once in the source), type/token ratio, and hapax rate —
+    * the vocabulary-diversity readout that flags template-generated
+    * or boilerplate-heavy sources (low TTR, low hapax rate) before
+    * they dilute a pretraining mix. Same scale shape as qTextZipf:
+    * the token stream shuffles ONCE to the (source, word) count
+    * table, then an O(vocab) rollup to O(sources) rows — no second
+    * corpus pass, exact integer counts, doubles only in the two final
+    * rounded ratios.
+    */
+  def qTextHapax(s: SparkSession, dir: String): DataFrame = {
+    val wc = docsNorm(s, dir)
+      .select(col("source"), explode(expr(wordsExpr)).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+    wc.groupBy("source")
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("type_token_ratio"),
+        round(col("n_hapax").cast("double") / col("n_types"), 6).as("hapax_rate"))
+      .orderBy("source")
+  }
+
   def qTextZipf(s: SparkSession, dir: String): DataFrame = {
     val wc = docsNorm(s, dir)
       .select(col("source"), explode(expr(wordsExpr)).as("word"))
@@ -5369,8 +5394,29 @@ object LlmData {
         |JOIN documents db ON b_id = db.doc_id
         |WHERE da.source <> db.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Exact integer counts over the shared tokenizer; ratios divide
+    // the named BIGINT columns as doubles in the same order.
+    "q_text_hapax" ->
+      """WITH wc AS (
+        |  SELECT source, w AS word, COUNT(*) AS cnt
+        |  FROM (
+        |    SELECT source,
+        |      unnest(list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')) AS w
+        |    FROM documents
+        |  ) GROUP BY source, w
+        |), agg AS (
+        |  SELECT source,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |    COUNT(*) AS n_types,
+        |    CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |  FROM wc GROUP BY source
+        |)
+        |SELECT source, n_tokens, n_types, n_hapax,
+        |  ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
+        |  ROUND(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_rate
+        |FROM agg ORDER BY source""".stripMargin,
     "q_text_zipf" ->
-      """WITH w AS (
+"""WITH w AS (
         |  SELECT source, unnest(list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')) AS word
         |  FROM documents
         |), wc AS (
@@ -6649,6 +6695,7 @@ object LlmData {
     "q_sample_budget" -> (qSampleBudget _),
     "q_dedup_crosssrc" -> (qDedupCrosssrc _),
     "q_text_zipf" -> (qTextZipf _),
+    "q_text_hapax" -> (qTextHapax _),
     "q_text_tokcount" -> (qTextTokcount _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),

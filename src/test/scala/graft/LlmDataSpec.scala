@@ -1103,6 +1103,30 @@ class LlmDataSpec extends SparkSpec {
     assert(math.abs(rows.map(_.getDouble(5)).sum) < 1e-4)
   }
 
+  test("text_hapax: richness census recomputed independently") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), lower(trim(col("text"))).as("nt")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val words = ds.flatMap(_._2.split(" ").filter(_.nonEmpty))
+      val counts = words.groupBy(identity).map { case (_, xs) => xs.size }
+      val nTok = words.size.toLong; val nTyp = counts.size.toLong
+      val nHap = counts.count(_ == 1).toLong
+      src -> (nTok, nTyp, nHap,
+        r6(nTyp.toDouble / nTok), r6(nHap.toDouble / nTyp))
+    }
+    val got = LlmData.qTextHapax(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(got == expected, s"hapax census diverges:\n got $got\n exp $expected")
+    // bounds that must hold for any corpus
+    got.values.foreach { case (tok, typ, hap, ttr, hr) =>
+      assert(typ <= tok && hap <= typ && ttr > 0 && ttr <= 1 && hr >= 0 && hr <= 1)
+    }
+  }
+
   test("quality_rulestats: planted corpus exercises every rule; unique kills exact") {
     val s = spark
     import s.implicits._
