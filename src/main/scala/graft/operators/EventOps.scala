@@ -76,6 +76,52 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** Peak session concurrency per day (r11): the sweep-line census —
+    * sessions (the qEvSession 30-min-gap derivation) are clipped into
+    * per-day segments (a cross-midnight session is active in BOTH
+    * days), each segment emits a +1/−1 point at its clipped closed
+    * endpoints, and a running sum over the deterministic
+    * (ts, delta DESC, user, session) order yields the day's maximum
+    * number of simultaneously active sessions — the load-sizing
+    * readout (how many concurrent state machines must a streaming
+    * deployment hold). Ties open-before-close, so two sessions
+    * meeting at an instant count as 2 (closed intervals). Scale
+    * shape: O(sessions) points; the sweep window partitions by DAY —
+    * bounded partitions at any stream length, never a global sort.
+    */
+  def qEvConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byTs))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+             unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+    val segs = sess
+      .withColumn("day", explode(expr(
+        "sequence(date_trunc('DAY', st), date_trunc('DAY', en), interval 1 day)")))
+      .withColumn("seg_start", greatest(col("st"), col("day")))
+      .withColumn("seg_end",
+        least(col("en"), expr("day + interval 1 day - interval 1 microsecond")))
+    val points = segs.select(col("day"), col("user_id"), col("session_id"),
+        col("seg_start").as("pts"), lit(1).as("delta"))
+      .unionAll(segs.select(col("day"), col("user_id"), col("session_id"),
+        col("seg_end").as("pts"), lit(-1).as("delta")))
+    val sweep = Window.partitionBy("day")
+      .orderBy(col("pts"), col("delta").desc, col("user_id"), col("session_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    points.withColumn("run", sum(col("delta")).over(sweep))
+      .groupBy("day")
+      .agg(sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_sessions"),
+        max(col("run")).as("peak_concurrent"))
+      .orderBy("day")
+  }
+
   /** Watermark semantics, batch-simulated: the watermark is
     * max(ts) - 10 minutes; events at or after it would still be
     * mutable in a streaming run ("late-mutable"), older ones are final.
@@ -807,6 +853,48 @@ object EventOps {
         |SELECT win_start, user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM expanded GROUP BY 1, 2 ORDER BY win_start, user_id""".stripMargin,
+    // The q_ev_session CTEs + day clipping + the same deterministic
+    // sweep order; peak cast to BIGINT (DuckDB window SUM widens).
+    "q_ev_concurrency" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessioned AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |), sess AS (
+        |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |    MIN(ts) AS st, MAX(ts) AS en
+        |  FROM sessioned GROUP BY user_id, session_id
+        |), segs AS (
+        |  SELECT user_id, session_id, st, en,
+        |    unnest(generate_series(date_trunc('day', st), date_trunc('day', en),
+        |      INTERVAL 1 DAY)) AS day
+        |  FROM sess
+        |), seg2 AS (
+        |  SELECT day, user_id, session_id,
+        |    GREATEST(st, day) AS seg_start,
+        |    LEAST(en, day + INTERVAL 1 DAY - INTERVAL 1 MICROSECOND) AS seg_end
+        |  FROM segs
+        |), points AS (
+        |  SELECT day, user_id, session_id, seg_start AS pts, 1 AS delta FROM seg2
+        |  UNION ALL
+        |  SELECT day, user_id, session_id, seg_end AS pts, -1 AS delta FROM seg2
+        |), runs AS (
+        |  SELECT day, delta,
+        |    SUM(delta) OVER (PARTITION BY day ORDER BY pts, delta DESC, user_id, session_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM points
+        |)
+        |SELECT day,
+        |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  CAST(MAX(run) AS BIGINT) AS peak_concurrent
+        |FROM runs GROUP BY day ORDER BY day""".stripMargin,
     "q_ev_session" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts,
@@ -902,6 +990,7 @@ object EventOps {
     "q_ev_slide" -> (qEvSlide _),
     "q_ev_gapfill" -> (qEvGapfill _),
     "q_ev_session" -> (qEvSession _),
+    "q_ev_concurrency" -> (qEvConcurrency _),
     "q_ev_late_watermark" -> (qEvLateWatermark _),
     "q_ev_funnel" -> (qEvFunnel _),
     "q_ev_funnel_time" -> (qEvFunnelTime _),

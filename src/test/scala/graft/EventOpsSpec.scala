@@ -123,6 +123,48 @@ class EventOpsSpec extends SparkSpec {
     assert(got == expected, s"co-occurrence diverges:\n got $got\n exp $expected")
   }
 
+  test("ev_concurrency: sweep-line peak recomputed independently") {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id")).collect()
+      .map(r => (r.getLong(0),
+        r.getTimestamp(1).toInstant.toEpochMilli * 1000 +
+          r.getTimestamp(1).toInstant.getNano / 1000 % 1000, r.getLong(2)))
+    // sessionize per user (>= 30 min gap starts a session), then clip
+    // each [st, en] to days and sweep with open-before-close ties
+    val dayUs = 86400000000L
+    val sess = ev.groupBy(_._1).toSeq.flatMap { case (u, xs) =>
+      var sid = 0L; var prev = Long.MinValue
+      val tagged = xs.sortBy(x => (x._2, x._3)).map { x =>
+        if (prev == Long.MinValue || x._2 - prev >= 1800000000L) sid += 1
+        prev = x._2
+        (sid, x._2)
+      }
+      tagged.groupBy(_._1).map { case (sid2, ts) =>
+        (u, sid2, ts.map(_._2).min, ts.map(_._2).max)
+      }
+    }
+    val points = sess.flatMap { case (u, sid, st, en) =>
+      (st / dayUs to en / dayUs).flatMap { d =>
+        val segSt = math.max(st, d * dayUs)
+        val segEn = math.min(en, d * dayUs + dayUs - 1)
+        Seq((d, segSt, 1, u, sid), (d, segEn, -1, u, sid))
+      }
+    }
+    val expected = points.groupBy(_._1).map { case (d, ps) =>
+      val ordered = ps.sortBy(p => (p._2, -p._3, p._4, p._5))
+      var run = 0L; var peak = Long.MinValue
+      ordered.foreach { p => run += p._3; peak = math.max(peak, run) }
+      d -> (ps.count(_._3 == 1).toLong, peak)
+    }
+    val got = EventOps.qEvConcurrency(spark, dir).collect()
+      .map { r =>
+        val dUs = r.getTimestamp(0).toInstant.toEpochMilli * 1000
+        dUs / dayUs -> (r.getLong(1), r.getLong(2))
+      }.toMap
+    assert(got == expected, s"concurrency diverges:\n got $got\n exp $expected")
+    got.values.foreach { case (n, peak) => assert(peak >= 1 && peak <= n) }
+  }
+
   test("ev_interarrival: per-type gap census recomputed independently") {
     def r6(x: Double) = java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
