@@ -714,6 +714,46 @@ object LlmData {
   def qDedupCluster(s: SparkSession, dir: String): DataFrame =
     clusterPairs(dedupPairs(s, dir).select("a_id", "b_id"), s)
 
+  /** Quality-aware survivorship (`q_dedup_survivor`, r11) — which
+    * member of each near-dup cluster to KEEP. `q_dedup_apply` keeps
+    * the min-id representative (deterministic but arbitrary);
+    * production pipelines keep the best COPY — the member that passes
+    * the quality gate, then the longest, with doc_id as the final tie
+    * — so a truncated or boilerplate-wrapped duplicate never shadows
+    * the clean original. Per clustered doc: its cluster, the chosen
+    * survivor, and the keep verdict.
+    *
+    * Scale shape: the cluster membership is the pair-graph-bounded
+    * session artifact (never corpus-sized at a realistic dup rate);
+    * quality signals ride ONE narrow projection of the member docs
+    * (a doc_id-keyed join against the membership table, broadcast
+    * when tiny); the survivor pick is a window over clusters — group
+    * size = cluster size, bounded by the dedup radius, never N.
+    */
+  def qDedupSurvivor(s: SparkSession, dir: String): DataFrame = {
+    val clusters = qDedupCluster(s, dir).select(col("doc_id"), col("cluster_id"))
+    val quality = docsNorm(s, dir)
+      .withColumn("w", expr(wordsExpr))
+      .select(col("doc_id"), size(col("w")).as("n_words"),
+        round(length(regexp_replace(col("norm_text"), " ", "")) /
+          size(col("w")).cast("double"), 6).as("mwl"),
+        array_max(expr("transform(w, x -> length(x))")).as("maxwl"))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words").between(10, 100000) &&
+         col("mwl").between(2.0, 12.0) && col("maxwl") <= 30).as("passes_quality"))
+    val ranked = clusters.join(quality, "doc_id")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("passes_quality").desc, col("n_words").desc, col("doc_id"))
+    val survivors = ranked.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("survivor_id"))
+    ranked.join(survivors, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("survivor_id"),
+        col("n_words"), col("passes_quality"),
+        (col("doc_id") === col("survivor_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal dedup verdict (`q_dedup_multimodal`) — the production
     * composition of the TEXT near-dup graph (word-bigram Jaccard ≥
     * 0.3) and the EMBEDDING near-dup graph (cosine ≥ 0.4) into ONE
@@ -5642,6 +5682,37 @@ object LlmData {
         |SELECT node_id AS doc_id, cluster_id,
         |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM comp ORDER BY doc_id""".stripMargin,
+    // The q_dedup_cluster closure + the gopher quality signals, with
+    // the survivor pick's exact window order (quality DESC, n_words
+    // DESC, doc_id) replayed per cluster.
+    "q_dedup_survivor" ->
+      s"""WITH RECURSIVE $jaccardPairCtes,
+        |$ccCtes,
+        |q AS (
+        |  SELECT doc_id, len(w) AS n_words,
+        |    (len(w) BETWEEN 10 AND 100000
+        |     AND ROUND(length(replace(nt, ' ', '')) / CAST(len(w) AS DOUBLE), 6) BETWEEN 2.0 AND 12.0
+        |     AND list_max(list_transform(w, x -> length(x))) <= 30) AS passes_quality
+        |  FROM (
+        |    SELECT doc_id, lower(trim(text)) AS nt,
+        |      list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS w
+        |    FROM documents
+        |  )
+        |), ranked AS (
+        |  SELECT comp.node_id AS doc_id, comp.cluster_id, q.n_words, q.passes_quality
+        |  FROM comp JOIN q ON q.doc_id = comp.node_id
+        |), surv AS (
+        |  SELECT cluster_id, doc_id AS survivor_id FROM (
+        |    SELECT cluster_id, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |        ORDER BY passes_quality DESC, n_words DESC, doc_id) AS rn
+        |    FROM ranked
+        |  ) WHERE rn = 1
+        |)
+        |SELECT r.doc_id, r.cluster_id, s.survivor_id, r.n_words, r.passes_quality,
+        |  (r.doc_id = s.survivor_id) AS keep
+        |FROM ranked r JOIN surv s ON r.cluster_id = s.cluster_id
+        |ORDER BY r.doc_id""".stripMargin,
     // union of the text and embedding pair graphs, closed by the same
     // recursive-CTE components as q_dedup_cluster (inlined reading
     // `upairs` — `pairs` is the text CTE's name), verdict per doc
@@ -6702,6 +6773,7 @@ object LlmData {
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_contain" -> (qDedupContain _),
     "q_dedup_cluster" -> (qDedupCluster _),
+    "q_dedup_survivor" -> (qDedupSurvivor _),
     "q_dedup_apply" -> (qDedupApply _),
     "q_dedup_multimodal" -> (qDedupMultimodal _),
     "q_dedup_minhash" -> (qDedupMinhash _),

@@ -1103,6 +1103,26 @@ class LlmDataSpec extends SparkSpec {
     assert(math.abs(rows.map(_.getDouble(5)).sum) < 1e-4)
   }
 
+  test("dedup_survivor: survivor is the quality-ranked member, not min-id") {
+    val rows = LlmData.qDedupSurvivor(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3).toLong,
+        r.getBoolean(4), r.getBoolean(5)))
+    assert(rows.nonEmpty, "fixture should contain near-dup clusters")
+    // membership equals q_dedup_cluster's
+    val clusters = LlmData.qDedupCluster(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == clusters)
+    // exactly one keep per cluster, and it is the (quality DESC,
+    // n_words DESC, doc_id) argmax recomputed independently
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      val expected = members.minBy(m => (!m._5, -m._4, m._1))._1
+      val surv = members.map(_._3).distinct.toSeq
+      assert(surv == Seq(expected), s"cluster $cid survivor $surv != $expected")
+      assert(members.count(_._6) == 1)
+      members.foreach(m => assert(m._6 == (m._1 == expected)))
+    }
+  }
+
   test("text_hapax: richness census recomputed independently") {
     def r6(x: Double) = java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
