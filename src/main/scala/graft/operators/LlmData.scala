@@ -714,6 +714,29 @@ object LlmData {
   def qDedupCluster(s: SparkSession, dir: String): DataFrame =
     clusterPairs(dedupPairs(s, dir).select("a_id", "b_id"), s)
 
+  /** Threshold-sweep census over the embedding near-dup graph
+    * (`q_dedup_threshold_sweep`, r11) — the τ-TUNING readout: for
+    * each candidate cosine threshold, how many pairs and how many
+    * distinct documents the dedup would touch. Pipelines pick τ by
+    * exactly this curve (too low ⇒ the pair graph explodes and
+    * clusters chain; too high ⇒ near-dups survive); running the sweep
+    * once over the τ ≥ 0.4 pair artifact is free compared to
+    * re-running dedup per candidate. Cost: the pairs artifact every
+    * embedding-dedup consumer already shares, exploded ×|τ| (pair-
+    * graph-bounded, never corpus-sized), two keyed aggregations.
+    */
+  def qDedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val taus = Seq(0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95)
+    val pairs = embedPairs(s, dir)
+    val ex = pairs.withColumn("tau", explode(typedlit(taus)))
+      .filter(col("cosine") >= col("tau"))
+    val cnt = ex.groupBy("tau").agg(count(lit(1)).as("n_pairs"))
+    val docs = ex
+      .select(col("tau"), explode(array(col("a_id"), col("b_id"))).as("id"))
+      .groupBy("tau").agg(countDistinct(col("id")).as("n_docs"))
+    cnt.join(docs, "tau").orderBy("tau")
+  }
+
   /** Quality-aware survivorship (`q_dedup_survivor`, r11) — which
     * member of each near-dup cluster to KEEP. `q_dedup_apply` keeps
     * the min-id representative (deterministic but arbitrary);
@@ -5766,6 +5789,26 @@ object LlmData {
         |LEFT JOIN comp ON comp.node_id = emb.vec_id
         |LEFT JOIN sz ON sz.c = COALESCE(comp.cluster_id, emb.vec_id)
         |ORDER BY vec_id""".stripMargin,
+    // The q_dedup_embed pair CTE × the τ list; thresholds compare the
+    // ROUNDED cosine both engines agreed on.
+    "q_dedup_threshold_sweep" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |ep AS (
+        |  SELECT a_id, b_id, cosine FROM (
+        |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |      ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine
+        |    FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  ) WHERE cosine >= 0.4
+        |), t AS (SELECT unnest([0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95]) AS tau),
+        |x AS (SELECT tau, a_id, b_id FROM ep, t WHERE cosine >= tau)
+        |SELECT c.tau, c.n_pairs, d.n_docs FROM (
+        |  SELECT tau, COUNT(*) AS n_pairs FROM x GROUP BY tau
+        |) c JOIN (
+        |  SELECT tau, COUNT(DISTINCT id) AS n_docs FROM (
+        |    SELECT tau, a_id AS id FROM x UNION ALL SELECT tau, b_id FROM x
+        |  ) GROUP BY tau
+        |) d ON c.tau = d.tau
+        |ORDER BY c.tau""".stripMargin,
     "q_dedup_embed" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         |SELECT a_id, b_id, cosine FROM (
@@ -6779,6 +6822,7 @@ object LlmData {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embed" -> (qDedupEmbed _),
+    "q_dedup_threshold_sweep" -> (qDedupThresholdSweep _),
     "q_dedup_embed_incr" -> (qDedupEmbedIncr _),
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_sim_topk_cosine" -> (qSimTopkCosine _),

@@ -1103,6 +1103,27 @@ class LlmDataSpec extends SparkSpec {
     assert(math.abs(rows.map(_.getDouble(5)).sum) < 1e-4)
   }
 
+  test("dedup_threshold_sweep: counts recomputed from the pair graph; monotone in tau") {
+    val pairs = LlmData.qDedupEmbed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val taus = Seq(0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95)
+    val expected = taus.flatMap { t =>
+      val sel = pairs.filter(_._3 >= t)
+      if (sel.isEmpty) None
+      else Some(t -> (sel.length.toLong,
+        sel.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong))
+    }.toMap
+    val got = LlmData.qDedupThresholdSweep(spark, dir).collect()
+      .map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected, s"sweep diverges:\n got $got\n exp $expected")
+    // the curve must be non-increasing in tau
+    val ordered = got.toSeq.sortBy(_._1).map(_._2)
+    ordered.sliding(2).foreach {
+      case Seq((p1, d1), (p2, d2)) => assert(p2 <= p1 && d2 <= d1)
+      case _ =>
+    }
+  }
+
   test("dedup_survivor: survivor is the quality-ranked member, not min-id") {
     val rows = LlmData.qDedupSurvivor(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3).toLong,
