@@ -714,6 +714,60 @@ object LlmData {
   def qDedupCluster(s: SparkSession, dir: String): DataFrame =
     clusterPairs(dedupPairs(s, dir).select("a_id", "b_id"), s)
 
+  /** Nearest-neighbor label-agreement census (`q_emb_label_agreement`,
+    * r11) — the LABEL-NOISE detector over the embedding table: for
+    * each vector, does its nearest neighbor (rank 1 of the exact kNN
+    * graph, cosine DESC / id ties) carry the same label? Per label:
+    * vector count, agreeing count, agreement rate. Low agreement for
+    * one label flags systematic mislabeling or an incoherent class —
+    * the standard pre-training-data QA pass before labels are trusted
+    * for stratification or eval splits. At corpus scale the input
+    * graph swaps for `q_emb_knn_ann` rank 1 (the same columns — the
+    * exact graph fail-fasts above its 8,192-vector gate); at harness
+    * scale the exact graph is what runs, so the oracle grades the
+    * genuine contract.
+    */
+  def qEmbLabelAgreement(s: SparkSession, dir: String): DataFrame = {
+    val nn = qEmbKnn(s, dir).filter(col("rnk") === 1)
+      .select(col("vec_id"), col("neighbor_id"))
+    val labels = embeddings(s, dir).select(col("vec_id"), col("label"))
+    nn.join(labels, "vec_id")
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nn_label")), "neighbor_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("label") === col("nn_label"), 1L).otherwise(0L)).as("n_nn_same"))
+      .select(col("label"), col("n_vecs"), col("n_nn_same"),
+        round(col("n_nn_same").cast("double") / col("n_vecs"), 6).as("agreement"))
+      .orderBy("label")
+  }
+
+  /** Duplicated-prefix boilerplate census (`q_text_prefix_dup`, r11):
+    * distinct 16-word document PREFIXES shared by ≥ 2 documents —
+    * the crawl-boilerplate signature (shared headers, templates,
+    * licence banners) that chunk-level dedup sees late and whole-doc
+    * dedup misses entirely when bodies diverge. Per duplicated
+    * prefix: doc count, distinct sources (cross-source prefixes are
+    * template reuse, not author duplication), first doc id. One
+    * prefix-keyed exchange of O(docs) short rows (16 words each, not
+    * the text), partial-agged map-side; the ≥ 2 filter prunes the
+    * output to the duplicated tail.
+    */
+  def qTextPrefixDup(s: SparkSession, dir: String): DataFrame = {
+    val P = 16
+    docsNorm(s, dir)
+      .withColumn("w", expr(wordsExpr))
+      .filter(size(col("w")) >= P)
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ", slice(col("w"), 1, P)).as("prefix"))
+      .groupBy("prefix")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("prefix")
+  }
+
   /** Threshold-sweep census over the embedding near-dup graph
     * (`q_dedup_threshold_sweep`, r11) — the τ-TUNING readout: for
     * each candidate cosine threshold, how many pairs and how many
@@ -5840,6 +5894,43 @@ object LlmData {
         |ORDER BY probe_id, rnk""".stripMargin,
     // Semantics-level oracle (plain N² join + window): the engine's
     // per-row broadcast top-k must equal rank-by-(rounded cosine, id).
+    // The q_emb_knn rank-1 replay + two label joins; exact counts and
+    // one rounded rate.
+    "q_emb_label_agreement" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |scored AS (
+        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |    ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        |), nn AS (
+        |  SELECT vec_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        |    FROM scored
+        |  ) WHERE rnk = 1
+        |)
+        |SELECT la.label, COUNT(*) AS n_vecs,
+        |  CAST(SUM(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END) AS BIGINT) AS n_nn_same,
+        |  ROUND(CAST(SUM(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS agreement
+        |FROM nn
+        |JOIN embeddings la ON nn.vec_id = la.vec_id
+        |JOIN embeddings lb ON nn.neighbor_id = lb.vec_id
+        |GROUP BY la.label ORDER BY la.label""".stripMargin,
+    // 16-word prefixes over the shared tokenizer; list slice ≡ Spark
+    // slice(w, 1, 16) (both 1-based inclusive).
+    "q_text_prefix_dup" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS w
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, source, array_to_string(w[1:16], ' ') AS prefix
+        |  FROM d WHERE len(w) >= 16
+        |)
+        |SELECT prefix, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT source) AS n_sources,
+        |  MIN(doc_id) AS first_doc
+        |FROM p GROUP BY prefix HAVING COUNT(*) >= 2
+        |ORDER BY prefix""".stripMargin,
     "q_emb_knn" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |scored AS (
@@ -6867,6 +6958,8 @@ object LlmData {
     "q_sample_importance" -> (qSampleImportance _),
     "q_emb_knn" -> (qEmbKnn _),
     "q_emb_knn_ann" -> (qEmbKnnAnn _),
+    "q_emb_label_agreement" -> (qEmbLabelAgreement _),
+    "q_text_prefix_dup" -> (qTextPrefixDup _),
     "q_agg_theta_sets" -> (qAggThetaSets _),
     "q_text_vocab_coverage" -> (qTextVocabCoverage _),
     "q_stat_ks_drift" -> (qStatKsDrift _),

@@ -1103,6 +1103,48 @@ class LlmDataSpec extends SparkSpec {
     assert(math.abs(rows.map(_.getDouble(5)).sum) < 1e-4)
   }
 
+  test("emb_label_agreement: census recomputed from the exact kNN rank-1 graph") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val nn = LlmData.qEmbKnn(spark, dir).collect()
+      .filter(_.getLong(3) == 1L).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = nn.toSeq.groupBy(p => labels(p._1)).map { case (lab, xs) =>
+      val same = xs.count(p => labels(p._2) == lab).toLong
+      lab -> (xs.size.toLong, same, r6(same.toDouble / xs.size))
+    }
+    val got = LlmData.qEmbLabelAgreement(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == expected, s"agreement census diverges:\n got $got\n exp $expected")
+    assert(got.values.map(_._1).sum == labels.size, "every vector must appear once")
+  }
+
+  test("text_prefix_dup: planted shared prefixes flagged; unique prefixes absent") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("prefixdup").toFile.getAbsolutePath
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val header = words("tmpl", 16) // exactly the prefix window
+    val docs = Seq(
+      (1L, header + " " + words("alpha", 30), "src0"),
+      (2L, header + " " + words("beta", 30), "src1"),  // same prefix, other source
+      (3L, words("gamma", 40), "src0"),                // unique prefix
+      (4L, words("gamma", 40), "src0"),                // exact dup of 3 => shared prefix
+      (5L, words("short", 10), "src0"))                // under 16 words: excluded
+    docs.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = LlmData.qTextPrefixDup(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val hdrKey = header.toLowerCase
+    val gammaKey = (0 until 16).map(i => s"gamma$i").mkString(" ")
+    assert(got.keySet == Set(hdrKey, gammaKey), s"unexpected prefixes: ${got.keySet}")
+    assert(got(hdrKey) == (2L, 2L, 1L), s"template prefix: ${got(hdrKey)}")
+    assert(got(gammaKey) == (2L, 1L, 3L), s"dup prefix: ${got(gammaKey)}")
+  }
+
   test("dedup_threshold_sweep: counts recomputed from the pair graph; monotone in tau") {
     val pairs = LlmData.qDedupEmbed(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

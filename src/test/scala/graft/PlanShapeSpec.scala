@@ -20,6 +20,14 @@ class PlanShapeSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   private def exchanges(name: String): (Int, Int, String) = {
+    // The pins assume NO cached subtrees (docstring above), but suites
+    // share one session and lazy operators with a documented cache
+    // retention contract (knnGraphAnn, qCorpusDatacard's docsNorm)
+    // legitimately leave entries behind — a leaked InMemoryRelation
+    // would replace scan subtrees and silently change the counts, so
+    // every pin plans against a cleared cache. Planning-only: nothing
+    // is recomputed.
+    spark.catalog.clearCache()
     val df = SparkEntry.queries(name)(spark, dir)
     val plan: SparkPlan = df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.initialPlan
