@@ -3910,6 +3910,50 @@ object LlmData {
     * window reads the per-source VOCAB table (not the corpus), and
     * everything after the top-50 filter is O(sources·50).
     */
+  /** Token-frequency drift census (`q_text_freq_drift`, r11): the
+    * top-20 words whose FREQUENCY SHARE moved most between the old
+    * half (doc_id ≤ ⌊max/2⌋) and the new half of the corpus — the
+    * vocabulary-drift monitor a refreshed crawl is screened with
+    * before it joins a mix (a word surging from nothing flags a new
+    * template or topic skew; one collapsing flags a source going
+    * stale). Shares are exact long counts divided by each half's
+    * exact total (bit-identical IEEE division in both engines, so the
+    * |Δshare| ranking is deterministic cross-engine BEFORE any
+    * rounding); ONE conditional aggregation per word over one token
+    * pass (the qCorpusDiff audit shape), half totals broadcast as two
+    * scalars, top-k ties (|Δ| DESC, word).
+    */
+  def qTextFreqDrift(s: SparkSession, dir: String): DataFrame = {
+    val mx = documents(s, dir).agg(max("doc_id")).head().getLong(0)
+    val t = mx / 2
+    val wc = docsNorm(s, dir)
+      .select(col("doc_id"), explode(expr(wordsExpr)).as("word"))
+      .groupBy("word").agg(
+        sum(when(col("doc_id") <= t, 1L).otherwise(0L)).as("old_cnt"),
+        sum(when(col("doc_id") > t, 1L).otherwise(0L)).as("new_cnt"))
+    val tot = wc.agg(sum(col("old_cnt")).as("old_tot"),
+      sum(col("new_cnt")).as("new_tot"))
+    // two-phase top-k (the vocab-coverage rule): rank within 64 word-
+    // hash buckets first — the union of bucket top-20s contains the
+    // global top-20, so the final single-partition window sorts ≤
+    // 64·20 rows, never the vocabulary
+    val wB = Window.partitionBy("b").orderBy(col("adelta").desc, col("word"))
+    val w = Window.orderBy(col("adelta").desc, col("word"))
+    wc.crossJoin(broadcast(tot))
+      .withColumn("old_share", col("old_cnt").cast("double") / col("old_tot"))
+      .withColumn("new_share", col("new_cnt").cast("double") / col("new_tot"))
+      .withColumn("adelta", abs(col("new_share") - col("old_share")))
+      .withColumn("b", pmod(xxhash64(col("word")), lit(64)))
+      .withColumn("rb", row_number().over(wB)).filter(col("rb") <= 20)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 20)
+      .select(col("rnk"), col("word"), col("old_cnt"), col("new_cnt"),
+        round(col("old_share"), 6).as("old_share"),
+        round(col("new_share"), 6).as("new_share"),
+        round(col("new_share") - col("old_share"), 6).as("delta_share"))
+      .orderBy("rnk")
+  }
+
   /** Lexical-richness census per source (r11): token count, type
     * (distinct-word) count, hapax-legomenon count (words occurring
     * exactly once in the source), type/token ratio, and hapax rate —
@@ -5511,6 +5555,38 @@ object LlmData {
         |JOIN documents db ON b_id = db.doc_id
         |WHERE da.source <> db.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Shares are exact-count IEEE divisions (bit-identical both
+    // engines), so the |Δ| ranking is deterministic BEFORE rounding;
+    // the oracle needs no bucket pre-cut (the two-phase cut is
+    // lossless by construction).
+    "q_text_freq_drift" ->
+      """WITH mxq AS (SELECT MAX(doc_id) AS mx FROM documents),
+        |wc AS (
+        |  SELECT w AS word,
+        |    CAST(SUM(CASE WHEN doc_id <= mx // 2 THEN 1 ELSE 0 END) AS BIGINT) AS old_cnt,
+        |    CAST(SUM(CASE WHEN doc_id >  mx // 2 THEN 1 ELSE 0 END) AS BIGINT) AS new_cnt
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')) AS w
+        |    FROM documents
+        |  ), mxq
+        |  GROUP BY w
+        |), tot AS (
+        |  SELECT CAST(SUM(old_cnt) AS BIGINT) AS old_tot,
+        |    CAST(SUM(new_cnt) AS BIGINT) AS new_tot FROM wc
+        |), sc AS (
+        |  SELECT word, old_cnt, new_cnt,
+        |    CAST(old_cnt AS DOUBLE) / old_tot AS old_share,
+        |    CAST(new_cnt AS DOUBLE) / new_tot AS new_share
+        |  FROM wc, tot
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY ABS(new_share - old_share) DESC, word) AS rnk
+        |  FROM sc
+        |)
+        |SELECT rnk, word, old_cnt, new_cnt,
+        |  ROUND(old_share, 6) AS old_share, ROUND(new_share, 6) AS new_share,
+        |  ROUND(new_share - old_share, 6) AS delta_share
+        |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
     // Exact integer counts over the shared tokenizer; ratios divide
     // the named BIGINT columns as doubles in the same order.
     "q_text_hapax" ->
@@ -6901,6 +6977,7 @@ object LlmData {
     "q_dedup_crosssrc" -> (qDedupCrosssrc _),
     "q_text_zipf" -> (qTextZipf _),
     "q_text_hapax" -> (qTextHapax _),
+    "q_text_freq_drift" -> (qTextFreqDrift _),
     "q_text_tokcount" -> (qTextTokcount _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),

@@ -1103,6 +1103,34 @@ class LlmDataSpec extends SparkSpec {
     assert(math.abs(rows.map(_.getDouble(5)).sum) < 1e-4)
   }
 
+  test("text_freq_drift: top movers recomputed independently") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(trim(col("text"))).as("nt")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val t = docs.map(_._1).max / 2
+    val toks = docs.flatMap { case (id, nt) =>
+      nt.split(" ").filter(_.nonEmpty).map(w => (w, id <= t))
+    }
+    val counts = toks.groupBy(_._1).map { case (w, xs) =>
+      w -> (xs.count(_._2).toLong, xs.count(!_._2).toLong)
+    }
+    val oldTot = counts.values.map(_._1).sum.toDouble
+    val newTot = counts.values.map(_._2).sum.toDouble
+    val expected = counts.toSeq.map { case (w, (oc, nc)) =>
+      val os = oc / oldTot; val ns = nc / newTot
+      (w, oc, nc, os, ns)
+    }.sortBy { case (w, _, _, os, ns) => (-math.abs(ns - os), w) }
+      .take(20).zipWithIndex.map { case ((w, oc, nc, os, ns), i) =>
+        (i + 1).toLong -> (w, oc, nc, r6(os), r6(ns), r6(ns - os))
+      }.toMap
+    val got = LlmData.qTextFreqDrift(spark, dir).collect()
+      .map(r => r.getInt(0).toLong -> (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(got == expected, s"drift census diverges:\n got $got\n exp $expected")
+  }
+
   test("emb_label_agreement: census recomputed from the exact kNN rank-1 graph") {
     def r6(x: Double) = java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
