@@ -76,6 +76,32 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** Active-user engagement census (`q_ev_active_users`, r11): per
+    * day, DAU, trailing-7-day WAU, and the DAU/WAU stickiness ratio —
+    * the standard engagement panel. Shape: the event stream reduces
+    * ONCE to the distinct (user, day) activity table (O(users×days),
+    * never O(events)); the day spine (O(days) rows) broadcasts
+    * against it for the trailing-window membership, so the
+    * count-distinct runs per spine day over activity rows only — no
+    * event-level self-join at any stream length.
+    */
+  def qEvActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    val ud = events(s, dir)
+      .select(date_trunc("DAY", col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .cache() // read by the DAU rollup AND the trailing-window join
+    val dau = ud.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+    val spine = ud.select(col("day").as("spine_day")).distinct()
+    val wau = ud.join(broadcast(spine),
+        datediff(col("spine_day"), col("day")).between(0, 6))
+      .groupBy("spine_day")
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, col("day") === col("spine_day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+      .orderBy("day")
+  }
+
   /** Peak session concurrency per day (r11): the sweep-line census —
     * sessions (the qEvSession 30-min-gap derivation) are clipped into
     * per-day segments (a cross-midnight session is active in BOTH
@@ -853,6 +879,23 @@ object EventOps {
         |SELECT win_start, user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM expanded GROUP BY 1, 2 ORDER BY win_start, user_id""".stripMargin,
+    // The distinct (user, day) activity table + a 7-day trailing
+    // membership join against the day spine; exact distinct counts.
+    "q_ev_active_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+        |), dau AS (
+        |  SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY day
+        |), spine AS (SELECT DISTINCT day AS spine_day FROM ud),
+        |wau AS (
+        |  SELECT spine_day, COUNT(DISTINCT user_id) AS wau
+        |  FROM ud JOIN spine ON date_diff('day', ud.day, spine.spine_day) BETWEEN 0 AND 6
+        |  GROUP BY spine_day
+        |)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.spine_day
+        |ORDER BY dau.day""".stripMargin,
     // The q_ev_session CTEs + day clipping + the same deterministic
     // sweep order; peak cast to BIGINT (DuckDB window SUM widens).
     "q_ev_concurrency" ->
@@ -991,6 +1034,7 @@ object EventOps {
     "q_ev_gapfill" -> (qEvGapfill _),
     "q_ev_session" -> (qEvSession _),
     "q_ev_concurrency" -> (qEvConcurrency _),
+    "q_ev_active_users" -> (qEvActiveUsers _),
     "q_ev_late_watermark" -> (qEvLateWatermark _),
     "q_ev_funnel" -> (qEvFunnel _),
     "q_ev_funnel_time" -> (qEvFunnelTime _),

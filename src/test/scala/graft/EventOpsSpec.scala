@@ -123,6 +123,34 @@ class EventOpsSpec extends SparkSpec {
     assert(got == expected, s"co-occurrence diverges:\n got $got\n exp $expected")
   }
 
+  test("ev_active_users: DAU/WAU/stickiness recomputed independently") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val dayUs = 86400000000L
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts")).collect()
+      .map { r =>
+        val us = r.getTimestamp(1).toInstant.toEpochMilli * 1000
+        (us / dayUs, r.getLong(0))
+      }.distinct
+    val days = ud.map(_._1).distinct
+    val expected = days.map { d =>
+      val dau = ud.filter(_._1 == d).map(_._2).distinct.length.toLong
+      val wau = ud.filter(x => x._1 <= d && x._1 > d - 7).map(_._2).distinct.length.toLong
+      d -> (dau, wau, r6(dau.toDouble / wau))
+    }.toMap
+    val got = EventOps.qEvActiveUsers(spark, dir).collect()
+      .map { r =>
+        val d = r.getTimestamp(0).toInstant.toEpochMilli * 1000 / dayUs
+        d -> (r.getLong(1), r.getLong(2), r.getDouble(3))
+      }.toMap
+    assert(got == expected, s"engagement panel diverges:\n got $got\n exp $expected")
+    // WAU dominates DAU; stickiness in (0, 1]
+    got.values.foreach { case (dau, wau, st) =>
+      assert(dau <= wau && st > 0.0 && st <= 1.0)
+    }
+  }
+
   test("ev_concurrency: sweep-line peak recomputed independently") {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id")).collect()
