@@ -205,6 +205,38 @@ object Relational {
       .orderBy("purchase_id")
   }
 
+  /** As-of join with a match TOLERANCE (`q_join_asof_tol`, r11) —
+    * pandas merge_asof(tolerance=...) / kdb wj semantics: each
+    * purchase matches the user's most recent prior view ONLY if it is
+    * within 1 hour; staler views (and users with no view) yield an
+    * explicit null + matched = false, so downstream attribution can
+    * distinguish "old context" from "no context" instead of silently
+    * crediting a days-old view. Same 100 TB shape as q_join_asof: ONE
+    * user_id exchange, the running last-non-null window carrying
+    * (view id, view ts), no self-join, no event×event blowup; the
+    * tolerance is a per-row filter on the carried timestamp.
+    */
+  def qJoinAsofTol(s: SparkSession, dir: String): DataFrame = {
+    val tolUs = 3600L * 1000000
+    val e = events(s, dir).filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+              when(col("event_type") === "view", lit(0)).otherwise(lit(1)).as("prio"),
+              when(col("event_type") === "view", col("event_id")).as("view_id"),
+              when(col("event_type") === "view", col("ts")).as("view_ts"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("prio"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_view_id", last(col("view_id"), ignoreNulls = true).over(w))
+      .withColumn("last_view_ts", last(col("view_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("gap0", unix_micros(col("ts")) - unix_micros(col("last_view_ts")))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        when(col("gap0") <= tolUs, col("last_view_id")).as("prior_view_id"),
+        when(col("gap0") <= tolUs, col("gap0")).as("gap_us"),
+        coalesce(col("gap0") <= tolUs, lit(false)).as("matched"))
+      .orderBy("purchase_id")
+  }
+
   /** FORWARD as-of join (`q_join_asof_fwd`) — the mirror face of
     * q_join_asof: each purchase matched to the user's NEXT view
     * strictly after it (the "what did they look at after converting"
@@ -1956,6 +1988,35 @@ object Relational {
         |)
         |SELECT event_id AS purchase_id, user_id, last_view_id AS prior_view_id
         |FROM lv WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
+    // The q_join_asof window carrying (view id, view ts); the 1-hour
+    // tolerance gates on exact long µs, nulls/matched mirror Spark's
+    // three-valued <= through COALESCE.
+    "q_join_asof_tol" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS prio,
+        |    CASE WHEN event_type = 'view' THEN event_id END AS view_id,
+        |    CASE WHEN event_type = 'view' THEN ts END AS view_ts
+        |  FROM events WHERE event_type IN ('view','purchase')
+        |), lv AS (
+        |  SELECT *,
+        |    LAST_VALUE(view_id IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, prio, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_id,
+        |    LAST_VALUE(view_ts IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, prio, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ts
+        |  FROM tagged
+        |), g AS (
+        |  SELECT event_id AS purchase_id, user_id,
+        |    epoch_us(ts) - epoch_us(last_view_ts) AS gap0, last_view_id
+        |  FROM lv WHERE event_type = 'purchase'
+        |)
+        |SELECT purchase_id, user_id,
+        |  CASE WHEN gap0 <= 3600000000 THEN last_view_id END AS prior_view_id,
+        |  CASE WHEN gap0 <= 3600000000 THEN gap0 END AS gap_us,
+        |  COALESCE(gap0 <= 3600000000, FALSE) AS matched
+        |FROM g ORDER BY purchase_id""".stripMargin,
     "q_join_asof_fwd" ->
       """WITH tagged AS (
         |  SELECT user_id, ts, event_id, event_type,
@@ -2375,6 +2436,7 @@ object Relational {
     "q_join_anti" -> (qJoinAnti _),
     "q_join_theta_range" -> (qJoinThetaRange _),
     "q_join_asof" -> (qJoinAsof _),
+    "q_join_asof_tol" -> (qJoinAsofTol _),
     "q_join_asof_fwd" -> (qJoinAsofFwd _),
     "q_join_cross_topk" -> (qJoinCrossTopk _),
     "q_agg_hash" -> (qAggHash _),

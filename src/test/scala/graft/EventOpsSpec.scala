@@ -123,6 +123,35 @@ class EventOpsSpec extends SparkSpec {
     assert(got == expected, s"co-occurrence diverges:\n got $got\n exp $expected")
   }
 
+  test("join_asof_tol: tolerance gate recomputed independently; both states present") {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0),
+        r.getTimestamp(1).toInstant.toEpochMilli * 1000 +
+          r.getTimestamp(1).toInstant.getNano / 1000 % 1000,
+        r.getLong(2), r.getString(3)))
+    val tol = 3600000000L
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      var lastView: Option[(Long, Long)] = None // (view_id, view_ts)
+      xs.sortBy(x => (x._2, if (x._4 == "view") 0 else 1, x._3)).flatMap { x =>
+        if (x._4 == "view") { lastView = Some((x._3, x._2)); None }
+        else Some(x._3 -> (x._1, lastView, lastView.map(v => x._2 - v._2)))
+      }
+    }.map { case (pid, (u, lv, gap)) =>
+      val ok = gap.exists(_ <= tol)
+      pid -> (u, if (ok) lv.map(_._1) else None, if (ok) gap else None, ok)
+    }.toMap
+    val got = graft.operators.Relational.qJoinAsofTol(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getBoolean(4))).toMap
+    assert(got == expected, s"asof tolerance diverges:\n got $got\n exp $expected")
+    // the fixture must exercise BOTH faces of the gate
+    assert(got.values.exists(_._4) && got.values.exists(!_._4))
+  }
+
   test("ev_active_users: DAU/WAU/stickiness recomputed independently") {
     def r6(x: Double) = java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
