@@ -3910,6 +3910,26 @@ object LlmData {
     * window reads the per-source VOCAB table (not the corpus), and
     * everything after the top-50 filter is O(sources·50).
     */
+  /** Per-language length profile (`q_text_length_profile`, r11): doc
+    * count, mean, dyadic quartiles (p25/p50/p75 — exact-binary
+    * fractions, so the interpolation over exact long lengths is
+    * bit-identical cross-engine; the q_ev_interarrival rule), and max
+    * of n_chars — the context-window sizing and packing-efficiency
+    * card (how much of a language's mass truncates at a given
+    * sequence length). One partial+final aggregation to O(langs)
+    * rows; no text bytes move.
+    */
+  def qTextLengthProfile(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("mean_chars"),
+        round(expr("percentile(n_chars, 0.25)"), 6).as("p25_chars"),
+        round(expr("percentile(n_chars, 0.5)"), 6).as("p50_chars"),
+        round(expr("percentile(n_chars, 0.75)"), 6).as("p75_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("lang")
+
   /** Token-frequency drift census (`q_text_freq_drift`, r11): the
     * top-20 words whose FREQUENCY SHARE moved most between the old
     * half (doc_id ≤ ⌊max/2⌋) and the new half of the corpus — the
@@ -5559,6 +5579,16 @@ object LlmData {
     // engines), so the |Δ| ranking is deterministic BEFORE rounding;
     // the oracle needs no bucket pre-cut (the two-phase cut is
     // lossless by construction).
+    // Dyadic quartiles over exact long lengths (quantile_cont ≡
+    // percentile at exact-binary f — the q_agg_quantile pair).
+    "q_text_length_profile" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_chars,
+        |  ROUND(quantile_cont(n_chars, 0.25), 6) AS p25_chars,
+        |  ROUND(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+        |  ROUND(quantile_cont(n_chars, 0.75), 6) AS p75_chars,
+        |  MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_text_freq_drift" ->
       """WITH mxq AS (SELECT MAX(doc_id) AS mx FROM documents),
         |wc AS (
@@ -6978,6 +7008,7 @@ object LlmData {
     "q_text_zipf" -> (qTextZipf _),
     "q_text_hapax" -> (qTextHapax _),
     "q_text_freq_drift" -> (qTextFreqDrift _),
+    "q_text_length_profile" -> (qTextLengthProfile _),
     "q_text_tokcount" -> (qTextTokcount _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),

@@ -1103,6 +1103,31 @@ class LlmDataSpec extends SparkSpec {
     assert(math.abs(rows.map(_.getDouble(5)).sum) < 1e-4)
   }
 
+  test("text_length_profile: per-lang card recomputed independently") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def pct(sorted: Array[Long], f: Double): Double = {
+      val h = f * (sorted.length - 1)
+      val lo = sorted(h.toInt); val hi = sorted(math.ceil(h).toInt)
+      lo + (h - h.toInt) * (hi - lo)
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = docs.groupBy(_._1).map { case (lang, xs) =>
+      val v = xs.map(_._2).sorted
+      lang -> (v.length.toLong, r6(v.sum.toDouble / v.length),
+        r6(pct(v, 0.25)), r6(pct(v, 0.5)), r6(pct(v, 0.75)), v.max)
+    }
+    val got = LlmData.qTextLengthProfile(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6))).toMap
+    assert(got == expected, s"length profile diverges:\n got $got\n exp $expected")
+    got.values.foreach { case (_, mean, p25, p50, p75, mx) =>
+      assert(p25 <= p50 && p50 <= p75 && p75 <= mx && mean > 0)
+    }
+  }
+
   test("text_freq_drift: top movers recomputed independently") {
     def r6(x: Double) = java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
