@@ -76,6 +76,50 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** Interval overlap join (`q_join_interval`, r11) — the missing
+    * join shape between equi and theta-range: pairs of DIFFERENT
+    * users' sessions that overlap in time, with the overlap duration
+    * (ad-tech co-presence, healthcare episode overlap, contention
+    * analysis). The naive form is a quadratic theta join; the
+    * scalable form used here EXPLODES each session into the hour
+    * buckets it spans and equi-joins ON THE BUCKET before applying
+    * the exact overlap predicate — candidate pairs are bounded by
+    * per-bucket concurrency (the q_ev_concurrency readout!), never
+    * sessions², and the bucket join shuffles on a key like any
+    * equi-join. Pairs spanning several shared buckets dedupe with a
+    * DISTINCT over the pair columns; overlap is exact long µs of the
+    * closed intervals.
+    */
+  def qJoinInterval(s: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hourUs = 3600000000L
+    val sess = events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byTs))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+             unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(unix_micros(min(col("ts"))).as("st"), unix_micros(max(col("ts"))).as("en"))
+    val bucketed = sess.withColumn("bucket",
+      explode(expr(s"sequence(st div ${hourUs}L, en div ${hourUs}L)")))
+    val a = bucketed.select(col("bucket"), col("user_id").as("user_a"),
+      col("session_id").as("session_a"), col("st").as("st_a"), col("en").as("en_a"))
+    val b = bucketed.select(col("bucket"), col("user_id").as("user_b"),
+      col("session_id").as("session_b"), col("st").as("st_b"), col("en").as("en_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("user_a") < col("user_b") &&
+        col("st_a") <= col("en_b") && col("st_b") <= col("en_a"))
+      .select(col("user_a"), col("session_a"), col("user_b"), col("session_b"),
+        (least(col("en_a"), col("en_b")) - greatest(col("st_a"), col("st_b")))
+          .as("overlap_us"))
+      .distinct()
+      .orderBy("user_a", "session_a", "user_b", "session_b")
+  }
+
   /** Active-user engagement census (`q_ev_active_users`, r11): per
     * day, DAU, trailing-7-day WAU, and the DAU/WAU stickiness ratio —
     * the standard engagement panel. Shape: the event stream reduces
@@ -879,6 +923,32 @@ object EventOps {
         |SELECT win_start, user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM expanded GROUP BY 1, 2 ORDER BY win_start, user_id""".stripMargin,
+    // The q_ev_session CTEs + the DIRECT quadratic overlap join (the
+    // oracle needs no bucket decomposition — same result set the
+    // bucketed path dedupes to); exact long µs overlap.
+    "q_join_interval" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessioned AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |), sess AS (
+        |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |    epoch_us(MIN(ts)) AS st, epoch_us(MAX(ts)) AS en
+        |  FROM sessioned GROUP BY user_id, session_id
+        |)
+        |SELECT a.user_id AS user_a, a.session_id AS session_a,
+        |  b.user_id AS user_b, b.session_id AS session_b,
+        |  LEAST(a.en, b.en) - GREATEST(a.st, b.st) AS overlap_us
+        |FROM sess a JOIN sess b
+        |  ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
+        |ORDER BY user_a, session_a, user_b, session_b""".stripMargin,
     // The distinct (user, day) activity table + a 7-day trailing
     // membership join against the day spine; exact distinct counts.
     "q_ev_active_users" ->
@@ -1035,6 +1105,7 @@ object EventOps {
     "q_ev_session" -> (qEvSession _),
     "q_ev_concurrency" -> (qEvConcurrency _),
     "q_ev_active_users" -> (qEvActiveUsers _),
+    "q_join_interval" -> (qJoinInterval _),
     "q_ev_late_watermark" -> (qEvLateWatermark _),
     "q_ev_funnel" -> (qEvFunnel _),
     "q_ev_funnel_time" -> (qEvFunnelTime _),

@@ -123,6 +123,35 @@ class EventOpsSpec extends SparkSpec {
     assert(got == expected, s"co-occurrence diverges:\n got $got\n exp $expected")
   }
 
+  test("join_interval: bucketed overlap pairs equal the quadratic recompute") {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id")).collect()
+      .map(r => (r.getLong(0),
+        r.getTimestamp(1).toInstant.toEpochMilli * 1000 +
+          r.getTimestamp(1).toInstant.getNano / 1000 % 1000, r.getLong(2)))
+    val sess = ev.groupBy(_._1).toSeq.flatMap { case (u, xs) =>
+      var sid = 0L; var prev = Long.MinValue
+      val tagged = xs.sortBy(x => (x._2, x._3)).map { x =>
+        if (prev == Long.MinValue || x._2 - prev >= 1800000000L) sid += 1
+        prev = x._2
+        (sid, x._2)
+      }
+      tagged.groupBy(_._1).map { case (sid2, ts) =>
+        (u, sid2, ts.map(_._2).min, ts.map(_._2).max)
+      }
+    }
+    val expected = (for {
+      a <- sess; b <- sess
+      if a._1 < b._1 && a._3 <= b._4 && b._3 <= a._4
+    } yield (a._1, a._2, b._1, b._2) ->
+      (math.min(a._4, b._4) - math.max(a._3, b._3))).toMap
+    val got = EventOps.qJoinInterval(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) -> r.getLong(4))
+      .toMap
+    assert(got == expected, s"interval join diverges:\n got $got\n exp $expected")
+    assert(got.nonEmpty && got.values.forall(_ >= 0))
+  }
+
   test("join_asof_tol: tolerance gate recomputed independently; both states present") {
     val ev = Tables.events(spark, dir)
       .filter(col("event_type").isin("view", "purchase"))
