@@ -3910,6 +3910,58 @@ object LlmData {
     * window reads the per-source VOCAB table (not the corpus), and
     * everything after the top-50 filter is O(sources·50).
     */
+  /** Pairwise Jensen–Shannon divergence between source word
+    * distributions (`q_text_js_div`, r11) — the source-similarity
+    * matrix data-mixing decisions read (two sources with near-zero JS
+    * are redundant in a mix; a high-JS source adds coverage).
+    * Decomposition that needs only the SHARED-word equi-join: for
+    * shared words both engines sum the nano-quantized terms
+    * p·ln(2p/(p+q)) and q·ln(2q/(p+q)); each side's EXCLUSIVE mass
+    * contributes exactly ln 2 per unit share, recovered as
+    * ln2·(1 − Σ_shared p) from the same quantized sums — no full
+    * outer join per pair. ln 2 is an explicit literal (no engine
+    * ln(2) call), shares are exact-count IEEE divisions, and every
+    * summed term rides the chi2 nano-unit long firewall, so the
+    * result is partition-order independent AND engine-portable.
+    * Scale shape: ONE token shuffle to the (source, word) count
+    * table; the pair join is keyed on the WORD (per-word fan-out =
+    * sources-carrying-it², the sparse-vector all-pairs shape); rollup
+    * O(sources²).
+    */
+  def qTextJsDiv(s: SparkSession, dir: String): DataFrame = {
+    val ln2 = 0.6931471805599453
+    val wc = docsNorm(s, dir)
+      .select(col("source"), explode(expr(wordsExpr)).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+      .cache() // both sides of the shared-word pair join + totals
+    val tot = wc.groupBy("source").agg(sum(col("cnt")).as("t"))
+    val sided = wc.join(broadcast(tot), "source")
+    val a = sided.select(col("source").as("source_a"), col("w"),
+      col("cnt").as("ca"), col("t").as("ta"))
+    val b = sided.select(col("source").as("source_b"), col("w"),
+      col("cnt").as("cb"), col("t").as("tb"))
+    a.join(b, Seq("w"))
+      .filter(col("source_a") < col("source_b"))
+      .withColumn("p", col("ca").cast("double") / col("ta"))
+      .withColumn("q", col("cb").cast("double") / col("tb"))
+      .withColumn("ta_n",
+        round(col("p") * log(lit(2.0) * col("p") / (col("p") + col("q"))) * 1e9).cast("long"))
+      .withColumn("tb_n",
+        round(col("q") * log(lit(2.0) * col("q") / (col("p") + col("q"))) * 1e9).cast("long"))
+      .withColumn("pa_n", round(col("p") * 1e9).cast("long"))
+      .withColumn("pb_n", round(col("q") * 1e9).cast("long"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared_words"),
+        sum(col("ta_n")).as("sta"), sum(col("tb_n")).as("stb"),
+        sum(col("pa_n")).as("spa"), sum(col("pb_n")).as("spb"))
+      .select(col("source_a"), col("source_b"), col("n_shared_words"),
+        round(lit(0.5) *
+          ((col("sta").cast("double") + lit(ln2) * (lit(1000000000L) - col("spa"))) +
+           (col("stb").cast("double") + lit(ln2) * (lit(1000000000L) - col("spb")))) /
+          lit(1e9), 6).as("js_div"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Per-language length profile (`q_text_length_profile`, r11): doc
     * count, mean, dyadic quartiles (p25/p50/p75 — exact-binary
     * fractions, so the interpolation over exact long lengths is
@@ -5579,6 +5631,38 @@ object LlmData {
     // engines), so the |Δ| ranking is deterministic BEFORE rounding;
     // the oracle needs no bucket pre-cut (the two-phase cut is
     // lossless by construction).
+    // Shared-word terms + exclusive-mass ln2 correction, every summed
+    // term nano-quantized (the chi2 firewall); ln 2 is the same
+    // literal on both sides.
+    "q_text_js_div" ->
+      """WITH wc AS (
+        |  SELECT source, w, COUNT(*) AS cnt FROM (
+        |    SELECT source,
+        |      unnest(list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')) AS w
+        |    FROM documents
+        |  ) GROUP BY source, w
+        |), tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS t FROM wc GROUP BY source),
+        |sided AS (SELECT wc.source, w, cnt, t FROM wc JOIN tot ON wc.source = tot.source),
+        |j AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(a.cnt AS DOUBLE) / a.t AS p,
+        |    CAST(b.cnt AS DOUBLE) / b.t AS q
+        |  FROM sided a JOIN sided b ON a.w = b.w AND a.source < b.source
+        |), terms AS (
+        |  SELECT source_a, source_b,
+        |    CAST(ROUND(p * ln(2.0 * p / (p + q)) * 1e9) AS BIGINT) AS ta_n,
+        |    CAST(ROUND(q * ln(2.0 * q / (p + q)) * 1e9) AS BIGINT) AS tb_n,
+        |    CAST(ROUND(p * 1e9) AS BIGINT) AS pa_n,
+        |    CAST(ROUND(q * 1e9) AS BIGINT) AS pb_n
+        |  FROM j
+        |)
+        |SELECT source_a, source_b, COUNT(*) AS n_shared_words,
+        |  ROUND(0.5 *
+        |    ((CAST(SUM(ta_n) AS DOUBLE) + 0.6931471805599453 * (1000000000 - SUM(pa_n))) +
+        |     (CAST(SUM(tb_n) AS DOUBLE) + 0.6931471805599453 * (1000000000 - SUM(pb_n))))
+        |    / 1e9, 6) AS js_div
+        |FROM terms GROUP BY source_a, source_b
+        |ORDER BY source_a, source_b""".stripMargin,
     // Dyadic quartiles over exact long lengths (quantile_cont ≡
     // percentile at exact-binary f — the q_agg_quantile pair).
     "q_text_length_profile" ->
@@ -7009,6 +7093,7 @@ object LlmData {
     "q_text_hapax" -> (qTextHapax _),
     "q_text_freq_drift" -> (qTextFreqDrift _),
     "q_text_length_profile" -> (qTextLengthProfile _),
+    "q_text_js_div" -> (qTextJsDiv _),
     "q_text_tokcount" -> (qTextTokcount _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),

@@ -1103,6 +1103,39 @@ class LlmDataSpec extends SparkSpec {
     assert(math.abs(rows.map(_.getDouble(5)).sum) < 1e-4)
   }
 
+  test("text_js_div: decomposed JS matches the direct formula; bounds hold") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), lower(trim(col("text"))).as("nt")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val dists = docs.groupBy(_._1).map { case (src, ds) =>
+      val words = ds.flatMap(_._2.split(" ").filter(_.nonEmpty))
+      val n = words.size.toDouble
+      src -> words.groupBy(identity).map { case (w, xs) => w -> xs.size / n }
+    }
+    // direct JS over the UNION vocabulary (a different formula than
+    // the operator's shared-word + exclusive-mass decomposition — a
+    // shared construction bug cannot pass both)
+    def js(p: Map[String, Double], q: Map[String, Double]): Double =
+      (p.keySet ++ q.keySet).toSeq.map { w =>
+        val pw = p.getOrElse(w, 0.0); val qw = q.getOrElse(w, 0.0)
+        val m = (pw + qw) / 2
+        (if (pw > 0) 0.5 * pw * math.log(pw / m) else 0.0) +
+          (if (qw > 0) 0.5 * qw * math.log(qw / m) else 0.0)
+      }.sum
+    val got = LlmData.qTextJsDiv(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.size == dists.size * (dists.size - 1) / 2, "pair count")
+    got.foreach { case ((a, b), (nShared, div)) =>
+      val direct = js(dists(a), dists(b))
+      // nano-quantization error is bounded by ~0.5e-9 per summed term
+      val tol = 1e-9 * (nShared + 2) + 1e-6
+      assert(math.abs(div - direct) <= tol,
+        s"($a,$b): decomposed $div vs direct $direct (tol $tol)")
+      assert(div >= -1e-9 && div <= 0.6931471805599453 + 1e-9)
+    }
+  }
+
   test("text_length_profile: per-lang card recomputed independently") {
     def r6(x: Double) = java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
