@@ -124,20 +124,22 @@ object EventOps {
     * day, DAU, trailing-7-day WAU, and the DAU/WAU stickiness ratio —
     * the standard engagement panel. Shape: the event stream reduces
     * ONCE to the distinct (user, day) activity table (O(users×days),
-    * never O(events)); the day spine (O(days) rows) broadcasts
-    * against it for the trailing-window membership, so the
-    * count-distinct runs per spine day over activity rows only — no
-    * event-level self-join at any stream length.
+    * never O(events)); the trailing-window membership is an explode
+    * of each activity row into the 7 spine days it serves, followed
+    * by a KEYED count-distinct — a fixed 7× fan-out of the activity
+    * table instead of the BNLJ a range-condition join would plan
+    * (activity × days work at multi-year streams); the inner join
+    * with the DAU table keeps only days that actually occur.
     */
   def qEvActiveUsers(s: SparkSession, dir: String): DataFrame = {
     val ud = events(s, dir)
       .select(date_trunc("DAY", col("ts")).as("day"), col("user_id"))
       .distinct()
-      .cache() // read by the DAU rollup AND the trailing-window join
+      .cache() // read by the DAU rollup AND the trailing-window explode
     val dau = ud.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
-    val spine = ud.select(col("day").as("spine_day")).distinct()
-    val wau = ud.join(broadcast(spine),
-        datediff(col("spine_day"), col("day")).between(0, 6))
+    val wau = ud
+      .withColumn("spine_day",
+        explode(expr("sequence(day, day + interval 6 days, interval 1 day)")))
       .groupBy("spine_day")
       .agg(countDistinct(col("user_id")).as("wau"))
     dau.join(wau, col("day") === col("spine_day"))
