@@ -194,6 +194,97 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** Weekly cohort retention matrix (`q_ev_cohort`, r11): users are
+    * grouped by their first-activity epoch-week (a pure integer
+    * `epoch_us div week_us` — engine-portable, unlike locale-sensitive
+    * week truncation), and each (cohort_week, week_offset) cell counts
+    * how many of that cohort were active offset weeks later — the
+    * standard product-analytics retention triangle. Scale shape: the
+    * event stream reduces ONCE to the distinct (user, week) activity
+    * table (O(users×weeks), never O(events)); the first-week table is
+    * O(users) and joins back keyed on user_id; cohort sizes are an
+    * O(weeks) table broadcast into the final readout.
+    */
+  def qEvCohort(s: SparkSession, dir: String): DataFrame = {
+    val uw = events(s, dir)
+      .select(col("user_id"),
+        expr("unix_micros(date_trunc('DAY', ts)) div 604800000000").as("week"))
+      .distinct()
+    val cohort = uw.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    uw.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"), col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6).as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Activity-concentration census (`q_ev_power_users`, r11): users
+    * ranked into deciles by event count (deterministic tie-break on
+    * user_id) with each decile's user count, event count, event
+    * share, and cumulative share — the "do 10% of users generate 90%
+    * of the traffic" skew readout that sizes per-key state and warns
+    * where salting will be needed. Scale shape: events reduce ONCE to
+    * the O(users) per-user count table; the decile window orders that
+    * table (users, not events); the rollup and its share windows run
+    * on the O(10) decile table. `ntile` uses the same
+    * equal-fill-earlier-buckets definition in Spark and DuckDB.
+    */
+  def qEvPowerUsers(s: SparkSession, dir: String): DataFrame = {
+    val perUser = events(s, dir).groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    val decWin = Window.orderBy(col("n_events").desc, col("user_id"))
+    val cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    perUser.withColumn("decile", ntile(10).over(decWin))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events"))
+      .withColumn("share",
+        round(col("n_events").cast("double") / sum(col("n_events")).over(all), 6))
+      .withColumn("cum_share",
+        round(sum(col("n_events")).over(cum).cast("double") /
+          sum(col("n_events")).over(all), 6))
+      .orderBy("decile")
+  }
+
+  /** Per-type burstiness census (`q_ev_burst`, r11): the Fano factor
+    * (variance / mean) of each event type's DAILY count series over
+    * the gap-filled global day spine — ≈1 means Poisson-like arrivals,
+    * ≫1 means bursty traffic (retry storms, crawler bursts, incident
+    * spikes); the zero-filled spine is load-bearing (silent days pull
+    * the variance up, and skipping them silently understates
+    * burstiness). Scale shape: events reduce ONCE to the O(types×days)
+    * count table; the spine cross-join is O(types)×O(days) model-table
+    * work; moments accumulate as exact int64 (count sums and squared
+    * counts), with the two IEEE divisions applied to the same exact
+    * sums in both engines. Honest bound: sum(n²) caps at ~2⁶³ when a
+    * single (type, day) cell exceeds ~3·10⁹ events — the documented
+    * decimal-widening point at extreme scale.
+    */
+  def qEvBurst(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val daily = ev.groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val spine = ev.agg(date_trunc("DAY", min(col("ts"))).as("lo"),
+        date_trunc("DAY", max(col("ts"))).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val types = ev.select("event_type").distinct()
+    types.crossJoin(broadcast(spine))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_events"),
+        sum(col("n") * col("n")).as("sum_sq"))
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        round(col("n_events").cast("double") / col("n_days"), 6).as("mean_daily"),
+        round((col("sum_sq").cast("double") / col("n_days") -
+          (col("n_events").cast("double") / col("n_days")) *
+          (col("n_events").cast("double") / col("n_days"))) /
+          (col("n_events").cast("double") / col("n_days")), 6).as("fano"))
+      .orderBy("event_type")
+  }
+
   /** Watermark semantics, batch-simulated: the watermark is
     * max(ts) - 10 minutes; events at or after it would still be
     * mutable in a streaming run ("late-mutable"), older ones are final.
@@ -968,6 +1059,72 @@ object EventOps {
         |  ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
         |FROM dau JOIN wau ON dau.day = wau.spine_day
         |ORDER BY dau.day""".stripMargin,
+    // The same epoch-week integer arithmetic (portable, unlike
+    // locale-sensitive week truncation); exact distinct counts, one
+    // ROUND(6) IEEE division.
+    "q_ev_cohort" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(date_trunc('day', ts)) // 604800000000 AS week FROM events
+        |), cohort AS (
+        |  SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+        |), sizes AS (
+        |  SELECT cohort_week, COUNT(*) AS cohort_size FROM cohort GROUP BY cohort_week
+        |), m AS (
+        |  SELECT c.cohort_week, u.week - c.cohort_week AS week_offset,
+        |    COUNT(DISTINCT u.user_id) AS n_active
+        |  FROM uw u JOIN cohort c USING (user_id) GROUP BY 1, 2
+        |)
+        |SELECT m.cohort_week, m.week_offset, m.n_active, s.cohort_size,
+        |  ROUND(CAST(m.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+        |FROM m JOIN sizes s USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    // Same ntile definition (equal buckets, earlier buckets take the
+    // remainder) over the same deterministic order; exact long event
+    // sums, shares as ROUND(6) IEEE divisions of the same exact sums.
+    "q_ev_power_users" ->
+      """WITH pu AS (
+        |  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+        |), dec AS (
+        |  SELECT NTILE(10) OVER (ORDER BY n_events DESC, user_id) AS decile, n_events
+        |  FROM pu
+        |), agg AS (
+        |  SELECT decile, COUNT(*) AS n_users,
+        |    CAST(SUM(n_events) AS BIGINT) AS n_events
+        |  FROM dec GROUP BY decile
+        |)
+        |SELECT decile, n_users, n_events,
+        |  ROUND(CAST(n_events AS DOUBLE) / SUM(n_events) OVER (), 6) AS share,
+        |  ROUND(CAST(SUM(n_events) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        |    SUM(n_events) OVER (), 6) AS cum_share
+        |FROM agg ORDER BY decile""".stripMargin,
+    // The same zero-filled day spine and exact int64 moment sums; the
+    // mean/variance/Fano divisions run on the same exact inputs.
+    "q_ev_burst" ->
+      """WITH b AS (
+        |  SELECT date_trunc('day', MIN(ts)) AS lo, date_trunc('day', MAX(ts)) AS hi
+        |  FROM events
+        |), spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b),
+        |daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), filled AS (
+        |  SELECT t.event_type, COALESCE(d.n, 0) AS n
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN spine s
+        |  LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day
+        |), m AS (
+        |  SELECT event_type, COUNT(*) AS n_days,
+        |    CAST(SUM(n) AS BIGINT) AS n_events, CAST(SUM(n * n) AS BIGINT) AS sum_sq
+        |  FROM filled GROUP BY event_type
+        |)
+        |SELECT event_type, n_days, n_events,
+        |  ROUND(CAST(n_events AS DOUBLE) / n_days, 6) AS mean_daily,
+        |  ROUND((CAST(sum_sq AS DOUBLE) / n_days -
+        |    (CAST(n_events AS DOUBLE) / n_days) * (CAST(n_events AS DOUBLE) / n_days)) /
+        |    (CAST(n_events AS DOUBLE) / n_days), 6) AS fano
+        |FROM m ORDER BY event_type""".stripMargin,
     // The q_ev_session CTEs + day clipping + the same deterministic
     // sweep order; peak cast to BIGINT (DuckDB window SUM widens).
     "q_ev_concurrency" ->
@@ -1107,6 +1264,9 @@ object EventOps {
     "q_ev_session" -> (qEvSession _),
     "q_ev_concurrency" -> (qEvConcurrency _),
     "q_ev_active_users" -> (qEvActiveUsers _),
+    "q_ev_cohort" -> (qEvCohort _),
+    "q_ev_power_users" -> (qEvPowerUsers _),
+    "q_ev_burst" -> (qEvBurst _),
     "q_join_interval" -> (qJoinInterval _),
     "q_ev_late_watermark" -> (qEvLateWatermark _),
     "q_ev_funnel" -> (qEvFunnel _),

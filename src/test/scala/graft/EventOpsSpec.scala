@@ -286,4 +286,95 @@ class EventOpsSpec extends SparkSpec {
       assert(n > 0 && mean > 0 && med <= p75 && p75 <= mx / 1e6 + 1e-6)
     }
   }
+
+  test("ev_cohort: weekly retention triangle recomputed independently") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val weekUs = 7L * 86400000000L
+    val dayUs = 86400000000L
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts")).collect()
+      .map { r =>
+        val us = r.getTimestamp(1).toInstant.toEpochMilli * 1000
+        (r.getLong(0), us / dayUs * dayUs / weekUs)
+      }.distinct
+    val firstWeek = uw.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    val sizes = firstWeek.values.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val expected = uw.map { case (u, w) => (firstWeek(u), w - firstWeek(u), u) }
+      .distinct.groupBy(x => (x._1, x._2)).map { case ((cw, off), xs) =>
+        (cw, off) -> (xs.map(_._3).distinct.length.toLong, sizes(cw),
+          r6(xs.map(_._3).distinct.length.toDouble / sizes(cw)))
+      }
+    val got = EventOps.qEvCohort(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got == expected, s"cohort triangle diverges:\n got $got\n exp $expected")
+    // offset-0 retention is 1 by construction (everyone is active in
+    // their own first week), and every cell retains ≤ the cohort size
+    got.foreach { case ((_, off), (n, size, ret)) =>
+      assert(n <= size && (off != 0L || ret == 1.0))
+    }
+  }
+
+  test("ev_power_users: decile concentration recomputed independently") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id")).collect().map(_.getLong(0))
+      .groupBy(identity).map { case (u, xs) => (u, xs.length.toLong) }.toSeq
+    // ntile semantics: n rows into 10 buckets, first (n mod 10)
+    // buckets take ceil(n/10), the rest floor(n/10)
+    val ordered = perUser.sortBy { case (u, n) => (-n, u) }
+    val nU = ordered.length
+    val base = nU / 10; val extra = nU % 10
+    val deciles = ordered.zipWithIndex.map { case ((u, n), i) =>
+      val d = if (i < (base + 1) * extra) i / (base + 1) + 1
+              else (i - (base + 1) * extra) / base + extra + 1
+      (d, u, n)
+    }
+    val total = perUser.map(_._2).sum
+    val agg = deciles.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, xs) =>
+      (d, xs.length.toLong, xs.map(_._3).sum)
+    }
+    val expected = agg.scanLeft((0, 0L, 0L, 0L)) { case ((_, _, _, cum), (d, u, e)) =>
+      (d, u, e, cum + e)
+    }.tail.map { case (d, u, e, cum) =>
+      d -> (u, e, r6(e.toDouble / total), r6(cum.toDouble / total))
+    }.toMap
+    val got = EventOps.qEvPowerUsers(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got == expected, s"power-user census diverges:\n got $got\n exp $expected")
+    // cumulative share must close at 1; ntile buckets differ by ≤ 1
+    // user; every user lands in exactly one decile
+    assert(got(10)._4 == 1.0)
+    val sizes10 = got.values.map(_._1)
+    assert(sizes10.max - sizes10.min <= 1 && sizes10.sum == nU.toLong)
+  }
+
+  test("ev_burst: Fano factor over the zero-filled spine recomputed independently") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val dayUs = 86400000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toInstant.toEpochMilli * 1000 / dayUs))
+    val lo = ev.map(_._2).min; val hi = ev.map(_._2).max
+    val expected = ev.groupBy(_._1).map { case (typ, xs) =>
+      val byDay = xs.groupBy(_._2).map { case (d, ys) => d -> ys.length.toLong }
+      val series = (lo to hi).map(d => byDay.getOrElse(d, 0L))
+      val nDays = series.length.toLong
+      val nEv = series.sum
+      val sumSq = series.map(x => x * x).sum
+      val mean = nEv.toDouble / nDays
+      typ -> (nDays, nEv, r6(mean),
+        r6((sumSq.toDouble / nDays - mean * mean) / mean))
+    }
+    val got = EventOps.qEvBurst(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got == expected, s"burstiness census diverges:\n got $got\n exp $expected")
+    // the spine is global: every type sees the same day count
+    assert(got.values.map(_._1).toSet.size == 1)
+  }
 }
