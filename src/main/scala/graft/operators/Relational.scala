@@ -459,6 +459,141 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Rank-trimmed robust mean (`q_agg_trimmed`, r11): per return
+    * flag, the mean of l_extendedprice after dropping the lowest and
+    * highest 5% of rows BY RANK (k = n·5 div 100 from each end, exact
+    * integer cutoffs — no percentile interpolation anywhere, so the
+    * trim boundary is engine-portable by construction, unlike a
+    * p05/p95 winsorize whose interpolated bound is an IEEE product).
+    * The deterministic (price, orderkey, linenumber) tie-break makes
+    * the kept SET identical in both engines even with duplicate
+    * prices. Scale shape: one per-group sort (the window exchange),
+    * conditional sums in the SAME grouped pass give raw and trimmed
+    * moments; at 100 TB the rank trim swaps for approx-quantile
+    * clipping (documented production variant) — the output contract
+    * stays the same.
+    */
+  def qAggTrimmed(s: SparkSession, dir: String): DataFrame = {
+    val grp = Window.partitionBy("l_returnflag")
+    val rnk = grp.orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val x = d2(col("l_extendedprice"))
+    lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+      .withColumn("rn", row_number().over(rnk))
+      .withColumn("n", count(lit(1)).over(grp))
+      .withColumn("k", expr("n * 5 div 100"))
+      .withColumn("kept", col("rn") > col("k") && col("rn") <= col("n") - col("k"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(x).as("sx"), sum(when(col("kept"), x).otherwise(d2(lit(0)))).as("sxk"))
+      .select(col("l_returnflag"), col("n_total"), col("n_kept"),
+        round(col("sx").cast("double") / col("n_total"), 6).as("raw_mean"),
+        round(col("sxk").cast("double") / col("n_kept"), 6).as("trimmed_mean"))
+      .orderBy("l_returnflag")
+  }
+
+  /** RFM customer segmentation (`q_seg_rfm`, r11): every customer
+    * scored into quartiles on Recency (days since last order, from
+    * exact epoch-day integers), Frequency (order count) and Monetary
+    * (exact-decimal spend), then the 64-cell (r, f, m) segment census
+    * with customer counts and average spend — the standard CRM
+    * segmentation readout (score 1 = most recent / most frequent /
+    * highest spend). Scale shape: orders reduce ONCE keyed on
+    * o_custkey to the O(customers) RFM table; the as-of date is an
+    * O(1) broadcast scalar; the three quartile windows sort customers
+    * (never orders) with deterministic custkey tie-breaks; the final
+    * rollup is O(64). At 100 TB the three full sorts swap for
+    * approx-percentile bucket edges — documented production variant.
+    */
+  def qSegRfm(s: SparkSession, dir: String): DataFrame = {
+    // o_orderdate ships TIMESTAMP_NTZ; the cast to TIMESTAMP is
+    // wall-clock identity under the pinned-UTC session (the
+    // Tables.events convention) and unix_micros needs LTZ input
+    val odUs = unix_micros(col("o_orderdate").cast("timestamp"))
+    val perCust = orders(s, dir).groupBy("o_custkey")
+      .agg(max(odUs).as("last_us"),
+        count(lit(1)).as("frequency"), sum(d2(col("o_totalprice"))).as("monetary"))
+    val asOf = orders(s, dir).agg(max(odUs).as("asof_us"))
+    val rfm = perCust.crossJoin(broadcast(asOf))
+      .withColumn("recency_days", expr("(asof_us - last_us) div 86400000000"))
+      .withColumn("r_score", ntile(4).over(Window.orderBy(col("recency_days"), col("o_custkey"))))
+      .withColumn("f_score", ntile(4).over(Window.orderBy(col("frequency").desc, col("o_custkey"))))
+      .withColumn("m_score", ntile(4).over(Window.orderBy(col("monetary").desc, col("o_custkey"))))
+    rfm.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("frequency")).as("n_orders"),
+        round(sum(col("monetary")).cast("double") / count(lit(1)), 6).as("avg_monetary"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  /** CUPED variance-reduced experiment readout (`q_stat_cuped`, r11):
+    * the industry-standard pre-period covariate adjustment (Deng et
+    * al., WSDM'13 — public): users split into two deterministic arms
+    * (user_id mod 2; the production variant is the q_sample_split
+    * hash), X = each user's pre-period value sum (first half of the
+    * observed day span), Y = post-period sum; θ = cov(X,Y)/var(X)
+    * estimated over ALL users, and each arm's adjusted mean is
+    * mean(Y) − θ·(mean(X_arm) − mean(X_all)), with ρ² = the fraction
+    * of Y-variance CUPED removes. Scale shape: events reduce ONCE
+    * keyed on user_id to the O(users) (X, Y) table (the split
+    * boundary is an O(1) broadcast scalar); arm census + cross-moment
+    * sums partial-aggregate to O(2) rows of exact decimals (X·Y
+    * products are exact decimal(38,4)); every double op closes over
+    * the same exact sums in both engines. Honest bound: var(X) = 0
+    * (constant pre-period) makes θ undefined — surfaced as NULL, not
+    * a crash.
+    */
+  def qStatCuped(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"),
+      expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("day_idx"),
+      d2(col("value")).as("v"))
+    val bounds = ev.agg(min(col("day_idx")).as("lo"), max(col("day_idx")).as("hi"))
+      .select(expr("lo + (hi - lo + 1) div 2").as("mid"))
+    val perUser = ev.crossJoin(broadcast(bounds))
+      .groupBy("user_id")
+      .agg(sum(when(col("day_idx") < col("mid"), col("v")).otherwise(d2(lit(0)))).as("x0"),
+        sum(when(col("day_idx") >= col("mid"), col("v")).otherwise(d2(lit(0)))).as("y0"))
+      // clamp the widened sum type back to (18,2) so the cross-moment
+      // PRODUCTS stay inside decimal(38,4) — precision-38 overflow
+      // would silently round (the Mann-Whitney decimal-width lesson);
+      // honest bound: a user's half-period sum past 10^16 cents needs
+      // the documented decimal re-widening
+      .select(col("user_id"), d2(col("x0")).as("x"), d2(col("y0")).as("y"))
+    val census = perUser.groupBy((col("user_id") % 2).cast("int").as("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val w = Window.partitionBy()
+    val g = census
+      .withColumn("nn", sum(col("n")).over(w))
+      .withColumn("tsx", sum(col("sx")).over(w))
+      .withColumn("tsy", sum(col("sy")).over(w))
+      .withColumn("tsxy", sum(col("sxy")).over(w))
+      .withColumn("tsxx", sum(col("sxx")).over(w))
+      .withColumn("tsyy", sum(col("syy")).over(w))
+    val nn = col("nn").cast("double")
+    val covXY = col("tsxy").cast("double") / nn -
+      (col("tsx").cast("double") / nn) * (col("tsy").cast("double") / nn)
+    val varX = col("tsxx").cast("double") / nn -
+      (col("tsx").cast("double") / nn) * (col("tsx").cast("double") / nn)
+    val varY = col("tsyy").cast("double") / nn -
+      (col("tsy").cast("double") / nn) * (col("tsy").cast("double") / nn)
+    val theta = when(varX > lit(0.0), covXY / varX)
+    val meanXArm = col("sx").cast("double") / col("n")
+    val meanYArm = col("sy").cast("double") / col("n")
+    val meanXAll = col("tsx").cast("double") / nn
+    g.select(col("arm"), col("n").as("n_users"),
+        round(meanXArm, 6).as("mean_pre"),
+        round(meanYArm, 6).as("mean_post"),
+        round(meanYArm - theta * (meanXArm - meanXAll), 6).as("mean_post_cuped"),
+        round(theta, 6).as("theta"),
+        round(when(varX > lit(0.0) && varY > lit(0.0),
+          covXY * covXY / (varX * varY)), 6).as("rho2"))
+      .orderBy("arm")
+  }
+
   /** Deterministic Poisson-bootstrap 95% CI for each segment's mean
     * balance — the industry-standard bootstrap at scale (per
     * replicate, each row gets an independent Poisson(1) weight, so
@@ -2175,6 +2310,91 @@ object Relational {
         |      (CAST(nn + 1 AS DOUBLE) - CAST(tiesum AS DOUBLE) /
         |        (CAST(nn AS DOUBLE) * (nn - 1)))), 6)) > 1.96 AS significant
         |FROM rs CROSS JOIN tot ORDER BY c_mktsegment""".stripMargin,
+    // Same integer rank cutoffs (no percentile interpolation) over
+    // the same deterministic order; exact decimal sums both sides.
+    "q_agg_trimmed" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS x,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem
+        |), f AS (SELECT l_returnflag, x, rn, n, n * 5 // 100 AS k FROM r)
+        |SELECT l_returnflag, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN rn > k AND rn <= n - k THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS raw_mean,
+        |  ROUND(CAST(SUM(CASE WHEN rn > k AND rn <= n - k THEN x
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / SUM(CASE WHEN rn > k AND rn <= n - k THEN 1 ELSE 0 END), 6) AS trimmed_mean
+        |FROM f GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Same epoch-day integers, ntile definition and tie-breaks;
+    // exact decimal monetary sums, one ROUND(6) division.
+    "q_seg_rfm" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, MAX(epoch_us(o_orderdate)) AS last_us,
+        |    COUNT(*) AS frequency,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        |  FROM orders GROUP BY o_custkey
+        |), a AS (SELECT MAX(epoch_us(o_orderdate)) AS asof_us FROM orders),
+        |rfm AS (
+        |  SELECT pc.*, (a.asof_us - pc.last_us) // 86400000000 AS recency_days
+        |  FROM pc, a
+        |), sc AS (
+        |  SELECT *,
+        |    NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+        |    NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+        |    NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+        |  FROM rfm
+        |)
+        |SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+        |  CAST(SUM(frequency) AS BIGINT) AS n_orders,
+        |  ROUND(CAST(SUM(monetary) AS DOUBLE) / COUNT(*), 6) AS avg_monetary
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // Same O(2) exact-decimal arm census; every double op closes over
+    // the same exact sums (theta/rho2 NULL-guarded identically).
+    "q_stat_cuped" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    epoch_us(date_trunc('day', ts)) // 86400000000 AS day_idx,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events
+        |), b AS (
+        |  SELECT MIN(day_idx) + (MAX(day_idx) - MIN(day_idx) + 1) // 2 AS mid FROM ev
+        |), pu AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN day_idx < b.mid THEN v
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS x,
+        |    CAST(SUM(CASE WHEN day_idx >= b.mid THEN v
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS y
+        |  FROM ev, b GROUP BY user_id
+        |), census AS (
+        |  SELECT CAST(user_id % 2 AS INTEGER) AS arm, COUNT(*) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM pu GROUP BY 1
+        |), g AS (
+        |  SELECT *, CAST(SUM(n) OVER () AS DOUBLE) AS nn,
+        |    SUM(sx) OVER () AS tsx, SUM(sy) OVER () AS tsy,
+        |    SUM(sxy) OVER () AS tsxy, SUM(sxx) OVER () AS tsxx,
+        |    SUM(syy) OVER () AS tsyy
+        |  FROM census
+        |), m AS (
+        |  SELECT *,
+        |    CAST(tsxy AS DOUBLE) / nn - (CAST(tsx AS DOUBLE) / nn) * (CAST(tsy AS DOUBLE) / nn) AS cov_xy,
+        |    CAST(tsxx AS DOUBLE) / nn - (CAST(tsx AS DOUBLE) / nn) * (CAST(tsx AS DOUBLE) / nn) AS var_x,
+        |    CAST(tsyy AS DOUBLE) / nn - (CAST(tsy AS DOUBLE) / nn) * (CAST(tsy AS DOUBLE) / nn) AS var_y
+        |  FROM g
+        |)
+        |SELECT arm, n AS n_users,
+        |  ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean_pre,
+        |  ROUND(CAST(sy AS DOUBLE) / n, 6) AS mean_post,
+        |  ROUND(CAST(sy AS DOUBLE) / n -
+        |    (CASE WHEN var_x > 0.0 THEN cov_xy / var_x END) *
+        |    (CAST(sx AS DOUBLE) / n - CAST(tsx AS DOUBLE) / nn), 6) AS mean_post_cuped,
+        |  ROUND(CASE WHEN var_x > 0.0 THEN cov_xy / var_x END, 6) AS theta,
+        |  ROUND(CASE WHEN var_x > 0.0 AND var_y > 0.0
+        |    THEN cov_xy * cov_xy / (var_x * var_y) END, 6) AS rho2
+        |FROM m ORDER BY arm""".stripMargin,
     "q_stat_ttest" ->
       """WITH census AS (
         |  SELECT c_mktsegment, COUNT(*) AS n,
@@ -2451,6 +2671,9 @@ object Relational {
     "q_agg_cube" -> (qAggCube _),
     "q_agg_stats" -> (qAggStats _),
     "q_stat_ttest" -> (qStatTtest _),
+    "q_agg_trimmed" -> (qAggTrimmed _),
+    "q_seg_rfm" -> (qSegRfm _),
+    "q_stat_cuped" -> (qStatCuped _),
     "q_stat_mannwhitney" -> (qStatMannWhitney _),
     "q_stat_bootstrap" -> (qStatBootstrap _),
     "q_agg_quantile" -> (qAggQuantile _),

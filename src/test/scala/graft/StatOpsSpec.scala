@@ -1,0 +1,136 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions.col
+
+/** Independent plain-Scala recomputes for the r11 robust-stats /
+  * segmentation operators whose oracle mirrors the construction —
+  * a shared construction bug cannot pass both the recompute and the
+  * DuckDB hash (the LlmDataSpec idiom).
+  */
+class StatOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+  private def d2(x: Double) = java.math.BigDecimal.valueOf(x)
+    .setScale(2, java.math.RoundingMode.HALF_UP)
+
+  /** ntile(k) bucket for 0-based index i of n rows — equal buckets,
+    * earlier buckets take the remainder (Spark ≡ DuckDB definition).
+    */
+  private def ntileOf(i: Int, n: Int, k: Int): Int = {
+    val base = n / k; val extra = n % k
+    if (i < (base + 1) * extra) i / (base + 1) + 1
+    else (i - (base + 1) * extra) / base + extra + 1
+  }
+
+  test("agg_trimmed: rank-trimmed mean recomputed independently") {
+    val rows = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+    val expected = rows.groupBy(_._1).map { case (flag, xs) =>
+      val sorted = xs.sortBy(x => (x._2, x._3, x._4)).map(x => d2(x._2))
+      val n = sorted.length
+      val k = n * 5 / 100
+      val kept = sorted.slice(k, n - k)
+      flag -> (n.toLong, kept.length.toLong,
+        r6(sorted.map(BigDecimal(_)).sum.toDouble / n),
+        r6(kept.map(BigDecimal(_)).sum.toDouble / kept.length))
+    }
+    val got = Relational.qAggTrimmed(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got == expected, s"trimmed mean diverges:\n got $got\n exp $expected")
+    // trimming must actually drop rows at fixture scale, and the
+    // trimmed mean sits inside the raw value range
+    got.values.foreach { case (n, kept, _, _) => assert(kept < n && kept > 0) }
+  }
+
+  test("seg_rfm: quartile segment census recomputed independently") {
+    val dayUs = 86400000000L
+    val os = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp"),
+        col("o_totalprice")).collect()
+      .map(r => (r.getLong(0),
+        r.getTimestamp(1).toInstant.toEpochMilli * 1000, r.getDouble(2)))
+    val perCust = os.groupBy(_._1).map { case (c, xs) =>
+      (c, xs.map(_._2).max, xs.length.toLong, xs.map(x => BigDecimal(d2(x._3))).sum)
+    }.toSeq
+    val asOf = perCust.map(_._2).max
+    val rfm = perCust.map { case (c, last, f, m) =>
+      (c, (asOf - last) / dayUs, f, m)
+    }
+    val rScore = {
+      val sorted = rfm.sortBy(x => (x._2, x._1))
+      sorted.zipWithIndex.map { case (x, i) => x._1 -> ntileOf(i, sorted.length, 4) }.toMap
+    }
+    val fScore = {
+      val sorted = rfm.sortBy(x => (-x._3, x._1))
+      sorted.zipWithIndex.map { case (x, i) => x._1 -> ntileOf(i, sorted.length, 4) }.toMap
+    }
+    val mScore = {
+      val sorted = rfm.sortBy(x => (-x._4, x._1))
+      sorted.zipWithIndex.map { case (x, i) => x._1 -> ntileOf(i, sorted.length, 4) }.toMap
+    }
+    val expected = rfm.groupBy(x => (rScore(x._1), fScore(x._1), mScore(x._1)))
+      .map { case (seg, xs) =>
+        seg -> (xs.length.toLong, xs.map(_._3).sum,
+          r6(xs.map(_._4).sum.toDouble / xs.length))
+      }
+    val got = Relational.qSegRfm(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        (r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(got == expected, s"RFM census diverges:\n got $got\n exp $expected")
+    // scores span the full quartile range and partition all customers
+    assert(got.values.map(_._1).sum == perCust.length.toLong)
+    assert(got.keys.map(_._1).min == 1 && got.keys.map(_._1).max == 4)
+  }
+
+  test("stat_cuped: variance-reduced readout recomputed independently") {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value")).collect()
+      .map(r => (r.getLong(0),
+        r.getTimestamp(1).toInstant.toEpochMilli * 1000 / 86400000000L,
+        d2(r.getDouble(2)).movePointRight(2).longValueExact))
+    val lo = ev.map(_._2).min; val hi = ev.map(_._2).max
+    val mid = lo + (hi - lo + 1) / 2
+    val perUser = ev.groupBy(_._1).map { case (u, xs) =>
+      (u, xs.filter(_._2 < mid).map(_._3).sum, xs.filter(_._2 >= mid).map(_._3).sum)
+    }.toSeq
+    // global moments in exact cents / cents² (BigInt), then the same
+    // double closes as the operator
+    val n = perUser.length
+    val tsx = perUser.map(x => BigInt(x._2)).sum
+    val tsy = perUser.map(x => BigInt(x._3)).sum
+    val tsxy = perUser.map(x => BigInt(x._2) * BigInt(x._3)).sum
+    val tsxx = perUser.map(x => BigInt(x._2) * BigInt(x._2)).sum
+    val tsyy = perUser.map(x => BigInt(x._3) * BigInt(x._3)).sum
+    def cents(b: BigInt) = (BigDecimal(b) / 100).toDouble
+    def cents2(b: BigInt) = (BigDecimal(b) / 10000).toDouble
+    val nn = n.toDouble
+    val cov = cents2(tsxy) / nn - (cents(tsx) / nn) * (cents(tsy) / nn)
+    val varX = cents2(tsxx) / nn - (cents(tsx) / nn) * (cents(tsx) / nn)
+    val varY = cents2(tsyy) / nn - (cents(tsy) / nn) * (cents(tsy) / nn)
+    val theta = cov / varX
+    val meanXAll = cents(tsx) / nn
+    val expected = perUser.groupBy(x => (x._1 % 2).toInt).map { case (arm, xs) =>
+      val na = xs.length
+      val sx = xs.map(x => BigInt(x._2)).sum; val sy = xs.map(x => BigInt(x._3)).sum
+      val meanX = cents(sx) / na; val meanY = cents(sy) / na
+      arm -> (na.toLong, r6(meanX), r6(meanY),
+        r6(meanY - theta * (meanX - meanXAll)), r6(theta),
+        r6(cov * cov / (varX * varY)))
+    }
+    val got = Relational.qStatCuped(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    assert(got == expected, s"CUPED readout diverges:\n got $got\n exp $expected")
+    // both arms present; rho2 is a squared correlation
+    assert(got.keySet == Set(0, 1))
+    got.values.foreach { case (_, _, _, _, _, rho2) => assert(rho2 >= 0 && rho2 <= 1) }
+  }
+}
