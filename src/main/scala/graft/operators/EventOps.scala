@@ -601,6 +601,63 @@ object EventOps {
       .orderBy("from_type", "to_type")
   }
 
+  /** Weighted PageRank over the event-type transition graph
+    * (`q_graph_pagerank`, r11): nodes = event types participating in
+    * ≥1 adjacent transition (the qEvMarkov edge set), edge weight =
+    * transition count, damping 0.85, THREE unrolled power-iteration
+    * rounds from the uniform start — the "which state anchors the
+    * behavior graph" centrality readout, and the engine's
+    * demonstration that iterative graph algorithms replay
+    * cross-engine when each round's edge contributions are
+    * nano-quantized (HALF_UP to int64 — the qEvEntropy firewall) so
+    * the per-node sum is partition-order-independent, with dangling
+    * mass redistributed uniformly. Scale shape: events reduce ONCE to
+    * the O(types²) edge table; every round is edge-table work with
+    * the O(types) rank relation broadcast — the corpus is never
+    * rescanned; node count is a bounded model-table count (the
+    * union-find gate precedent). At 100 TB with a large node set the
+    * same rounds run as keyed joins instead of broadcasts — the
+    * quantization contract is what survives, not the join strategy.
+    */
+  def qGraphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val wU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val edges = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(wU))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .cache() // read by out-degrees + every unrolled round
+    val outd = edges.groupBy("from_type").agg(sum(col("n")).as("outn"))
+    val nodes = edges.select(col("from_type").as("type"))
+      .union(edges.select(col("to_type").as("type"))).distinct().cache()
+    val nN = nodes.count() // bounded O(types) model count, never corpus
+    def step(rank: DataFrame): DataFrame = {
+      val sums = edges
+        .join(broadcast(rank.withColumnRenamed("type", "from_type")), "from_type")
+        .join(broadcast(outd), "from_type")
+        .select(col("to_type").as("type"),
+          round(col("rank") * col("n") / col("outn") * lit(1e9)).cast("long").as("q"))
+        .groupBy("type").agg(sum(col("q")).as("sq"))
+      val dang = rank
+        .join(outd, col("type") === col("from_type"), "left_anti")
+        .agg(coalesce(sum(round(col("rank") * lit(1e9)).cast("long")), lit(0L)).as("dq"))
+      nodes.join(sums, Seq("type"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("type"),
+          (lit(0.15 / nN) + lit(0.85) *
+            (coalesce(col("sq"), lit(0L)) / lit(1e9) +
+             col("dq") / lit(1e9) / lit(nN.toDouble))).as("rank"))
+    }
+    val r0 = nodes.withColumn("rank", lit(1.0 / nN))
+    val r3 = step(step(step(r0)))
+    r3.join(outd, col("type") === col("from_type"), "left")
+      .select(col("type").as("event_type"),
+        coalesce(col("outn"), lit(0L)).as("out_transitions"),
+        round(col("rank"), 6).as("pagerank"))
+      .orderBy("event_type")
+  }
+
   /** Hour-of-day seasonality profile per event type: event counts and
     * decimal-exact value sums folded onto the 24-hour clock, with each
     * type's share-of-day from its own window. The profile is O(types ×
@@ -865,6 +922,57 @@ object EventOps {
         |SELECT from_type, to_type, n,
         |  ROUND(n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS prob
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+    // The three power-iteration rounds unrolled as CTE groups (the
+    // PQ-Lloyd unroll precedent): per round, edge contributions
+    // nano-quantize (HALF_UP int64) before the per-node sum so the
+    // total is partition-order-independent, dangling mass sums over
+    // the same quantized ranks, and the damping close runs the
+    // identical double expression tree both engines (decimal literals
+    // explicitly ::DOUBLE — DuckDB parses bare 0.15 as DECIMAL and
+    // would divide in decimal arithmetic).
+    "q_graph_pagerank" -> {
+      def round(i: Int): String = {
+        val p = s"r${i - 1}"
+        s"""c$i AS (
+           |  SELECT e.to_type AS type,
+           |    CAST(ROUND(r.rank * e.n / o.outn * 1e9) AS BIGINT) AS q
+           |  FROM e JOIN $p r ON e.from_type = r.type
+           |  JOIN outd o ON e.from_type = o.from_type
+           |), s$i AS (SELECT type, SUM(q) AS sq FROM c$i GROUP BY type),
+           |d$i AS (
+           |  SELECT COALESCE(SUM(CAST(ROUND(r.rank * 1e9) AS BIGINT)), 0) AS dq
+           |  FROM $p r LEFT JOIN outd o ON r.type = o.from_type
+           |  WHERE o.from_type IS NULL
+           |), r$i AS (
+           |  SELECT nd.type,
+           |    (0.15::DOUBLE) / nn.n + (0.85::DOUBLE) *
+           |      (COALESCE(s.sq, 0) / 1e9 + d.dq / 1e9 / nn.n) AS rank
+           |  FROM nodes nd CROSS JOIN d$i d CROSS JOIN nn
+           |  LEFT JOIN s$i s ON s.type = nd.type
+           |)""".stripMargin
+      }
+      s"""WITH tr AS (
+         |  SELECT event_type AS from_type,
+         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+         |  FROM events
+         |), e AS (
+         |  SELECT from_type, to_type, COUNT(*) AS n FROM tr
+         |  WHERE to_type IS NOT NULL GROUP BY 1, 2
+         |), outd AS (SELECT from_type, SUM(n) AS outn FROM e GROUP BY 1),
+         |nodes AS (
+         |  SELECT DISTINCT type FROM
+         |    (SELECT from_type AS type FROM e UNION SELECT to_type FROM e)
+         |), nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |r0 AS (SELECT type, (1.0::DOUBLE) / nn.n AS rank FROM nodes, nn),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT r3.type AS event_type,
+         |  CAST(COALESCE(o.outn, 0) AS BIGINT) AS out_transitions,
+         |  ROUND(r3.rank, 6) AS pagerank
+         |FROM r3 LEFT JOIN outd o ON r3.type = o.from_type
+         |ORDER BY event_type""".stripMargin
+    },
     "q_ev_anomaly" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n_events,
@@ -1281,6 +1389,7 @@ object EventOps {
     "q_ev_ewma" -> (qEvEwma _),
     "q_ev_cooccur" -> (qEvCooccur _),
     "q_ev_markov" -> (qEvMarkov _),
+    "q_graph_pagerank" -> (qGraphPagerank _),
     "q_ev_sesspath" -> (qEvSesspath _),
     "q_ev_hourly" -> (qEvHourly _),
     "q_ev_interarrival" -> (qEvInterarrival _),

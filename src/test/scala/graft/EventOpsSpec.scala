@@ -352,6 +352,80 @@ class EventOpsSpec extends SparkSpec {
     assert(sizes10.max - sizes10.min <= 1 && sizes10.sum == nU.toLong)
   }
 
+  /** Plain-Scala PageRank over (user, tsUs, eventId, type) rows with
+    * the operator's exact quantization contract: per-round edge
+    * contributions HALF_UP-rounded to nano-units before the exact
+    * long per-node sum, dangling mass over the same quantized ranks.
+    */
+  private def referencePagerank(ev: Seq[(Long, Long, Long, String)])
+      : Map[String, (Long, Double)] = {
+    def qz(v: Double): Long = java.math.BigDecimal.valueOf(v)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+    val edges = ev.groupBy(_._1).values.flatMap { xs =>
+      val sorted = xs.sortBy(x => (x._2, x._3)).map(_._4)
+      sorted.zip(sorted.drop(1))
+    }.groupBy(identity).map { case ((f, t), es) => (f, t, es.size.toLong) }.toSeq
+    val out = edges.groupBy(_._1).map { case (f, es) => f -> es.map(_._3).sum }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val nN = nodes.length
+    var rank = nodes.map(_ -> 1.0 / nN).toMap
+    (1 to 3).foreach { _ =>
+      val sums = edges.groupBy(_._2).map { case (to, es) =>
+        to -> es.map(e => qz(rank(e._1) * e._3 / out(e._1) * 1e9)).sum
+      }
+      val dq = nodes.filterNot(out.contains).map(n => qz(rank(n) * 1e9)).sum
+      rank = nodes.map { n =>
+        n -> (0.15 / nN + 0.85 *
+          (sums.getOrElse(n, 0L) / 1e9 + dq / 1e9 / nN.toDouble))
+      }.toMap
+    }
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    nodes.map(n => n -> (out.getOrElse(n, 0L), r6(rank(n)))).toMap
+  }
+
+  test("graph_pagerank: three quantized rounds recomputed independently") {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0),
+        r.getTimestamp(1).toInstant.toEpochMilli * 1000 +
+          r.getTimestamp(1).toInstant.getNano / 1000 % 1000,
+        r.getLong(2), r.getString(3)))
+    val expected = referencePagerank(ev.toSeq)
+    val got = EventOps.qGraphPagerank(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expected, s"pagerank diverges:\n got $got\n exp $expected")
+    // ranks form a (near-)distribution: mass stays within quantization
+    // tolerance of 1 and every node keeps the (1-d)/N floor
+    val mass = got.values.map(_._2).sum
+    assert(math.abs(mass - 1.0) < 1e-3 && got.values.forall(_._2 >= 0.15 / got.size - 1e-9))
+  }
+
+  test("graph_pagerank: dangling node redistributes mass (planted corpus)") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pr").toString
+    // X never has a successor → dangling; A is never a target
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    Seq(
+      (1L, t(0), 1L, "A", 1.0, "{}"), (2L, t(1), 1L, "B", 1.0, "{}"),
+      (3L, t(2), 1L, "X", 1.0, "{}"),
+      (4L, t(0), 2L, "A", 1.0, "{}"), (5L, t(1), 2L, "X", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    val got = EventOps.qGraphPagerank(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val expected = referencePagerank(Seq(
+      (1L, 0L, 1L, "A"), (1L, 60000000L, 2L, "B"), (1L, 120000000L, 3L, "X"),
+      (2L, 0L, 4L, "A"), (2L, 60000000L, 5L, "X")))
+    assert(got == expected, s"dangling pagerank diverges:\n got $got\n exp $expected")
+    // X is dangling (no out-transitions) yet holds the highest rank
+    // (both paths terminate there); A keeps only the floor + dangling
+    assert(got("X")._1 == 0L)
+    assert(got("X")._2 > got("A")._2 && got("X")._2 > got("B")._2)
+  }
+
   test("ev_burst: Fano factor over the zero-filled spine recomputed independently") {
     def r6(x: Double) = java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
