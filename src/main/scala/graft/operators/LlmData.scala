@@ -1742,6 +1742,62 @@ object LlmData {
        |ORDER BY probe_id, "rank"""".stripMargin
   }
 
+  /** Sign-bit binary sketch packing (`q_emb_bitsketch`, r11): each
+    * 64-dim embedding compresses to TWO int64 words holding 32 sign
+    * bits each (bit i of word w set iff e[32w+i] > 0) plus the
+    * positive-dimension popcount — the 32×-compression binary
+    * fingerprint real billion-vector systems keep in RAM when the
+    * float vectors live on disk (Charikar STOC'02 hyperplane-sketch
+    * specialization to the coordinate basis). Two words, not one:
+    * bit 63 would set the sign bit and long-vs-HUGEINT overflow
+    * semantics diverge across engines — 32-bit halves stay positive
+    * everywhere. One narrow projection pass; no shuffle at all.
+    */
+  def qEmbBitsketch(s: SparkSession, dir: String): DataFrame = {
+    def word(lo: Int): String =
+      s"aggregate(transform(sequence(0, 31), i -> IF(element_at(embedding, $lo + i + 1) > 0.0D, " +
+        s"shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)"
+    embeddings(s, dir)
+      .selectExpr("vec_id", s"${word(0)} AS w1", s"${word(32)} AS w2")
+      .selectExpr("vec_id", "w1", "w2",
+        "CAST(bit_count(w1) + bit_count(w2) AS BIGINT) AS n_pos")
+      .orderBy("vec_id")
+  }
+
+  /** Hamming k-NN over the sign-bit sketches
+    * (`q_emb_bitsketch_knn`, r11): every vector's 5 nearest neighbors
+    * by Hamming distance between the q_emb_bitsketch words — the
+    * binary pre-rank stage of a sketch-first ANN pipeline (Hamming on
+    * two words costs 2 XOR + 2 popcount per pair vs 64 FMAs for the
+    * float cosine; candidates surviving the Hamming cut get the exact
+    * re-rank). Integer distances tie often, so the (hamming,
+    * neighbor_id) order is load-bearing for cross-engine determinism.
+    * Below the same 8192-vector footer gate as q_emb_knn (the
+    * all-pairs stage is the demonstration half; at corpus scale the
+    * sketches band into multi-probe buckets exactly like
+    * q_sim_lsh_ann). Shape: the sketch table (3 longs/row) broadcasts
+    * — pairs carry 24 bytes, never vectors — and the top-k window
+    * partitions by vec_id.
+    */
+  def qEmbBitsketchKnn(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val gate = 8192L
+    val n = parquetRowCount(s, s"$dir/embeddings.parquet")
+    require(n <= gate,
+      s"q_emb_bitsketch_knn: all-pairs Hamming is gated at $gate vectors (corpus has $n); " +
+        "at corpus scale band the sketch words into multi-probe buckets (the q_sim_lsh_ann shape)")
+    val sk = qEmbBitsketch(s, dir).select("vec_id", "w1", "w2")
+    val b = sk.select(col("vec_id").as("neighbor_id"),
+      col("w1").as("v1"), col("w2").as("v2"))
+    val byQ = Window.partitionBy("vec_id").orderBy(col("hamming"), col("neighbor_id"))
+    sk.join(broadcast(b), col("vec_id") =!= col("neighbor_id"))
+      .selectExpr("vec_id", "neighbor_id",
+        "CAST(bit_count(w1 ^ v1) + bit_count(w2 ^ v2) AS BIGINT) AS hamming")
+      .withColumn("rnk", row_number().over(byQ).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy("vec_id", "rnk")
+  }
+
   /** Exact k-NN self-graph (k = 5): every vector's 5 nearest neighbors
     * by cosine — the SemDeDup / graph-clustering / index-build
     * primitive. Exact all-pairs is inherently quadratic, so this is
@@ -6121,6 +6177,44 @@ object LlmData {
         |  MIN(doc_id) AS first_doc
         |FROM p GROUP BY prefix HAVING COUNT(*) >= 2
         |ORDER BY prefix""".stripMargin,
+    // Same 32-bit word packing (1 << (i-1) summed over set bits —
+    // bit 63 never used, so no sign/overflow divergence) and the same
+    // (hamming, neighbor_id) deterministic order.
+    "q_emb_bitsketch" ->
+      """WITH sk AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(generate_series(1, 32), i ->
+        |      CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1))
+        |           ELSE 0::BIGINT END)) AS BIGINT) AS w1,
+        |    CAST(list_sum(list_transform(generate_series(1, 32), i ->
+        |      CASE WHEN embedding[32 + i] > 0 THEN (1::BIGINT << (i - 1))
+        |           ELSE 0::BIGINT END)) AS BIGINT) AS w2
+        |  FROM embeddings
+        |)
+        |SELECT vec_id, w1, w2,
+        |  CAST(bit_count(w1) + bit_count(w2) AS BIGINT) AS n_pos
+        |FROM sk ORDER BY vec_id""".stripMargin,
+    "q_emb_bitsketch_knn" ->
+      """WITH sk AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(generate_series(1, 32), i ->
+        |      CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1))
+        |           ELSE 0::BIGINT END)) AS BIGINT) AS w1,
+        |    CAST(list_sum(list_transform(generate_series(1, 32), i ->
+        |      CASE WHEN embedding[32 + i] > 0 THEN (1::BIGINT << (i - 1))
+        |           ELSE 0::BIGINT END)) AS BIGINT) AS w2
+        |  FROM embeddings
+        |), scored AS (
+        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |    CAST(bit_count(xor(a.w1, b.w1)) + bit_count(xor(a.w2, b.w2)) AS BIGINT) AS hamming
+        |  FROM sk a JOIN sk b ON a.vec_id <> b.vec_id
+        |), ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY hamming, neighbor_id) AS rnk
+        |  FROM scored
+        |)
+        |SELECT vec_id, neighbor_id, hamming, rnk FROM ranked WHERE rnk <= 5
+        |ORDER BY vec_id, rnk""".stripMargin,
     "q_emb_knn" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |scored AS (
@@ -7150,6 +7244,8 @@ object LlmData {
     "q_emb_outlier" -> (qEmbOutlier _),
     "q_sample_importance" -> (qSampleImportance _),
     "q_emb_knn" -> (qEmbKnn _),
+    "q_emb_bitsketch" -> (qEmbBitsketch _),
+    "q_emb_bitsketch_knn" -> (qEmbBitsketchKnn _),
     "q_emb_knn_ann" -> (qEmbKnnAnn _),
     "q_emb_label_agreement" -> (qEmbLabelAgreement _),
     "q_text_prefix_dup" -> (qTextPrefixDup _),

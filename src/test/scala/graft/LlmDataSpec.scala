@@ -1357,4 +1357,34 @@ class LlmDataSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     assert(got == expected, s"rulestats diverge:\n got $got\n exp $expected")
   }
+
+  test("emb_bitsketch: sign-bit packing and Hamming top-k recomputed independently") {
+    val vecs = Tables.embeddings(spark, dir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def pack(e: Array[Float], lo: Int): Long =
+      (0 until 32).map(i => if (e(lo + i) > 0f) 1L << i else 0L).sum
+    val sk = vecs.map { case (id, e) => id -> (pack(e, 0), pack(e, 32)) }
+    val gotSk = LlmData.qEmbBitsketch(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    sk.foreach { case (id, (w1, w2)) =>
+      assert(gotSk(id) == ((w1, w2,
+        (java.lang.Long.bitCount(w1) + java.lang.Long.bitCount(w2)).toLong)),
+        s"sketch diverges for $id: ${gotSk(id)} vs ($w1, $w2)")
+    }
+    val expected = sk.keys.toSeq.flatMap { q =>
+      val (q1, q2) = sk(q)
+      sk.toSeq.filter(_._1 != q)
+        .map { case (n, (n1, n2)) =>
+          (n, (java.lang.Long.bitCount(q1 ^ n1) + java.lang.Long.bitCount(q2 ^ n2)).toLong)
+        }
+        .sortBy { case (n, h) => (h, n) }.take(5).zipWithIndex
+        .map { case ((n, h), i) => (q, n, h, i + 1L) }
+    }.toSet
+    val got = LlmData.qEmbBitsketchKnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected, "Hamming top-k diverges from the recompute")
+    // Hamming over 64 sign bits is bounded by 64 and the graph keeps
+    // exactly k rows per vector
+    assert(got.forall(_._3 <= 64) && got.size == vecs.size * 5)
+  }
 }
