@@ -221,6 +221,52 @@ object EventOps {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Growth-accounting lifecycle census (`q_ev_lifecycle`, r11): per
+    * epoch-week, active users decomposed into NEW (first-ever week),
+    * RETAINED (also active the prior week) and RESURRECTED (active
+    * before, silent the prior week), plus CHURNED (active the prior
+    * week, silent this one) — the standard growth-accounting panel
+    * (new + retained + resurrected = active; retained − churned =
+    * week-over-week delta). Complements q_ev_cohort: the cohort
+    * triangle says WHO comes back, this says the net flow. Scale
+    * shape: events reduce ONCE to the distinct (user, week) table;
+    * prior-week membership is a self-join KEYED on (user_id, week−1)
+    * — O(users×weeks) rows, never events; first weeks are the
+    * O(users) min-table; the rollup + zero-filled week spine are
+    * O(weeks).
+    */
+  def qEvLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val uw = events(s, dir)
+      .select(col("user_id"),
+        expr("unix_micros(date_trunc('DAY', ts)) div 604800000000").as("week"))
+      .distinct()
+      .cache() // read by flags, churn shift, and the spine
+    val firstW = uw.groupBy("user_id").agg(min(col("week")).as("first_week"))
+    val prev = uw.select(col("user_id"), (col("week") + 1).as("week"), lit(1).as("was_prev"))
+    val flags = uw.join(firstW, "user_id")
+      .join(prev, Seq("user_id", "week"), "left")
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("week") === col("first_week"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("was_prev").isNotNull, 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("week") =!= col("first_week") && col("was_prev").isNull, 1L)
+          .otherwise(0L)).as("n_resurrected"))
+    // churned INTO week w = active at w-1 with no (user, w) row
+    val churn = prev.join(uw, Seq("user_id", "week"), "left_anti")
+      .groupBy("week").agg(count(lit(1)).as("n_churned"))
+    val spine = uw.agg(min(col("week")).as("lo"), max(col("week")).as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("week"))
+    spine.join(flags, Seq("week"), "left")
+      .join(churn, Seq("week"), "left")
+      .select(col("week"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy("week")
+  }
+
   /** Activity-concentration census (`q_ev_power_users`, r11): users
     * ranked into deciles by event count (deterministic tie-break on
     * user_id) with each decile's user count, event count, event
@@ -1187,6 +1233,37 @@ object EventOps {
         |  ROUND(CAST(m.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
         |FROM m JOIN sizes s USING (cohort_week)
         |ORDER BY cohort_week, week_offset""".stripMargin,
+    // The same (user, week) reduction, keyed prior-week self-join and
+    // zero-filled spine; exact long counts throughout.
+    "q_ev_lifecycle" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(date_trunc('day', ts)) // 604800000000 AS week FROM events
+        |), fw AS (SELECT user_id, MIN(week) AS first_week FROM uw GROUP BY user_id),
+        |prev AS (SELECT user_id, week + 1 AS week, 1 AS was_prev FROM uw),
+        |flags AS (
+        |  SELECT u.week, COUNT(*) AS n_active,
+        |    CAST(SUM(CASE WHEN u.week = f.first_week THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |    CAST(SUM(CASE WHEN p.was_prev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |    CAST(SUM(CASE WHEN u.week <> f.first_week AND p.was_prev IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM uw u JOIN fw f USING (user_id)
+        |  LEFT JOIN prev p ON p.user_id = u.user_id AND p.week = u.week
+        |  GROUP BY u.week
+        |), churn AS (
+        |  SELECT p.week, COUNT(*) AS n_churned
+        |  FROM prev p LEFT JOIN uw u ON u.user_id = p.user_id AND u.week = p.week
+        |  WHERE u.user_id IS NULL GROUP BY p.week
+        |), b AS (SELECT MIN(week) AS lo, MAX(week) AS hi FROM uw),
+        |spine AS (SELECT unnest(generate_series(lo, hi)) AS week FROM b)
+        |SELECT s.week, COALESCE(f.n_active, 0) AS n_active,
+        |  COALESCE(f.n_new, 0) AS n_new,
+        |  COALESCE(f.n_retained, 0) AS n_retained,
+        |  COALESCE(f.n_resurrected, 0) AS n_resurrected,
+        |  COALESCE(c.n_churned, 0) AS n_churned
+        |FROM spine s LEFT JOIN flags f ON f.week = s.week
+        |LEFT JOIN churn c ON c.week = s.week
+        |ORDER BY s.week""".stripMargin,
     // Same ntile definition (equal buckets, earlier buckets take the
     // remainder) over the same deterministic order; exact long event
     // sums, shares as ROUND(6) IEEE divisions of the same exact sums.
@@ -1373,6 +1450,7 @@ object EventOps {
     "q_ev_concurrency" -> (qEvConcurrency _),
     "q_ev_active_users" -> (qEvActiveUsers _),
     "q_ev_cohort" -> (qEvCohort _),
+    "q_ev_lifecycle" -> (qEvLifecycle _),
     "q_ev_power_users" -> (qEvPowerUsers _),
     "q_ev_burst" -> (qEvBurst _),
     "q_join_interval" -> (qJoinInterval _),

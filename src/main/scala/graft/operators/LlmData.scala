@@ -4155,6 +4155,46 @@ object LlmData {
       .orderBy("src_lo", "src_hi")
   }
 
+  /** Neyman optimal stratified allocation (`q_sample_neyman`, r11):
+    * for a fixed 100-sample labeling/eval budget, how many samples
+    * each source stratum gets under the variance-minimizing rule
+    * n_h ∝ N_h·S_h (Neyman 1934 — classical survey design; the
+    * audit-sampling step before a quality-eval pass), with
+    * largest-remainder rounding so allocations sum EXACTLY to the
+    * budget. Cross-engine determinism chain: S_h from exact long
+    * Σx/Σx² moments (n_chars is integer), ROUND(·,6) pins the stddev,
+    * the N_h·S_h weights micro-quantize (HALF_UP int64 — the window
+    * firewall: an IEEE window sum over raw products would be
+    * partition-order-dependent), and the remainder ranking ties break
+    * on the source name. Scale shape: documents reduce ONCE to the
+    * O(sources) census; every window runs on that model table. Honest
+    * bound: Σx² caps at ~2⁶³ near 4·10¹³ docs of 450 chars — the
+    * documented decimal-widening point.
+    */
+  def qSampleNeyman(s: SparkSession, dir: String): DataFrame = {
+    val B = 100
+    val census = documents(s, dir).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sxx"))
+    val sd = (col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double") / col("n_docs")) /
+      (col("n_docs") - lit(1.0))
+    val tot = Window.partitionBy()
+    val alloc = census
+      .withColumn("std6", round(sqrt(sd), 6))
+      .withColumn("w", round(col("n_docs") * col("std6") * lit(1e6)).cast("long"))
+      .withColumn("a", lit(B.toDouble) * col("w") / sum(col("w")).over(tot))
+      .withColumn("fl", floor(col("a")))
+      .withColumn("rem", col("a") - floor(col("a")))
+      .withColumn("deficit", lit(B.toLong) - sum(col("fl")).over(tot))
+      .withColumn("rnk", row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+    alloc.select(col("source"), col("n_docs"), col("std6"),
+        round(col("a"), 6).as("alloc_raw"),
+        (col("fl") + when(col("rnk") <= col("deficit"), 1L).otherwise(0L)).as("n_alloc"))
+      .orderBy("source")
+  }
+
   /** Token-budget curriculum sampling: per source, keep documents in
     * deterministic Lehmer-hash order while the EXCLUSIVE running
     * token count stays under the budget — "fill N tokens per source,
@@ -5816,6 +5856,33 @@ object LlmData {
         |)
         |SELECT doc_id, source, ntok, cum_before FROM c
         |WHERE cum_before < 1000 ORDER BY doc_id""".stripMargin,
+    // Same exact-moment stddev, micro-quantized weights, and
+    // largest-remainder ranking with the source-name tie-break.
+    "q_sample_neyman" ->
+      """WITH census AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sx,
+        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+        |  FROM documents GROUP BY source
+        |), s1 AS (
+        |  SELECT source, n_docs,
+        |    ROUND(SQRT((CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_docs) /
+        |      (n_docs - 1.0)), 6) AS std6
+        |  FROM census
+        |), s2 AS (
+        |  SELECT *, CAST(ROUND(n_docs * std6 * 1e6) AS BIGINT) AS w FROM s1
+        |), s3 AS (
+        |  SELECT *, (100.0::DOUBLE) * w / SUM(w) OVER () AS a FROM s2
+        |), s4 AS (
+        |  SELECT *, FLOOR(a) AS fl, a - FLOOR(a) AS rem,
+        |    100 - SUM(CAST(FLOOR(a) AS BIGINT)) OVER () AS deficit,
+        |    ROW_NUMBER() OVER (ORDER BY a - FLOOR(a) DESC, source) AS rnk
+        |  FROM s3
+        |)
+        |SELECT source, n_docs, std6, ROUND(a, 6) AS alloc_raw,
+        |  CAST(fl + CASE WHEN rnk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
+        |FROM s4 ORDER BY source""".stripMargin,
     "q_sample_stratified" ->
       """SELECT lang, rn, doc_id, n_chars FROM (
         |  SELECT lang, doc_id, n_chars,
@@ -7182,6 +7249,7 @@ object LlmData {
     "q_sample_split" -> (qSampleSplit _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_budget" -> (qSampleBudget _),
+    "q_sample_neyman" -> (qSampleNeyman _),
     "q_dedup_crosssrc" -> (qDedupCrosssrc _),
     "q_text_zipf" -> (qTextZipf _),
     "q_text_hapax" -> (qTextHapax _),

@@ -316,6 +316,37 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("ev_lifecycle: growth-accounting flows recomputed independently") {
+    val weekUs = 7L * 86400000000L
+    val dayUs = 86400000000L
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts")).collect()
+      .map { r =>
+        val us = r.getTimestamp(1).toInstant.toEpochMilli * 1000
+        (r.getLong(0), us / dayUs * dayUs / weekUs)
+      }.distinct
+    val byWeek = uw.groupBy(_._2).map { case (w, xs) => w -> xs.map(_._1).toSet }
+    val firstW = uw.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    val lo = uw.map(_._2).min; val hi = uw.map(_._2).max
+    val expected = (lo to hi).map { w =>
+      val cur = byWeek.getOrElse(w, Set.empty)
+      val prev = byWeek.getOrElse(w - 1, Set.empty)
+      val nNew = cur.count(firstW(_) == w).toLong
+      val nRet = cur.count(prev.contains).toLong
+      val nRes = cur.count(u => firstW(u) != w && !prev.contains(u)).toLong
+      val nChu = prev.count(u => !cur.contains(u)).toLong
+      w -> (cur.size.toLong, nNew, nRet, nRes, nChu)
+    }.toMap
+    val got = EventOps.qEvLifecycle(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got == expected, s"lifecycle flows diverge:\n got $got\n exp $expected")
+    // the growth-accounting identity: new + retained + resurrected =
+    // active, every week
+    got.values.foreach { case (a, n, r, res, _) => assert(n + r + res == a) }
+  }
+
   test("ev_power_users: decile concentration recomputed independently") {
     def r6(x: Double) = java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue

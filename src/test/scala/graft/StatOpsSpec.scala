@@ -89,6 +89,39 @@ class StatOpsSpec extends SparkSpec {
     assert(got.keys.map(_._1).min == 1 && got.keys.map(_._1).max == 4)
   }
 
+  test("sample_neyman: variance-optimal allocation recomputed independently") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val census = docs.groupBy(_._1).map { case (src, xs) =>
+      val n = xs.length
+      val sx = xs.map(x => BigInt(x._2)).sum
+      val sxx = xs.map(x => BigInt(x._2) * BigInt(x._2)).sum
+      val sd = (sxx.toDouble - sx.toDouble * sx.toDouble / n) / (n - 1.0)
+      val std6 = r6(math.sqrt(sd))
+      (src, n.toLong, std6,
+        java.math.BigDecimal.valueOf(n * std6 * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact)
+    }.toSeq
+    val totW = census.map(_._4).sum
+    val alloc = census.map { case (src, n, std6, w) =>
+      val a = 100.0 * w / totW
+      (src, n, std6, a, math.floor(a).toLong, a - math.floor(a))
+    }
+    val deficit = 100L - alloc.map(_._5).sum
+    val ranked = alloc.sortBy(x => (-x._6, x._1)).zipWithIndex
+      .map { case (x, i) => x._1 -> (i + 1 <= deficit) }.toMap
+    val expected = alloc.map { case (src, n, std6, a, fl, _) =>
+      src -> (n, std6, r6(a), fl + (if (ranked(src)) 1L else 0L))
+    }.toMap
+    val got = graft.operators.LlmData.qSampleNeyman(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    assert(got == expected, s"Neyman allocation diverges:\n got $got\n exp $expected")
+    // allocations must close the budget exactly
+    assert(got.values.map(_._4).sum == 100L)
+  }
+
   test("stat_cuped: variance-reduced readout recomputed independently") {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("value")).collect()
