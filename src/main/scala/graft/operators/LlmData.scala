@@ -1786,7 +1786,13 @@ object LlmData {
     require(n <= gate,
       s"q_emb_bitsketch_knn: all-pairs Hamming is gated at $gate vectors (corpus has $n); " +
         "at corpus scale band the sketch words into multi-probe buckets (the q_sim_lsh_ann shape)")
-    val sk = qEmbBitsketch(s, dir).select("vec_id", "w1", "w2")
+    // cache() is a projection barrier, not just reuse: without it
+    // CollapseProject inlines the 64-step packing fold into the
+    // per-PAIR hamming expression (N² re-packs — measured 18 s vs
+    // ~2 s at 2000 vectors). Retention: both join sides read this one
+    // O(N)×24-byte relation; sweep callers clearCache() per query
+    // (SparkEntry registry contract).
+    val sk = qEmbBitsketch(s, dir).select("vec_id", "w1", "w2").cache()
     val b = sk.select(col("vec_id").as("neighbor_id"),
       col("w1").as("v1"), col("w2").as("v2"))
     val byQ = Window.partitionBy("vec_id").orderBy(col("hamming"), col("neighbor_id"))
