@@ -651,6 +651,54 @@ object EventOps {
       .orderBy("from_type", "to_type")
   }
 
+  /** Robust (median/MAD) daily anomaly detection
+    * (`q_ev_anomaly_mad`, r11): per (type, day), the trailing-7-day
+    * window median and median-absolute-deviation of the ZERO-FILLED
+    * daily counts, flagging days where |n − med| > 3·MAD — the robust
+    * complement to q_ev_anomaly's mean/σ z-score, which the outliers
+    * it hunts inflate (one spike in the trailing window widens σ and
+    * masks the next spike; the median barely moves). MAD needs every
+    * window member's deviation FROM THE WINDOW's median, which no
+    * stacked window can express — so membership EXPLODES (each day
+    * row serves the 7 anchors it trails, the q_ev_active_users shape)
+    * and two keyed aggregations compute med then MAD. Determinism:
+    * counts are exact longs, window sizes are ≤7 so `percentile`
+    * interpolation lands on exact dyadic halves (≡ DuckDB
+    * quantile_cont, the q_agg_quantile equivalence), and the flag
+    * compares unrounded dyadic doubles identically. Scale shape: one
+    * corpus reduction to the O(types×days) table; the 7× explode and
+    * both aggregations stay on model tables.
+    */
+  def qEvAnomalyMad(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .cache() // feeds spine bounds, the type set, and the fill join
+    val spine = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val types = daily.select("event_type").distinct()
+    val filled = types.crossJoin(broadcast(spine))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+      .cache() // read by the membership explode AND the final readout
+    val member = filled.withColumn("anchor",
+      explode(expr("sequence(day, day + interval 6 days, interval 1 day)")))
+    val med = member.groupBy("event_type", "anchor")
+      .agg(expr("percentile(n, 0.5D)").as("med"))
+    val mad = member.join(med, Seq("event_type", "anchor"))
+      .groupBy("event_type", "anchor")
+      .agg(expr("percentile(abs(n - med), 0.5D)").as("mad"))
+    val medR = med.select(col("event_type").as("m_type"), col("anchor").as("m_day"), col("med"))
+    val madR = mad.select(col("event_type").as("a_type"), col("anchor").as("a_day"), col("mad"))
+    filled
+      .join(medR, col("event_type") === col("m_type") && col("day") === col("m_day"))
+      .join(madR, col("event_type") === col("a_type") && col("day") === col("a_day"))
+      .select(col("event_type"), col("day"), col("n").as("n_events"),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+        (abs(col("n") - col("med")) > lit(3.0) * col("mad")).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
   /** Weighted PageRank over the event-type transition graph
     * (`q_graph_pagerank`, r11): nodes = event types participating in
     * ≥1 adjacent transition (the qEvMarkov edge set), edge weight =
@@ -977,6 +1025,40 @@ object EventOps {
         |SELECT from_type, to_type, n,
         |  ROUND(n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS prob
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+    // The same explode-membership + two keyed aggregations;
+    // quantile_cont ≡ percentile on the ≤7-row windows (dyadic
+    // interpolation, exact); the flag compares unrounded doubles.
+    "q_ev_anomaly_mad" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b),
+        |filled AS (
+        |  SELECT t.event_type, s.day, COALESCE(d.n, 0) AS n
+        |  FROM (SELECT DISTINCT event_type FROM daily) t
+        |  CROSS JOIN spine s
+        |  LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day
+        |), member AS (
+        |  SELECT event_type, day, n,
+        |    unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS anchor
+        |  FROM filled
+        |), med AS (
+        |  SELECT event_type, anchor, quantile_cont(n, 0.5) AS med
+        |  FROM member GROUP BY 1, 2
+        |), mad AS (
+        |  SELECT m.event_type, m.anchor, quantile_cont(abs(m.n - d.med), 0.5) AS mad
+        |  FROM member m JOIN med d
+        |    ON d.event_type = m.event_type AND d.anchor = m.anchor
+        |  GROUP BY 1, 2
+        |)
+        |SELECT f.event_type, f.day, f.n AS n_events,
+        |  ROUND(d.med, 6) AS med, ROUND(a.mad, 6) AS mad,
+        |  abs(f.n - d.med) > 3.0 * a.mad AS is_anomaly
+        |FROM filled f
+        |JOIN med d ON d.event_type = f.event_type AND d.anchor = f.day
+        |JOIN mad a ON a.event_type = f.event_type AND a.anchor = f.day
+        |ORDER BY f.event_type, f.day""".stripMargin,
     // The three power-iteration rounds unrolled as CTE groups (the
     // PQ-Lloyd unroll precedent): per round, edge contributions
     // nano-quantize (HALF_UP int64) before the per-node sum so the
@@ -1477,6 +1559,7 @@ object EventOps {
     "q_ev_cooccur" -> (qEvCooccur _),
     "q_ev_markov" -> (qEvMarkov _),
     "q_graph_pagerank" -> (qGraphPagerank _),
+    "q_ev_anomaly_mad" -> (qEvAnomalyMad _),
     "q_ev_sesspath" -> (qEvSesspath _),
     "q_ev_hourly" -> (qEvHourly _),
     "q_ev_interarrival" -> (qEvInterarrival _),

@@ -3547,6 +3547,37 @@ object LlmData {
     * fidelity is additionally pinned by TextSourcesSpec's exceptAll
     * round-trip, like the CSV/JSONL sources).
     */
+  /** Line-oriented text-format round-trip (`q_src_text`, r11): the
+    * documents table packs into base64 lines (TextSources.writeText —
+    * embedded newlines can never shear a record across lines), reads
+    * back through `spark.read.text`, unpacks, and aggregates per
+    * source — the same losslessness contract as the other §2.1
+    * round-trips, over the rawest splittable format (log shipping /
+    * WET-dump ingestion). The oracle computes the identical census
+    * from the parquet original, so any field lost or reordered by the
+    * pack/unpack hash-mismatches.
+    */
+  def qSrcText(s: SparkSession, dir: String): DataFrame = {
+    val tmp = roundTripDir("text", dir)
+    val docs = documents(s, dir)
+    graft.sources.TextSources.writeText(docs,
+      Seq("doc_id", "lang", "source", "n_chars", "text"), tmp)
+    graft.sources.TextSources.readText(s, tmp)
+      .select(element_at(col("f"), 1).cast("long").as("doc_id"),
+        element_at(col("f"), 2).as("lang"),
+        element_at(col("f"), 3).as("source"),
+        element_at(col("f"), 4).cast("long").as("n_chars"),
+        element_at(col("f"), 5).as("text"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(length(col("text"))).as("total_text_len"))
+      .orderBy("source")
+  }
+
   def qSrcOrc(s: SparkSession, dir: String): DataFrame = {
     val tmp = roundTripDir("orc", dir)
     val docs = documents(s, dir)
@@ -7113,6 +7144,15 @@ object LlmData {
         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_text_len
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // Census over the parquet ORIGINAL — the text round-trip must
+    // reproduce it byte-for-byte or the hash mismatches.
+    "q_src_text" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_text_len
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_src_orc" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
@@ -7307,6 +7347,7 @@ object LlmData {
     "q_mix_epochs" -> (qMixEpochs _),
     "q_src_csv" -> (qSrcCsv _),
     "q_src_jsonl" -> (qSrcJsonl _),
+    "q_src_text" -> (qSrcText _),
     "q_src_orc" -> (qSrcOrc _),
     "q_src_avro" -> (qSrcAvro _),
     "q_agg_approx_topk" -> (qAggApproxTopk _),

@@ -594,6 +594,73 @@ object Relational {
       .orderBy("arm")
   }
 
+  /** Bitmap-based exact distinct count (`q_agg_bitmap_distinct`,
+    * r11): per event type, distinct users counted through Spark's
+    * roaring-style bitmap aggregate family — bucket the id space
+    * (32768 ids per bucket via bitmap_bucket_number), build one
+    * bitmap per (type, bucket) with bitmap_construct_agg, OR-merge
+    * and popcount. This is THE scale pattern for repeated exact
+    * count-distinct over dense integer ids (ClickHouse/Iceberg-style):
+    * the shuffle carries fixed 4 KB bitmaps instead of one row per
+    * distinct value, partial aggregation compresses ~32768×, and
+    * stored per-bucket bitmaps compose across partitions/days with
+    * bitmap_or_agg where countDistinct state cannot. ids shift by +1
+    * so the domain stays strictly positive (the bucket formula
+    * branches at zero). The oracle is plain COUNT(DISTINCT) — pinning
+    * that the bitmap path is EXACT, not approximate.
+    */
+  def qAggBitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    val perBucket = events(s, dir)
+      .groupBy(col("event_type"),
+        expr("bitmap_bucket_number(user_id + 1)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id + 1))").as("bm"),
+        count(lit(1)).as("n"))
+    perBucket.groupBy("event_type")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_distinct_users"),
+        sum(col("n")).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  /** Experiment power / minimum-detectable-effect calculator
+    * (`q_stat_power`, r11): for each event type, the smallest
+    * per-user value lift a 50/50 experiment on its active users could
+    * detect at α = 5% two-sided / 80% power — MDE =
+    * (z₀.₉₇₅ + z₀.₈₀)·√(s²·(1/n₁ + 1/n₂)) — the design readout teams
+    * consult BEFORE running the q_stat_ttest / q_stat_cuped analysis
+    * (an experiment whose MDE exceeds any plausible effect is wasted
+    * traffic). The z-sum is ONE shared 17-digit literal in both
+    * engines (the bootstrap CDF-literal convention). The unit of
+    * randomization is the USER, so variance is measured over per-user
+    * value totals, never events. Scale shape: events reduce ONCE
+    * keyed on (type, user) with the per-user sums clamped to
+    * decimal(18,2) before squaring (the q_stat_cuped width firewall);
+    * the O(types) census carries exact moments; every double closes
+    * identically cross-engine.
+    */
+  def qStatPower(s: SparkSession, dir: String): DataFrame = {
+    val perUser = events(s, dir).groupBy("event_type", "user_id")
+      .agg(sum(d2(col("value"))).as("x0"))
+      .select(col("event_type"), d2(col("x0")).as("x"))
+    val census = perUser.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    val n = col("n_users")
+    val mean = col("sx").cast("double") / n
+    val variance = (col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double") / n) / (n - lit(1.0))
+    val n1 = expr("n_users div 2")
+    val n2 = col("n_users") - expr("n_users div 2")
+    // z_{0.975} + z_{0.80} folded to one literal, identical in the SQL
+    val mde = lit(2.8015852181129683) *
+      sqrt(variance * (lit(1.0) / n1 + lit(1.0) / n2))
+    census.select(col("event_type"), col("n_users"),
+        round(mean, 6).as("mean_value"),
+        round(sqrt(variance), 6).as("std_value"),
+        round(mde, 6).as("mde_abs"),
+        round(mde / mean, 6).as("mde_rel"))
+      .orderBy("event_type")
+  }
+
   /** Deterministic Poisson-bootstrap 95% CI for each segment's mean
     * balance — the industry-standard bootstrap at scale (per
     * replicate, each row gets an independent Poisson(1) weight, so
@@ -2350,6 +2417,40 @@ object Relational {
         |  CAST(SUM(frequency) AS BIGINT) AS n_orders,
         |  ROUND(CAST(SUM(monetary) AS DOUBLE) / COUNT(*), 6) AS avg_monetary
         |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // Plain COUNT(DISTINCT) — pinning the bitmap path EXACT.
+    "q_agg_bitmap_distinct" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS n_distinct_users,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Same (type, user)-keyed exact-decimal reduction and the ONE
+    // shared z-sum literal; every double op closes identically.
+    "q_stat_power" ->
+      """WITH pu AS (
+        |  SELECT event_type, user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+        |  FROM events GROUP BY 1, 2
+        |), census AS (
+        |  SELECT event_type, COUNT(*) AS n_users,
+        |    SUM(x) AS sx, SUM(x * x) AS sxx
+        |  FROM pu GROUP BY 1
+        |), m AS (
+        |  SELECT event_type, n_users,
+        |    CAST(sx AS DOUBLE) / n_users AS mean,
+        |    (CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_users) /
+        |      (n_users - 1.0) AS vr,
+        |    n_users // 2 AS n1, n_users - n_users // 2 AS n2
+        |  FROM census
+        |)
+        |SELECT event_type, n_users,
+        |  ROUND(mean, 6) AS mean_value,
+        |  ROUND(SQRT(vr), 6) AS std_value,
+        |  ROUND((2.8015852181129683::DOUBLE) *
+        |    SQRT(vr * ((1.0::DOUBLE) / n1 + (1.0::DOUBLE) / n2)), 6) AS mde_abs,
+        |  ROUND((2.8015852181129683::DOUBLE) *
+        |    SQRT(vr * ((1.0::DOUBLE) / n1 + (1.0::DOUBLE) / n2)) / mean, 6) AS mde_rel
+        |FROM m ORDER BY event_type""".stripMargin,
     // Same O(2) exact-decimal arm census; every double op closes over
     // the same exact sums (theta/rho2 NULL-guarded identically).
     "q_stat_cuped" ->
@@ -2674,6 +2775,8 @@ object Relational {
     "q_agg_trimmed" -> (qAggTrimmed _),
     "q_seg_rfm" -> (qSegRfm _),
     "q_stat_cuped" -> (qStatCuped _),
+    "q_stat_power" -> (qStatPower _),
+    "q_agg_bitmap_distinct" -> (qAggBitmapDistinct _),
     "q_stat_mannwhitney" -> (qStatMannWhitney _),
     "q_stat_bootstrap" -> (qStatBootstrap _),
     "q_agg_quantile" -> (qAggQuantile _),

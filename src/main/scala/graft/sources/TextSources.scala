@@ -39,6 +39,38 @@ object TextSources {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Field separator for the text-format record packer — the
+    * escaped form, never a raw control byte in source (the BpeEncode
+    * NUL-byte lesson: invisible bytes survive edits silently).
+    */
+  private val FieldSep = "\u0001"
+
+  /** Line-oriented `text` — the rawest splittable format (one string
+    * per line; log shipping, WET/WARC-adjacent dumps). A record with
+    * embedded newlines would shear across lines, so the writer packs
+    * each row into ONE hex line of separator-joined fields and the
+    * reader unpacks — the standard armour for arbitrary text through
+    * a line protocol. Hex, not base64: Spark's base64 can emit
+    * RFC 2045 76-char CHUNKED output (newlines inside the encoding —
+    * exactly the shearing this pack exists to prevent, and it bit a
+    * 450-char fixture record in testing); hex never line-wraps.
+    * Fields must not contain U+0001 and must be non-null (documented
+    * contract; the packer is injective given that).
+    */
+  def writeText(df: DataFrame, cols: Seq[String], path: String): Unit = {
+    import org.apache.spark.sql.functions.{col, concat_ws, encode, hex}
+    df.select(hex(encode(
+        concat_ws(FieldSep, cols.map(c => col(c).cast("string")): _*), "UTF-8"))
+        .as("value"))
+      .write.mode("overwrite").text(path)
+  }
+
+  def readText(s: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, decode, split, unhex}
+    s.read.text(path)
+      .select(split(decode(unhex(col("value")), "UTF-8"), FieldSep).as("f"))
+  }
+
   /** ORC — the columnar alternative to parquet (predicate pushdown,
     * column pruning and splittability all work the same way through
     * the DataSource V2 scan). The explicit schema keeps the read

@@ -457,6 +457,42 @@ class EventOpsSpec extends SparkSpec {
     assert(got("X")._2 > got("A")._2 && got("X")._2 > got("B")._2)
   }
 
+  test("ev_anomaly_mad: window median/MAD recomputed independently") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    // numpy/Spark-style linear interpolation at h = 0.5·(k−1) — exact
+    // dyadic arithmetic on these ≤7-element windows
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val h = 0.5 * (s.length - 1)
+      val lo = h.toInt
+      if (lo == h) s(lo) else s(lo) + (h - lo) * (s(lo + 1) - s(lo))
+    }
+    val dayUs = 86400000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toInstant.toEpochMilli * 1000 / dayUs))
+    val lo = ev.map(_._2).min; val hi = ev.map(_._2).max
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (typ, xs) =>
+      val byDay = xs.groupBy(_._2).map { case (d, ys) => d -> ys.length.toLong }
+      val series = (lo to hi).map(d => d -> byDay.getOrElse(d, 0L))
+      series.map { case (d, n) =>
+        val win = series.filter(p => p._1 >= d - 6 && p._1 <= d).map(_._2.toDouble)
+        val m = med(win)
+        val a = med(win.map(x => math.abs(x - m)))
+        (typ, d) -> (n, r6(m), r6(a), math.abs(n - m) > 3.0 * a)
+      }
+    }.toMap
+    val got = EventOps.qEvAnomalyMad(spark, dir).collect()
+      .map { r =>
+        val d = r.getTimestamp(1).toInstant.toEpochMilli * 1000 / dayUs
+        (r.getString(0), d) -> (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))
+      }.toMap
+    assert(got == expected, s"MAD anomaly diverges:\n got $got\n exp $expected")
+    // MAD is non-negative and bounded by the window range
+    got.values.foreach { case (_, _, a, _) => assert(a >= 0) }
+  }
+
   test("ev_burst: Fano factor over the zero-filled spine recomputed independently") {
     def r6(x: Double) = java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue

@@ -89,6 +89,37 @@ class StatOpsSpec extends SparkSpec {
     assert(got.keys.map(_._1).min == 1 && got.keys.map(_._1).max == 4)
   }
 
+  test("stat_power: MDE calculator recomputed independently") {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        d2(r.getDouble(2)).movePointRight(2).longValueExact))
+    val z = 2.8015852181129683
+    val expected = ev.groupBy(_._1).map { case (typ, xs) =>
+      val perUser = xs.groupBy(_._2).map { case (_, ys) => ys.map(_._3).sum }.toSeq
+      val n = perUser.length
+      val sx = perUser.map(BigInt(_)).sum
+      val sxx = perUser.map(c => BigInt(c) * BigInt(c)).sum
+      def cents(b: BigInt) = (BigDecimal(b) / 100).toDouble
+      def cents2(b: BigInt) = (BigDecimal(b) / 10000).toDouble
+      val mean = cents(sx) / n
+      val vr = (cents2(sxx) - cents(sx) * cents(sx) / n) / (n - 1.0)
+      val n1 = n / 2; val n2 = n - n / 2
+      val mde = z * math.sqrt(vr * (1.0 / n1 + 1.0 / n2))
+      typ -> (n.toLong, r6(mean), r6(math.sqrt(vr)), r6(mde), r6(mde / mean))
+    }
+    val got = graft.operators.Relational.qStatPower(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(got == expected, s"power readout diverges:\n got $got\n exp $expected")
+    // an MDE is positive and shrinks as n grows within this fixture's
+    // comparable variances; at minimum it must be finite and positive
+    got.values.foreach { case (n, _, sd, mde, rel) =>
+      assert(n > 1 && sd > 0 && mde > 0 && rel > 0)
+    }
+  }
+
   test("sample_neyman: variance-optimal allocation recomputed independently") {
     val docs = Tables.documents(spark, dir)
       .select(col("source"), col("n_chars")).collect()
@@ -120,6 +151,30 @@ class StatOpsSpec extends SparkSpec {
     assert(got == expected, s"Neyman allocation diverges:\n got $got\n exp $expected")
     // allocations must close the budget exactly
     assert(got.values.map(_._4).sum == 100L)
+  }
+
+  test("agg_bitmap_distinct: bitmap popcount equals exact distinct, across buckets") {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = ev.groupBy(_._1).map { case (t, xs) =>
+      t -> (xs.map(_._2).distinct.length.toLong, xs.length.toLong)
+    }
+    val got = graft.operators.Relational.qAggBitmapDistinct(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected, s"bitmap distinct diverges:\n got $got\n exp $expected")
+
+    // planted wide-id corpus: 70k ids cross the 32768-per-bucket
+    // boundary, so the OR-merge genuinely spans multiple buckets
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bmd").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    (1L to 70000L).map(i => (i, base, i % 70000L, "t", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    val wide = graft.operators.Relational.qAggBitmapDistinct(spark, tmp).collect()
+    assert(wide.length == 1 && wide(0).getLong(1) == 70000L && wide(0).getLong(2) == 70000L)
   }
 
   test("stat_cuped: variance-reduced readout recomputed independently") {
