@@ -260,4 +260,22 @@ class PlanShapeSpec extends SparkSpec {
       s"the fine assignment must be a cell-KEYED join:\n${plan.take(3000)}")
     assert(s <= 6, s"unexpected extra shuffles ($s):\n${plan.take(3000)}")
   }
+
+  test("round-11 continuation shapes: model-table reductions stay reduced") {
+    // single corpus reduction + model-table windows/rollups only
+    pin("q_ev_power_users", 2, 0)      // per-user agg + (ntile/rollup on users)
+    pin("q_agg_trimmed", 2, 0)         // group sort window + grouped agg/sort
+    pin("q_sample_neyman", 2, 0)       // O(sources) census + allocation windows
+    pin("q_stat_power", 3, 0)          // (type,user) reduce + census + sort
+    pin("q_agg_bitmap_distinct", 3, 0) // two bitmap agg levels + sort
+    pin("q_emb_bitsketch", 1, 0)       // narrow projection + output sort only
+    // model-table joins: the only broadcasts are O(1)/O(model) sides
+    pin("q_ev_burst", 3, 2)            // daily reduce + rollup/sort; spine+fill bcasts
+    pin("q_stat_cuped", 4, 1)          // user reduce + arm census + windows; O(1) mid
+    pin("q_seg_rfm", 3, 1)             // custkey reduce + ntile sort + rollup; O(1) asof
+    pin("q_ev_anomaly_mad", 5, 0)      // fill + explode aggs on the cached model table
+    pin("q_ev_cohort", 7, 2)           // (user,week) reduce + first-week/size joins
+    pin("q_ev_lifecycle", 6, 4)        // keyed self-joins on the cached activity table
+    pin("q_emb_bitsketch_knn", 2, 1)   // cached sketch bcast; pairs never carry vectors
+  }
 }
