@@ -221,6 +221,31 @@ object EventOps {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Cumulative adoption curve (`q_ev_adoption`, r11): per day, how
+    * many users were seen for the FIRST time, the running total, and
+    * the share of the eventually-observed population — the launch /
+    * penetration readout every growth dashboard leads with. Scale
+    * shape: events reduce ONCE to the O(users) first-day table; the
+    * daily rollup, zero-filled spine, and cumulative window all run
+    * on O(days) rows (the cumsum is an ordered window over the spine,
+    * never events); the population total is an exact long window sum.
+    */
+  def qEvAdoption(s: SparkSession, dir: String): DataFrame = {
+    val firstDay = events(s, dir)
+      .groupBy("user_id").agg(min(date_trunc("DAY", col("ts"))).as("day"))
+    val daily = firstDay.groupBy("day").agg(count(lit(1)).as("n_new")).cache()
+    val spine = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(cum))
+      .withColumn("pct_of_total",
+        round(col("cum_users").cast("double") / sum(col("n_new")).over(all), 6))
+      .orderBy("day")
+  }
+
   /** Growth-accounting lifecycle census (`q_ev_lifecycle`, r11): per
     * epoch-week, active users decomposed into NEW (first-ever week),
     * RETAINED (also active the prior week) and RESURRECTED (active
@@ -1324,6 +1349,25 @@ object EventOps {
         |  ROUND(CAST(m.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
         |FROM m JOIN sizes s USING (cohort_week)
         |ORDER BY cohort_week, week_offset""".stripMargin,
+    // Same first-day reduction, zero-filled spine and exact long
+    // cumulative window; one ROUND(6) share division.
+    "q_ev_adoption" ->
+      """WITH fd AS (
+        |  SELECT user_id, MIN(date_trunc('day', ts)) AS day FROM events GROUP BY user_id
+        |), daily AS (SELECT day, COUNT(*) AS n_new FROM fd GROUP BY day),
+        |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b),
+        |f AS (
+        |  SELECT s.day, COALESCE(d.n_new, 0) AS n_new
+        |  FROM spine s LEFT JOIN daily d ON d.day = s.day
+        |)
+        |SELECT day, n_new,
+        |  CAST(SUM(n_new) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users,
+        |  ROUND(CAST(SUM(n_new) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        |    SUM(n_new) OVER (), 6) AS pct_of_total
+        |FROM f ORDER BY day""".stripMargin,
     // The same (user, week) reduction, keyed prior-week self-join and
     // zero-filled spine; exact long counts throughout.
     "q_ev_lifecycle" ->
@@ -1542,6 +1586,7 @@ object EventOps {
     "q_ev_active_users" -> (qEvActiveUsers _),
     "q_ev_cohort" -> (qEvCohort _),
     "q_ev_lifecycle" -> (qEvLifecycle _),
+    "q_ev_adoption" -> (qEvAdoption _),
     "q_ev_power_users" -> (qEvPowerUsers _),
     "q_ev_burst" -> (qEvBurst _),
     "q_join_interval" -> (qJoinInterval _),

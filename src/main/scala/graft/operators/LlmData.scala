@@ -4192,6 +4192,28 @@ object LlmData {
       .orderBy("src_lo", "src_hi")
   }
 
+  /** Deterministic k-fold assignment census (`q_sample_kfold`, r11):
+    * every document lands in one of 5 cross-validation folds by the
+    * same portable double-Lehmer hash as q_sample_split (fold =
+    * h mod 5 — engine-, partition- and rerun-independent, unlike
+    * rand()-based folds which are neither replayable nor retry-safe);
+    * per fold, the doc count, exact char total, language spread, and
+    * doc share — the balance card an eval harness checks before
+    * trusting fold-wise metrics. One corpus reduction to the O(5)
+    * census; the share window runs on it.
+    */
+  def qSampleKfold(s: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy()
+    documents(s, dir)
+      .withColumn("fold", lehmer(lehmer(col("doc_id"))) % 5L)
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .withColumn("share",
+        round(col("n_docs").cast("double") / sum(col("n_docs")).over(all), 6))
+      .orderBy("fold")
+  }
+
   /** Neyman optimal stratified allocation (`q_sample_neyman`, r11):
     * for a fixed 100-sample labeling/eval budget, how many samples
     * each source stratum gets under the variance-minimizing rule
@@ -5893,6 +5915,22 @@ object LlmData {
         |)
         |SELECT doc_id, source, ntok, cum_before FROM c
         |WHERE cum_before < 1000 ORDER BY doc_id""".stripMargin,
+    // Same double-Lehmer hash (the q_sample_split literal chain),
+    // exact counts, one ROUND(6) share.
+    "q_sample_kfold" ->
+      """WITH d AS (
+        |  SELECT ((doc_id * 48271) % 2147483647 * 48271) % 2147483647 % 5 AS fold,
+        |    n_chars, lang
+        |  FROM documents
+        |), c AS (
+        |  SELECT fold, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |    COUNT(DISTINCT lang) AS n_langs
+        |  FROM d GROUP BY fold
+        |)
+        |SELECT fold, n_docs, total_chars, n_langs,
+        |  ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6) AS share
+        |FROM c ORDER BY fold""".stripMargin,
     // Same exact-moment stddev, micro-quantized weights, and
     // largest-remainder ranking with the source-name tie-break.
     "q_sample_neyman" ->
@@ -7296,6 +7334,7 @@ object LlmData {
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_budget" -> (qSampleBudget _),
     "q_sample_neyman" -> (qSampleNeyman _),
+    "q_sample_kfold" -> (qSampleKfold _),
     "q_dedup_crosssrc" -> (qDedupCrosssrc _),
     "q_text_zipf" -> (qTextZipf _),
     "q_text_hapax" -> (qTextHapax _),

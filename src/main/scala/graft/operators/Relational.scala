@@ -594,6 +594,49 @@ object Relational {
       .orderBy("arm")
   }
 
+  /** Delta-method ratio-metric readout (`q_stat_ratio_delta`, r11):
+    * per event type, the value-per-event ratio estimated over USERS
+    * (the unit of randomization — a plain per-event mean understates
+    * the variance because events within a user correlate), with the
+    * delta-method standard error
+    * se = √((σ²ₓ + r²σ²ᵧ − 2rσₓᵧ)/n)/ȳ and the 95% CI — the standard
+    * experimentation treatment of ratio metrics (revenue per click,
+    * items per session) where both numerator and denominator are
+    * per-user random variables. Scale shape: events reduce ONCE keyed
+    * on (type, user) to exact (Σx cents, y count) pairs clamped to
+    * decimal(18,2)/(18,0) before cross-products (the cuped width
+    * firewall); the O(types) census carries exact moments; every
+    * double closes identically cross-engine; z as the shared
+    * 16-digit literal.
+    */
+  def qStatRatioDelta(s: SparkSession, dir: String): DataFrame = {
+    val perUser = events(s, dir).groupBy("event_type", "user_id")
+      .agg(sum(d2(col("value"))).as("x0"), count(lit(1)).as("y0"))
+      .select(col("event_type"), d2(col("x0")).as("x"),
+        col("y0").cast("decimal(18,0)").as("y"))
+    val census = perUser.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val n = col("n_users")
+    val mx = col("sx").cast("double") / n
+    val my = col("sy").cast("double") / n
+    val r = mx / my
+    val varx = (col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double") / n) / (n - lit(1.0))
+    val vary = (col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double") / n) / (n - lit(1.0))
+    val covxy = (col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double") / n) / (n - lit(1.0))
+    val se = sqrt((varx + r * r * vary - lit(2.0) * r * covxy) / n) / my
+    val z = lit(1.959963984540054)
+    census.select(col("event_type"), col("n_users"),
+        round(r, 6).as("ratio"), round(se, 6).as("se_delta"),
+        round(r - z * se, 6).as("ci_lo"), round(r + z * se, 6).as("ci_hi"))
+      .orderBy("event_type")
+  }
+
   /** Bitmap-based exact distinct count (`q_agg_bitmap_distinct`,
     * r11): per event type, distinct users counted through Spark's
     * roaring-style bitmap aggregate family — bucket the id space
@@ -2417,6 +2460,41 @@ object Relational {
         |  CAST(SUM(frequency) AS BIGINT) AS n_orders,
         |  ROUND(CAST(SUM(monetary) AS DOUBLE) / COUNT(*), 6) AS avg_monetary
         |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // Same (type, user) exact reduction and delta-method chain;
+    // z is the shared 16-digit literal, every double op identical.
+    "q_stat_ratio_delta" ->
+      """WITH pu AS (
+        |  SELECT event_type, user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x,
+        |    CAST(COUNT(*) AS DECIMAL(18,0)) AS y
+        |  FROM events GROUP BY 1, 2
+        |), census AS (
+        |  SELECT event_type, COUNT(*) AS n_users,
+        |    SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        |  FROM pu GROUP BY 1
+        |), m AS (
+        |  SELECT event_type, n_users,
+        |    CAST(sx AS DOUBLE) / n_users AS mx,
+        |    CAST(sy AS DOUBLE) / n_users AS my,
+        |    (CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_users) / (n_users - 1.0) AS varx,
+        |    (CAST(syy AS DOUBLE) -
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n_users) / (n_users - 1.0) AS vary,
+        |    (CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n_users) / (n_users - 1.0) AS covxy
+        |  FROM census
+        |), t AS (
+        |  SELECT event_type, n_users, mx / my AS r,
+        |    SQRT((varx + (mx / my) * (mx / my) * vary -
+        |      (2.0::DOUBLE) * (mx / my) * covxy) / n_users) / my AS se
+        |  FROM m
+        |)
+        |SELECT event_type, n_users, ROUND(r, 6) AS ratio,
+        |  ROUND(se, 6) AS se_delta,
+        |  ROUND(r - (1.959963984540054::DOUBLE) * se, 6) AS ci_lo,
+        |  ROUND(r + (1.959963984540054::DOUBLE) * se, 6) AS ci_hi
+        |FROM t ORDER BY event_type""".stripMargin,
     // Plain COUNT(DISTINCT) — pinning the bitmap path EXACT.
     "q_agg_bitmap_distinct" ->
       """SELECT event_type,
@@ -2777,6 +2855,7 @@ object Relational {
     "q_stat_cuped" -> (qStatCuped _),
     "q_stat_power" -> (qStatPower _),
     "q_agg_bitmap_distinct" -> (qAggBitmapDistinct _),
+    "q_stat_ratio_delta" -> (qStatRatioDelta _),
     "q_stat_mannwhitney" -> (qStatMannWhitney _),
     "q_stat_bootstrap" -> (qStatBootstrap _),
     "q_agg_quantile" -> (qAggQuantile _),

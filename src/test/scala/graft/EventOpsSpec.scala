@@ -347,6 +347,33 @@ class EventOpsSpec extends SparkSpec {
     got.values.foreach { case (a, n, r, res, _) => assert(n + r + res == a) }
   }
 
+  test("ev_adoption: cumulative adoption curve recomputed independently") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val dayUs = 86400000000L
+    val firstDay = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toInstant.toEpochMilli * 1000 / dayUs))
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    val byDay = firstDay.values.groupBy(identity).map { case (d, xs) => d -> xs.size.toLong }
+    val lo = byDay.keys.min; val hi = byDay.keys.max
+    val total = firstDay.size.toLong
+    var cum = 0L
+    val expected = (lo to hi).map { d =>
+      val nNew = byDay.getOrElse(d, 0L)
+      cum += nNew
+      d -> (nNew, cum, r6(cum.toDouble / total))
+    }.toMap
+    val got = EventOps.qEvAdoption(spark, dir).collect()
+      .map { r =>
+        val d = r.getTimestamp(0).toInstant.toEpochMilli * 1000 / dayUs
+        d -> (r.getLong(1), r.getLong(2), r.getDouble(3))
+      }.toMap
+    assert(got == expected, s"adoption curve diverges:\n got $got\n exp $expected")
+    // the curve is monotone and closes at 100%
+    assert(got(hi)._3 == 1.0 && got(hi)._2 == total)
+  }
+
   test("ev_power_users: decile concentration recomputed independently") {
     def r6(x: Double) = java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue

@@ -1358,6 +1358,26 @@ class LlmDataSpec extends SparkSpec {
     assert(got == expected, s"rulestats diverge:\n got $got\n exp $expected")
   }
 
+  test("sample_kfold: fold census recomputed from the Lehmer chain") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "n_chars", "lang").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def fold(id: Long) = ((id * 48271) % 2147483647L * 48271) % 2147483647L % 5
+    val total = docs.length
+    val expected = docs.groupBy(d => fold(d._1)).map { case (f, xs) =>
+      f -> (xs.length.toLong, xs.map(_._2).sum, xs.map(_._3).distinct.length.toLong,
+        r6(xs.length.toDouble / total))
+    }
+    val got = LlmData.qSampleKfold(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got == expected, s"k-fold census diverges:\n got $got\n exp $expected")
+    // all five folds populated, partition is exhaustive
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L) && got.values.map(_._1).sum == total.toLong)
+  }
+
   test("emb_bitsketch: sign-bit packing and Hamming top-k recomputed independently") {
     val vecs = Tables.embeddings(spark, dir).select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap

@@ -120,6 +120,43 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
+  test("stat_ratio_delta: delta-method CI recomputed independently") {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        d2(r.getDouble(2)).movePointRight(2).longValueExact))
+    val z = 1.959963984540054
+    val expected = ev.groupBy(_._1).map { case (typ, xs) =>
+      val perUser = xs.groupBy(_._2).map { case (_, ys) =>
+        (ys.map(_._3).sum, ys.length.toLong)
+      }.toSeq
+      val n = perUser.length
+      def cents(b: BigInt) = (BigDecimal(b) / 100).toDouble
+      def cents2(b: BigInt) = (BigDecimal(b) / 10000).toDouble
+      val sx = perUser.map(p => BigInt(p._1)).sum
+      val sy = perUser.map(p => BigInt(p._2)).sum
+      val sxx = perUser.map(p => BigInt(p._1) * BigInt(p._1)).sum
+      val syy = perUser.map(p => BigInt(p._2) * BigInt(p._2)).sum
+      val sxy = perUser.map(p => BigInt(p._1) * BigInt(p._2)).sum
+      val mx = cents(sx) / n; val my = sy.toDouble / n
+      val r = mx / my
+      val varx = (cents2(sxx) - cents(sx) * cents(sx) / n) / (n - 1.0)
+      val vary = (syy.toDouble - sy.toDouble * sy.toDouble / n) / (n - 1.0)
+      val covxy = (cents(sxy) - cents(sx) * sy.toDouble / n) / (n - 1.0)
+      val se = math.sqrt((varx + r * r * vary - 2.0 * r * covxy) / n) / my
+      typ -> (n.toLong, r6(r), r6(se), r6(r - z * se), r6(r + z * se))
+    }
+    val got = graft.operators.Relational.qStatRatioDelta(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(got == expected, s"ratio delta diverges:\n got $got\n exp $expected")
+    // a CI is an interval around the ratio
+    got.values.foreach { case (_, r, se, lo, hi) =>
+      assert(se > 0 && lo < r && r < hi)
+    }
+  }
+
   test("sample_neyman: variance-optimal allocation recomputed independently") {
     val docs = Tables.documents(spark, dir)
       .select(col("source"), col("n_chars")).collect()
