@@ -190,6 +190,42 @@ class StatOpsSpec extends SparkSpec {
     assert(got.values.map(_._4).sum == 100L)
   }
 
+  test("stat_cuped: planted lift — pre-period adjustment finds the true effect") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cuped").toString
+    // 200 users × 30 days, one event/user/day. Post-period (days
+    // 15-29) odd users get a true lift δ = 2. The per-user base
+    // b_u = 10 + (u mod 7) is arm-balanced and identical pre/post, so
+    // X strongly predicts Y (CUPED's working assumption); deterministic
+    // per-(user, day) noise keeps the fixture realistic.
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = for (u <- 0L until 200L; d <- 0 until 30) yield {
+      val post = d >= 15
+      val lift = if (post && u % 2 == 1) 2.0 else 0.0
+      val b = 10.0 + (u % 7)
+      val noise = ((u * 31 + d) % 5) / 10.0
+      (u * 30 + d, new java.sql.Timestamp(base.getTime + d * 86400000L),
+        u, "click", b + lift + noise, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    val got = graft.operators.Relational.qStatCuped(spark, tmp).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6)))
+      .toMap
+    val (pre0, post0, adj0, theta, rho2) = got(0)
+    val (pre1, post1, adj1, _, _) = got(1)
+    // the pre-period is effect-free (arms differ only by noise layout)
+    assert(math.abs(pre1 - pre0) < 1.0, s"pre-period imbalance: $pre0 vs $pre1")
+    // the post-period carries δ = 2 per event × 15 days = 30 per user
+    assert(math.abs((post1 - post0) - 30.0) < 2.0, s"raw diff off: ${post1 - post0}")
+    assert(math.abs((adj1 - adj0) - 30.0) < 2.0, s"adjusted diff off: ${adj1 - adj0}")
+    // X ≈ Y structurally → theta near 1, strong variance reduction
+    assert(theta > 0.7 && theta < 1.3, s"theta off: $theta")
+    assert(rho2 > 0.5, s"rho2 too weak for a correlated pre-period: $rho2")
+  }
+
   test("agg_bitmap_distinct: bitmap popcount equals exact distinct, across buckets") {
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), col("user_id")).collect()
