@@ -221,6 +221,34 @@ object EventOps {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Week-over-week growth panel (`q_ev_wow`, r11): per (type,
+    * epoch-week), events, the prior week's events, and the WoW growth
+    * rate — the trend readout product reviews open with; weeks with
+    * no events appear as zeros (a silent week must read −100%, not
+    * vanish), and growth is NULL (not ±∞) when the prior week is
+    * zero. Scale shape: events reduce ONCE to the O(types×weeks)
+    * count table; the spine cross-join and lag window run on it.
+    */
+  def qEvWow(s: SparkSession, dir: String): DataFrame = {
+    val weekly = events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('DAY', ts)) div 604800000000").as("week"))
+      .agg(count(lit(1)).as("n"))
+      .cache() // feeds spine bounds, the type set, and the fill join
+    val spine = weekly.agg(min(col("week")).as("lo"), max(col("week")).as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("week"))
+    val types = weekly.select("event_type").distinct()
+    val lagW = Window.partitionBy("event_type").orderBy("week")
+    types.crossJoin(broadcast(spine))
+      .join(weekly, Seq("event_type", "week"), "left")
+      .select(col("event_type"), col("week"), coalesce(col("n"), lit(0L)).as("n_events"))
+      .withColumn("prev_events", lag(col("n_events"), 1).over(lagW))
+      .withColumn("wow_growth",
+        round(when(col("prev_events") > 0,
+          (col("n_events") - col("prev_events")).cast("double") / col("prev_events")), 6))
+      .orderBy("event_type", "week")
+  }
+
   /** Cumulative adoption curve (`q_ev_adoption`, r11): per day, how
     * many users were seen for the FIRST time, the running total, and
     * the share of the eventually-observed population — the launch /
@@ -1349,6 +1377,28 @@ object EventOps {
         |  ROUND(CAST(m.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
         |FROM m JOIN sizes s USING (cohort_week)
         |ORDER BY cohort_week, week_offset""".stripMargin,
+    // Same zero-filled (type, week) table and lag; growth NULL-gated
+    // identically on a zero prior week.
+    "q_ev_wow" ->
+      """WITH weekly AS (
+        |  SELECT event_type,
+        |    epoch_us(date_trunc('day', ts)) // 604800000000 AS week, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), b AS (SELECT MIN(week) AS lo, MAX(week) AS hi FROM weekly),
+        |spine AS (SELECT unnest(generate_series(lo, hi)) AS week FROM b),
+        |f AS (
+        |  SELECT t.event_type, s.week, COALESCE(w.n, 0) AS n_events
+        |  FROM (SELECT DISTINCT event_type FROM weekly) t
+        |  CROSS JOIN spine s
+        |  LEFT JOIN weekly w ON w.event_type = t.event_type AND w.week = s.week
+        |), l AS (
+        |  SELECT *, LAG(n_events) OVER (PARTITION BY event_type ORDER BY week) AS prev_events
+        |  FROM f
+        |)
+        |SELECT event_type, week, n_events, prev_events,
+        |  ROUND(CASE WHEN prev_events > 0
+        |    THEN CAST(n_events - prev_events AS DOUBLE) / prev_events END, 6) AS wow_growth
+        |FROM l ORDER BY event_type, week""".stripMargin,
     // Same first-day reduction, zero-filled spine and exact long
     // cumulative window; one ROUND(6) share division.
     "q_ev_adoption" ->
@@ -1587,6 +1637,7 @@ object EventOps {
     "q_ev_cohort" -> (qEvCohort _),
     "q_ev_lifecycle" -> (qEvLifecycle _),
     "q_ev_adoption" -> (qEvAdoption _),
+    "q_ev_wow" -> (qEvWow _),
     "q_ev_power_users" -> (qEvPowerUsers _),
     "q_ev_burst" -> (qEvBurst _),
     "q_join_interval" -> (qJoinInterval _),

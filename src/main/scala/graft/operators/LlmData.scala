@@ -4192,6 +4192,39 @@ object LlmData {
       .orderBy("src_lo", "src_hi")
   }
 
+  /** Robust per-source length-outlier census (`q_quality_length_mad`,
+    * r11): per source, the median and MAD of document length
+    * (n_chars) and the count/share of docs beyond median ± 3·MAD —
+    * the truncation/concatenation detector a corpus QA pass runs per
+    * source BEFORE trusting length-based quality rules (mean/σ breaks
+    * here for the same reason as q_ev_anomaly's: the outliers being
+    * hunted inflate σ). MAD needs every doc's deviation from ITS
+    * SOURCE's median, so the shape is two keyed aggregations with a
+    * source-keyed join between them (groups are whole sources — no
+    * window anywhere); `percentile` interpolation is exact dyadic
+    * halves on integer lengths (≡ quantile_cont, the q_agg_quantile
+    * equivalence). One corpus reduction; everything downstream is
+    * O(sources) + one doc-spine join that never carries text.
+    */
+  def qQualityLengthMad(s: SparkSession, dir: String): DataFrame = {
+    val lens = documents(s, dir).select(col("source"), col("doc_id"), col("n_chars"))
+    val med = lens.groupBy("source")
+      .agg(expr("percentile(n_chars, 0.5D)").as("med"))
+    val joined = lens.join(med, "source").cache() // feeds MAD AND the flag census
+    val mad = joined.groupBy("source")
+      .agg(expr("percentile(abs(n_chars - med), 0.5D)").as("mad"))
+    joined.join(mad, "source")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(max(col("med")), 6).as("med"),
+        round(max(col("mad")), 6).as("mad"),
+        sum(when(abs(col("n_chars") - col("med")) > lit(3.0) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_share",
+        round(col("n_outliers").cast("double") / col("n_docs"), 6))
+      .orderBy("source")
+  }
+
   /** Deterministic k-fold assignment census (`q_sample_kfold`, r11):
     * every document lands in one of 5 cross-validation folds by the
     * same portable double-Lehmer hash as q_sample_split (fold =
@@ -5915,6 +5948,28 @@ object LlmData {
         |)
         |SELECT doc_id, source, ntok, cum_before FROM c
         |WHERE cum_before < 1000 ORDER BY doc_id""".stripMargin,
+    // Same two keyed aggregations with the source-keyed join between
+    // them; quantile_cont ≡ percentile on integer lengths; the flag
+    // compares unrounded dyadic doubles.
+    "q_quality_length_mad" ->
+      """WITH med AS (
+        |  SELECT source, quantile_cont(n_chars, 0.5) AS med
+        |  FROM documents GROUP BY source
+        |), j AS (
+        |  SELECT d.source, d.n_chars, m.med
+        |  FROM documents d JOIN med m ON m.source = d.source
+        |), mad AS (
+        |  SELECT source, quantile_cont(abs(n_chars - med), 0.5) AS mad
+        |  FROM j GROUP BY source
+        |)
+        |SELECT j.source, COUNT(*) AS n_docs,
+        |  ROUND(MAX(j.med), 6) AS med, ROUND(MAX(a.mad), 6) AS mad,
+        |  CAST(SUM(CASE WHEN abs(j.n_chars - j.med) > 3.0 * a.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  ROUND(CAST(SUM(CASE WHEN abs(j.n_chars - j.med) > 3.0 * a.mad
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS outlier_share
+        |FROM j JOIN mad a ON a.source = j.source
+        |GROUP BY j.source ORDER BY j.source""".stripMargin,
     // Same double-Lehmer hash (the q_sample_split literal chain),
     // exact counts, one ROUND(6) share.
     "q_sample_kfold" ->
@@ -7335,6 +7390,7 @@ object LlmData {
     "q_sample_budget" -> (qSampleBudget _),
     "q_sample_neyman" -> (qSampleNeyman _),
     "q_sample_kfold" -> (qSampleKfold _),
+    "q_quality_length_mad" -> (qQualityLengthMad _),
     "q_dedup_crosssrc" -> (qDedupCrosssrc _),
     "q_text_zipf" -> (qTextZipf _),
     "q_text_hapax" -> (qTextHapax _),

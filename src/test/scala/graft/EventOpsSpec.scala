@@ -374,6 +374,37 @@ class EventOpsSpec extends SparkSpec {
     assert(got(hi)._3 == 1.0 && got(hi)._2 == total)
   }
 
+  test("ev_wow: week-over-week growth recomputed independently") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val weekUs = 7L * 86400000000L
+    val dayUs = 86400000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts")).collect()
+      .map { r =>
+        val us = r.getTimestamp(1).toInstant.toEpochMilli * 1000
+        (r.getString(0), us / dayUs * dayUs / weekUs)
+      }
+    val lo = ev.map(_._2).min; val hi = ev.map(_._2).max
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (typ, xs) =>
+      val byW = xs.groupBy(_._2).map { case (w, ys) => w -> ys.length.toLong }
+      (lo to hi).map { w =>
+        val n = byW.getOrElse(w, 0L)
+        val prev = if (w == lo) None else Some(byW.getOrElse(w - 1, 0L))
+        val g = prev.filter(_ > 0).map(p => r6((n - p).toDouble / p))
+        (typ, w) -> (n, prev, g)
+      }
+    }.toMap
+    val got = EventOps.qEvWow(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toMap
+    assert(got == expected, s"WoW panel diverges:\n got $got\n exp $expected")
+    // the first week of each type has no prior-week row
+    assert(got.filter(_._1._2 == lo).values.forall(_._2.isEmpty))
+  }
+
   test("ev_power_users: decile concentration recomputed independently") {
     def r6(x: Double) = java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue

@@ -1358,6 +1358,33 @@ class LlmDataSpec extends SparkSpec {
     assert(got == expected, s"rulestats diverge:\n got $got\n exp $expected")
   }
 
+  test("quality_length_mad: per-source median/MAD outliers recomputed independently") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val h = 0.5 * (s.length - 1)
+      val lo = h.toInt
+      if (lo == h) s(lo) else s(lo) + (h - lo) * (s(lo + 1) - s(lo))
+    }
+    val docs = Tables.documents(spark, dir)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = docs.groupBy(_._1).map { case (src, xs) =>
+      val ls = xs.map(_._2.toDouble)
+      val m = med(ls)
+      val a = med(ls.map(x => math.abs(x - m)))
+      val out = ls.count(x => math.abs(x - m) > 3.0 * a).toLong
+      src -> (xs.length.toLong, r6(m), r6(a), out, r6(out.toDouble / xs.length))
+    }
+    val got = LlmData.qQualityLengthMad(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(got == expected, s"length MAD census diverges:\n got $got\n exp $expected")
+    got.values.foreach { case (n, _, a, out, _) => assert(a >= 0 && out <= n) }
+  }
+
   test("sample_kfold: fold census recomputed from the Lehmer chain") {
     def r6(x: Double) = java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
