@@ -221,6 +221,53 @@ object EventOps {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Daily value percentile bands (`q_ev_value_bands`, r11): per
+    * (type, day), the p25/p50/p75 band of event values — the
+    * latency/size-percentile panel ops dashboards draw. The fractions
+    * are DYADIC on purpose (the q_ev_interarrival p90 lesson:
+    * h = f·(n−1) must be exact, and 0.9·(n−1) is not; 0.25/0.5/0.75
+    * are) so `percentile` ≡ quantile_cont bit-for-bit on the shared
+    * parquet doubles. Scale shape: one (type, day)-keyed aggregation
+    * — the percentile aggregate is a partial-aggregating
+    * TypedImperative, so values never shuffle raw beyond their group.
+    */
+  def qEvValueBands(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        round(expr("percentile(value, 0.25D)"), 6).as("p25"),
+        round(expr("percentile(value, 0.5D)"), 6).as("p50"),
+        round(expr("percentile(value, 0.75D)"), 6).as("p75"))
+      .orderBy("event_type", "day")
+
+  /** Daily error-rate panel with Wilson 95% CI (`q_stat_wilson`,
+    * r11): per day, total events, error events, the error share, and
+    * the Wilson score interval — the proportion CI that stays inside
+    * [0, 1] and behaves at small n where the normal approximation
+    * fails (the SRE error-budget readout). z² enters as the same
+    * 16-digit literal squared in both engines; every term is IEEE
+    * over exact long counts. Scale shape: ONE day-keyed partial
+    * aggregation (the error count is a conditional sum in the same
+    * pass); the CI closes on the O(days) table.
+    */
+  def qStatWilson(s: SparkSession, dir: String): DataFrame = {
+    val z = lit(1.959963984540054)
+    val n = col("n_events").cast("double")
+    val p = col("n_errors").cast("double") / n
+    val center = p + z * z / (lit(2.0) * n)
+    val half = z * sqrt(p * (lit(1.0) - p) / n + z * z / (lit(4.0) * n * n))
+    val denom = lit(1.0) + z * z / n
+    events(s, dir)
+      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+      .select(col("day"), col("n_events"), col("n_errors"),
+        round(p, 6).as("error_rate"),
+        round((center - half) / denom, 6).as("wilson_lo"),
+        round((center + half) / denom, 6).as("wilson_hi"))
+      .orderBy("day")
+  }
+
   /** Week-over-week growth panel (`q_ev_wow`, r11): per (type,
     * epoch-week), events, the prior week's events, and the WoW growth
     * rate — the trend readout product reviews open with; weeks with
@@ -1377,6 +1424,36 @@ object EventOps {
         |  ROUND(CAST(m.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
         |FROM m JOIN sizes s USING (cohort_week)
         |ORDER BY cohort_week, week_offset""".stripMargin,
+    // quantile_cont ≡ percentile at the dyadic fractions on the same
+    // parquet doubles.
+    "q_ev_value_bands" ->
+      """SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n_events,
+        |  ROUND(quantile_cont(value, 0.25), 6) AS p25,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(value, 0.75), 6) AS p75
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+    // The same Wilson expression tree over exact long counts; z is
+    // the shared 16-digit literal.
+    "q_stat_wilson" ->
+      """WITH d AS (
+        |  SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+        |  FROM events GROUP BY 1
+        |), m AS (
+        |  SELECT day, n_events, n_errors,
+        |    CAST(n_events AS DOUBLE) AS n,
+        |    CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE) AS p,
+        |    (1.959963984540054::DOUBLE) AS z
+        |  FROM d
+        |)
+        |SELECT day, n_events, n_errors, ROUND(p, 6) AS error_rate,
+        |  ROUND((p + z * z / (2.0 * n) -
+        |    z * SQRT(p * (1.0 - p) / n + z * z / (4.0 * n * n))) /
+        |    (1.0 + z * z / n), 6) AS wilson_lo,
+        |  ROUND((p + z * z / (2.0 * n) +
+        |    z * SQRT(p * (1.0 - p) / n + z * z / (4.0 * n * n))) /
+        |    (1.0 + z * z / n), 6) AS wilson_hi
+        |FROM m ORDER BY day""".stripMargin,
     // Same zero-filled (type, week) table and lag; growth NULL-gated
     // identically on a zero prior week.
     "q_ev_wow" ->
@@ -1638,6 +1715,8 @@ object EventOps {
     "q_ev_lifecycle" -> (qEvLifecycle _),
     "q_ev_adoption" -> (qEvAdoption _),
     "q_ev_wow" -> (qEvWow _),
+    "q_ev_value_bands" -> (qEvValueBands _),
+    "q_stat_wilson" -> (qStatWilson _),
     "q_ev_power_users" -> (qEvPowerUsers _),
     "q_ev_burst" -> (qEvBurst _),
     "q_join_interval" -> (qJoinInterval _),

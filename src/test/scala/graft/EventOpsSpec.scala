@@ -405,6 +405,61 @@ class EventOpsSpec extends SparkSpec {
     assert(got.filter(_._1._2 == lo).values.forall(_._2.isEmpty))
   }
 
+  test("ev_value_bands: dyadic percentile bands recomputed independently") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def pct(sorted: Array[Double], f: Double): Double = {
+      val h = f * (sorted.length - 1)
+      val lo = h.toInt
+      if (lo == h) sorted(lo) else sorted(lo) + (h - lo) * (sorted(lo + 1) - sorted(lo))
+    }
+    val dayUs = 86400000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"), col("value")).collect()
+      .map(r => (r.getString(0),
+        r.getTimestamp(1).toInstant.toEpochMilli * 1000 / dayUs, r.getDouble(2)))
+    val expected = ev.groupBy(x => (x._1, x._2)).map { case ((t, d), xs) =>
+      val s = xs.map(_._3).sorted.toArray
+      (t, d) -> (xs.length.toLong, r6(pct(s, 0.25)), r6(pct(s, 0.5)), r6(pct(s, 0.75)))
+    }
+    val got = EventOps.qEvValueBands(spark, dir).collect()
+      .map { r =>
+        val d = r.getTimestamp(1).toInstant.toEpochMilli * 1000 / dayUs
+        (r.getString(0), d) -> (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      }.toMap
+    assert(got == expected, s"value bands diverge:\n got $got\n exp $expected")
+    got.values.foreach { case (_, p25, p50, p75) => assert(p25 <= p50 && p50 <= p75) }
+  }
+
+  test("stat_wilson: error-rate CI recomputed independently") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val dayUs = 86400000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("ts"), col("event_type")).collect()
+      .map(r => (r.getTimestamp(0).toInstant.toEpochMilli * 1000 / dayUs, r.getString(1)))
+    val z = 1.959963984540054
+    val expected = ev.groupBy(_._1).map { case (d, xs) =>
+      val n = xs.length.toDouble
+      val e = xs.count(_._2 == "error").toLong
+      val p = e / n
+      val center = p + z * z / (2.0 * n)
+      val half = z * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
+      val denom = 1.0 + z * z / n
+      d -> (xs.length.toLong, e, r6(p), r6((center - half) / denom), r6((center + half) / denom))
+    }
+    val got = EventOps.qStatWilson(spark, dir).collect()
+      .map { r =>
+        val d = r.getTimestamp(0).toInstant.toEpochMilli * 1000 / dayUs
+        d -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      }.toMap
+    assert(got == expected, s"Wilson CI diverges:\n got $got\n exp $expected")
+    // a Wilson interval is inside [0, 1] and brackets the rate
+    got.values.foreach { case (_, _, p, lo, hi) =>
+      assert(lo >= 0 && hi <= 1 && lo <= p && p <= hi)
+    }
+  }
+
   test("ev_power_users: decile concentration recomputed independently") {
     def r6(x: Double) = java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
