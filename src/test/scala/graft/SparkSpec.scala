@@ -8,7 +8,18 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
 
-  override def afterAll(): Unit = super.afterAll()
+  /** Suites share one session, and operators with a documented cache
+    * retention contract (SparkEntry scaladoc) leave InMemoryRelations
+    * behind; a later suite's plan-shape or pushdown assertion can
+    * silently match a leaked cached subtree instead of the scan (the
+    * round-11 PlanShapeSpec incident, seen again battery-order-only
+    * in ScaleOpsSpec). Every suite therefore ends with a cleared
+    * cache — mid-suite caches are untouched.
+    */
+  override def afterAll(): Unit = {
+    spark.catalog.clearCache()
+    super.afterAll()
+  }
 }
 
 object SparkSpec {
