@@ -373,17 +373,38 @@ object EventOps {
     * share, and cumulative share — the "do 10% of users generate 90%
     * of the traffic" skew readout that sizes per-key state and warns
     * where salting will be needed. Scale shape: events reduce ONCE to
-    * the O(users) per-user count table; the decile window orders that
-    * table (users, not events); the rollup and its share windows run
-    * on the O(10) decile table. `ntile` uses the same
+    * the O(users) per-user count table; at or below the
+    * ScaleOps.SortWindowGate footer count the decile window orders
+    * that table in one task (users, not events — the oracle's own
+    * semantics); above the gate the IDENTICAL decile comes from
+    * ScaleOps.distributedRank + ntileFromRank, so no single-partition
+    * exchange ever carries the user table (forced ≡-pinned in
+    * ScaleOpsSpec). The rollup and its share windows run on the O(10)
+    * decile table either way. `ntile` uses the same
     * equal-fill-earlier-buckets definition in Spark and DuckDB.
     */
-  def qEvPowerUsers(s: SparkSession, dir: String): DataFrame = {
-    val perUser = events(s, dir).groupBy("user_id").agg(count(lit(1)).as("n_events"))
-    val decWin = Window.orderBy(col("n_events").desc, col("user_id"))
+  def qEvPowerUsers(s: SparkSession, dir: String): DataFrame =
+    powerUsersFrom(events(s, dir),
+      scalePath = LlmData.parquetRowCount(s, s"$dir/events.parquet") > ScaleOps.SortWindowGate)
+
+  /** qEvPowerUsers with the path gate exposed so the forced-scale
+    * spec can pin scale ≡ exact on the same input.
+    */
+  private[graft] def powerUsersFrom(ev: DataFrame, scalePath: Boolean): DataFrame = {
+    val perUser = ev.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    val deciled =
+      if (!scalePath) {
+        val decWin = Window.orderBy(col("n_events").desc, col("user_id"))
+        perUser.withColumn("decile", ntile(10).over(decWin))
+      } else {
+        ScaleOps.distributedRank(perUser, Nil,
+            Seq(col("n_events").desc, col("user_id")), "__rn", "__n")
+          .withColumn("decile", ScaleOps.ntileFromRank("__rn", "__n", 10))
+          .drop("__rn", "__n")
+      }
     val cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy()
-    perUser.withColumn("decile", ntile(10).over(decWin))
+    deciled
       .groupBy("decile")
       .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events"))
       .withColumn("share",

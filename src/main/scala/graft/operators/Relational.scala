@@ -467,21 +467,37 @@ object Relational {
     * p05/p95 winsorize whose interpolated bound is an IEEE product).
     * The deterministic (price, orderkey, linenumber) tie-break makes
     * the kept SET identical in both engines even with duplicate
-    * prices. Scale shape: one per-group sort (the window exchange),
-    * conditional sums in the SAME grouped pass give raw and trimmed
-    * moments; at 100 TB the rank trim swaps for approx-quantile
-    * clipping (documented production variant) — the output contract
-    * stays the same.
+    * prices. Scale shape: at or below the ScaleOps.SortWindowGate
+    * footer count, one per-group sort (the window exchange) ranks
+    * each return flag's rows in a single task — fine for a 3-group
+    * table that fits the gate; above it the IDENTICAL (rn, n) pair
+    * comes from ScaleOps.distributedRank grouped on l_returnflag, so
+    * no task ever sorts a whole flag's rows (forced ≡-pinned in
+    * ScaleOpsSpec). Conditional sums in the SAME grouped pass give
+    * raw and trimmed moments either way — the trim stays exact rank
+    * arithmetic at every scale, never approx-quantile drift.
     */
-  def qAggTrimmed(s: SparkSession, dir: String): DataFrame = {
-    val grp = Window.partitionBy("l_returnflag")
-    val rnk = grp.orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+  def qAggTrimmed(s: SparkSession, dir: String): DataFrame =
+    aggTrimmedFrom(lineitem(s, dir),
+      scalePath = LlmData.parquetRowCount(s, s"$dir/lineitem.parquet") > ScaleOps.SortWindowGate)
+
+  /** qAggTrimmed with the path gate exposed so the forced-scale spec
+    * can pin scale ≡ exact on the same input.
+    */
+  private[graft] def aggTrimmedFrom(li: DataFrame, scalePath: Boolean): DataFrame = {
+    val base = li.select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+      col("l_extendedprice"))
+    val order = Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
     val x = d2(col("l_extendedprice"))
-    lineitem(s, dir)
-      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-        col("l_extendedprice"))
-      .withColumn("rn", row_number().over(rnk))
-      .withColumn("n", count(lit(1)).over(grp))
+    val ranked =
+      if (!scalePath) {
+        val grp = Window.partitionBy("l_returnflag")
+        base.withColumn("rn", row_number().over(grp.orderBy(order: _*)).cast("long"))
+          .withColumn("n", count(lit(1)).over(grp))
+      } else {
+        ScaleOps.distributedRank(base, Seq("l_returnflag"), order, "rn", "n")
+      }
+    ranked
       .withColumn("k", expr("n * 5 div 100"))
       .withColumn("kept", col("rn") > col("k") && col("rn") <= col("n") - col("k"))
       .groupBy("l_returnflag")
@@ -502,25 +518,44 @@ object Relational {
     * segmentation readout (score 1 = most recent / most frequent /
     * highest spend). Scale shape: orders reduce ONCE keyed on
     * o_custkey to the O(customers) RFM table; the as-of date is an
-    * O(1) broadcast scalar; the three quartile windows sort customers
-    * (never orders) with deterministic custkey tie-breaks; the final
-    * rollup is O(64). At 100 TB the three full sorts swap for
-    * approx-percentile bucket edges — documented production variant.
+    * O(1) broadcast scalar; at or below the ScaleOps.SortWindowGate
+    * footer count the three quartile windows sort customers (never
+    * orders) in one task with deterministic custkey tie-breaks; above
+    * the gate the IDENTICAL scores come from three
+    * ScaleOps.distributedRank + ntileFromRank passes, so no
+    * single-partition exchange ever carries the customer table
+    * (forced ≡-pinned in ScaleOpsSpec); the final rollup is O(64)
+    * either way.
     */
-  def qSegRfm(s: SparkSession, dir: String): DataFrame = {
+  def qSegRfm(s: SparkSession, dir: String): DataFrame =
+    segRfmFrom(orders(s, dir),
+      scalePath = LlmData.parquetRowCount(s, s"$dir/orders.parquet") > ScaleOps.SortWindowGate)
+
+  /** qSegRfm with the path gate exposed so the forced-scale spec can
+    * pin scale ≡ exact on the same input.
+    */
+  private[graft] def segRfmFrom(ord: DataFrame, scalePath: Boolean): DataFrame = {
     // o_orderdate ships TIMESTAMP_NTZ; the cast to TIMESTAMP is
     // wall-clock identity under the pinned-UTC session (the
     // Tables.events convention) and unix_micros needs LTZ input
     val odUs = unix_micros(col("o_orderdate").cast("timestamp"))
-    val perCust = orders(s, dir).groupBy("o_custkey")
+    val perCust = ord.groupBy("o_custkey")
       .agg(max(odUs).as("last_us"),
         count(lit(1)).as("frequency"), sum(d2(col("o_totalprice"))).as("monetary"))
-    val asOf = orders(s, dir).agg(max(odUs).as("asof_us"))
-    val rfm = perCust.crossJoin(broadcast(asOf))
+    val asOf = ord.agg(max(odUs).as("asof_us"))
+    val base = perCust.crossJoin(broadcast(asOf))
       .withColumn("recency_days", expr("(asof_us - last_us) div 86400000000"))
-      .withColumn("r_score", ntile(4).over(Window.orderBy(col("recency_days"), col("o_custkey"))))
-      .withColumn("f_score", ntile(4).over(Window.orderBy(col("frequency").desc, col("o_custkey"))))
-      .withColumn("m_score", ntile(4).over(Window.orderBy(col("monetary").desc, col("o_custkey"))))
+    def score(df: DataFrame, name: String, order: Seq[Column]): DataFrame =
+      if (!scalePath) df.withColumn(name, ntile(4).over(Window.orderBy(order: _*)))
+      else ScaleOps.distributedRank(df, Nil, order, "__rn", "__n")
+        .withColumn(name, ScaleOps.ntileFromRank("__rn", "__n", 4))
+        .drop("__rn", "__n")
+    val rfm =
+      score(
+        score(
+          score(base, "r_score", Seq(col("recency_days"), col("o_custkey"))),
+          "f_score", Seq(col("frequency").desc, col("o_custkey"))),
+        "m_score", Seq(col("monetary").desc, col("o_custkey")))
     rfm.groupBy("r_score", "f_score", "m_score")
       .agg(count(lit(1)).as("n_customers"),
         sum(col("frequency")).as("n_orders"),

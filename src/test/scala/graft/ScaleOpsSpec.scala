@@ -761,4 +761,107 @@ class ScaleOpsSpec extends SparkSpec {
       s"only $hit/${planted.size} planted partners surfaced as top-1")
     assert(secs < 240, f"50k ANN kNN graph too slow: $secs%.1f s")
   }
+
+  // ===== r12: distributed rank above the SortWindowGate =====
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("sort-window scale paths ≡ exact window paths on harness data") {
+    val ev = Tables.events(spark, dir)
+    assert(sortedRows(graft.operators.EventOps.powerUsersFrom(ev, scalePath = true)) ==
+      sortedRows(graft.operators.EventOps.powerUsersFrom(ev, scalePath = false)),
+      "q_ev_power_users scale path diverged")
+    val ord = Tables.orders(spark, dir)
+    assert(sortedRows(graft.operators.Relational.segRfmFrom(ord, scalePath = true)) ==
+      sortedRows(graft.operators.Relational.segRfmFrom(ord, scalePath = false)),
+      "q_seg_rfm scale path diverged")
+    val li = Tables.lineitem(spark, dir)
+    assert(sortedRows(graft.operators.Relational.aggTrimmedFrom(li, scalePath = true)) ==
+      sortedRows(graft.operators.Relational.aggTrimmedFrom(li, scalePath = false)),
+      "q_agg_trimmed scale path diverged")
+    spark.catalog.clearCache() // distributedRank's documented retention
+  }
+
+  test("ntileFromRank matches ntile() for every remainder shape incl. n < k") {
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(1L, 3L, 7L, 10L, 11L, 40L, 97L)) {
+      val df = spark.range(1, n + 1)
+        .select(col("id").as("rn"), lit(n).as("n"),
+          ScaleOps.ntileFromRank("rn", "n", 10).as("got"),
+          ntile(10).over(Window.orderBy("id")).as("want"))
+      val bad = df.filter(col("got") =!= col("want")).collect()
+      assert(bad.isEmpty, s"n=$n diverged: ${bad.mkString(", ")}")
+    }
+  }
+
+  test("forced scale rank at 200k users: exact deciles, single-partition shuffles stay model-bounded") {
+    val s = spark
+    // 199k single-event users — one giant tie block that crosses every
+    // slice boundary, the worst case for a distributed tie-broken rank
+    // — plus 1k power users at 2–51 events
+    val ev = s.range(200000).select(col("id").as("user_id"),
+        when(col("id") < 1000, col("id") % 50 + 2).otherwise(lit(1L)).as("reps"))
+      .select(col("user_id"), explode(expr("sequence(1, reps)")).as("e")).drop("e")
+    val exact = graft.operators.EventOps.powerUsersFrom(ev, scalePath = false)
+      .collect().map(_.toString).toSeq
+    val scaled = graft.operators.EventOps.powerUsersFrom(ev, scalePath = true)
+    val adaptiveWas = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val got = scaled.collect().map(_.toString).toSeq
+      assert(got == exact, s"scale deciles diverged from exact ntile at 200k users")
+      // runtime proof, not a claim: with AQE off the executed plan keeps
+      // its ShuffleExchangeExec nodes and their write metrics. Every
+      // single-partition exchange must have carried model-bounded rows
+      // (the O(slices) counts table, the O(10) decile rollup) — never
+      // the 200k-row user table the below-gate ntile window sorts.
+      import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val singles = scaled.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+      }
+      assert(singles.nonEmpty, "expected the offset-cumulation exchange in the plan")
+      singles.foreach { e =>
+        val written = e.metrics("shuffleRecordsWritten").value
+        assert(written <= 1000L,
+          s"a single-partition exchange carried $written rows — the model bound is broken:\n$e")
+      }
+    } finally {
+      s.conf.set("spark.sql.adaptive.enabled", adaptiveWas)
+      s.catalog.clearCache()
+    }
+  }
+
+  test("forced grouped scale rank at 150k lineitem rows ≡ exact per-group window") {
+    // 97 distinct prices over 150k rows in 3 flags: every trim boundary
+    // lands inside a tie run, so the (price, okey, lineno) tie-break is
+    // load-bearing across slices
+    val li = spark.range(150000).select(
+      expr("CASE id % 3 WHEN 0 THEN 'A' WHEN 1 THEN 'N' ELSE 'R' END").as("l_returnflag"),
+      expr("id DIV 7").as("l_orderkey"),
+      expr("CAST(id % 7 AS INT)").as("l_linenumber"),
+      expr("CAST(id % 97 AS DECIMAL(15,2))").as("l_extendedprice"))
+    val exact = graft.operators.Relational.aggTrimmedFrom(li, scalePath = false)
+      .collect().map(_.toString).toSeq
+    val scaled = graft.operators.Relational.aggTrimmedFrom(li, scalePath = true)
+      .collect().map(_.toString).toSeq
+    assert(scaled == exact, "grouped scale trim diverged from the window path")
+    spark.catalog.clearCache()
+  }
+
+  test("forced scale RFM at 120k customers ≡ exact quartile windows under total frequency ties") {
+    // every customer has EXACTLY 2 orders — the frequency quartile is
+    // decided entirely by the custkey tie-break, end to end
+    val ord = spark.range(240000).select(
+      (col("id") % 120000).as("o_custkey"),
+      expr("CAST(date_add(DATE '2024-01-01', CAST(id % 700 AS INT)) AS TIMESTAMP)").as("o_orderdate"),
+      expr("CAST(id % 50 * 10 + 5 AS DECIMAL(15,2))").as("o_totalprice"))
+    val exact = graft.operators.Relational.segRfmFrom(ord, scalePath = false)
+      .collect().map(_.toString).toSeq
+    val scaled = graft.operators.Relational.segRfmFrom(ord, scalePath = true)
+      .collect().map(_.toString).toSeq
+    assert(scaled == exact, "scale RFM diverged from the window path")
+    spark.catalog.clearCache()
+  }
 }
