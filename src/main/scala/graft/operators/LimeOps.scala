@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.lime.{Lime, LimeText, SpLime}
@@ -111,6 +111,54 @@ object LimeOps {
       .select((Seq("instance_id", "sample_id") ++
         limeFeatures.flatMap(f => Seq(s"${f}__bin", s"${f}__z", s"${f}__val"))).map(col): _*)
       .orderBy("instance_id", "sample_id")
+  }
+
+  /** Oracle-checked sufficient statistics of the weighted ridge
+    * (`lime_ridge_moments`, r12): the ENTIRE deterministic half of
+    * lime_fit_ridge — everything RidgeAggregator.reduce accumulates
+    * before the (non-SQL) Cholesky solve — emitted as the upper
+    * triangle of the augmented moment matrix M_jk = Σ_samples w·c_j·c_k
+    * over columns c = [1, z₁..z₄, y]. M therefore contains XᵀWX
+    * (j,k ≤ 4), XᵀWy (k = 5), Σw (0,0), Σwy (0,5) and Σwy² (5,5) —
+    * the exact normal-equations input, hash-checked against a full
+    * DuckDB replay (perturb RNG chain + stats + kernel + logistic).
+    * Cross-engine firewall: w and y are 6-dp-quantized to micro-unit
+    * longs per ROW (the q_emb_whiten_cov nano-unit idiom), products
+    * sum exactly in DECIMAL(38,0)/HUGEINT, and the single double
+    * division happens once per cell at the end. LimeSpec closes the
+    * loop by solving these moments locally and matching the
+    * explainTabular ridge output. Scale shape: one narrow perturb
+    * fan-out, one partial-aggregated shuffle on (instance, j, k) —
+    * O(instances·d'²) rows, the RidgeAggregator bound.
+    */
+  def limeRidgeMoments(s: SparkSession, dir: String): DataFrame = {
+    val stats = statsFor(s, dir)
+    momentsFrom(Lime.perturb(instances(s, dir, 2), "instance_id", stats,
+      LimeConfig(nSamples = 8)), stats)
+  }
+
+  /** The moment-matrix computation on an already-perturbed frame —
+    * shared between the graded query and LimeSpec's solve-and-compare
+    * pin (which feeds it the exact perturb config under test).
+    */
+  private[graft] def momentsFrom(pert: DataFrame, stats: Seq[Lime.FeatureStats]): DataFrame = {
+    val y = Lime.logisticScore(stats, limeFeatures.map(f => col(s"${f}__val")))
+    val d2 = limeFeatures.map(f => lit(1.0) - col(s"${f}__z")).reduce(_ + _)
+    val w = sqrt(exp(-d2 / lit(2.25))) // width = 0.75·√d' = 1.5, squared
+    val rows = pert
+      .withColumn("wn", round(w * lit(1e6)).cast("long"))
+      .withColumn("yn", round(y * lit(1e6)).cast("long"))
+    val cms: Seq[Column] = lit(1000000L) +:
+      limeFeatures.map(f => (col(s"${f}__z") * lit(1e6)).cast("long")) :+ col("yn")
+    val terms = for { j <- 0 to 5; k <- j to 5 } yield
+      struct(lit(j).as("j"), lit(k).as("k"),
+        (col("wn").cast("decimal(38,0)") * cms(j) * cms(k)).as("term"))
+    rows.select(col("instance_id"), explode(array(terms.toSeq: _*)).as("m"))
+      .groupBy(col("instance_id"), col("m.j").as("j"), col("m.k").as("k"))
+      .agg(sum(col("m.term")).as("sm"))
+      .select(col("instance_id"), col("j"), col("k"),
+        round(col("sm").cast("double") / lit(1e18), 6).as("moment"))
+      .orderBy("instance_id", "j", "k")
   }
 
   def limeFitRidge(s: SparkSession, dir: String): DataFrame =
@@ -294,6 +342,71 @@ object LimeOps {
        |ORDER BY instance_id, sample_id""".stripMargin
   }
 
+  /** The lime_score stats CTE body (exact-decimal mean/std per
+    * feature) — shared verbatim with the ridge-moments oracle so the
+    * two rows can never drift.
+    */
+  private def scoreStatsBody: String = {
+    def one(f: String, m: String, sd: String) =
+      s"""CAST(SUM(CAST($f AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*) AS $m,
+         |    GREATEST(SQRT(GREATEST((CAST(SUM(CAST($f AS DECIMAL(19,6)) * CAST($f AS DECIMAL(19,6))) AS DOUBLE) - CAST(SUM(CAST($f AS DECIMAL(19,6))) AS DOUBLE) * CAST(SUM(CAST($f AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1.0), 0.0)), 1e-12) AS $sd""".stripMargin
+    s"""
+       |  SELECT
+       |    ${one("l_quantity", "mq", "sq")},
+       |    ${one("l_extendedprice", "me", "se")},
+       |    ${one("l_discount", "md", "sd")},
+       |    ${one("l_tax", "mt", "st_")}
+       |  FROM lineitem
+       |""".stripMargin
+  }
+
+  /** The demo-logistic linear form over four value expressions, in
+    * logisticScore's exact left-to-right add order.
+    */
+  private def scoreLin(vq: String, ve: String, vd: String, vt: String): String =
+    s"0.1 + 0.8 * ($vq - mq) / sq + -0.5 * ($ve - me) / se + 1.2 * ($vd - md) / sd + -0.7 * ($vt - mt) / st_"
+
+  /** The lime_ridge_moments oracle: the lime_perturb replay wrapped as
+    * a CTE, then per row the SAME micro-unit quantization of the
+    * kernel weight and logistic prediction as momentsFrom, exact
+    * HUGEINT sums over the (j, k) spine, one double division per cell.
+    */
+  private def ridgeMomentsOracleSql(nSamples: Int, maxOrderkey: Int): String = {
+    val pert = perturbOracleSql(nSamples, maxOrderkey)
+    // the replay's only ORDER BY is the trailing output sort
+    val core = pert.substring(0, pert.lastIndexOf("\nORDER BY"))
+    val zsum = limeFeatures.map(f => s"(1.0 - ${f}__z)").mkString(" + ")
+    val lin = scoreLin("l_quantity__val", "l_extendedprice__val",
+      "l_discount__val", "l_tax__val")
+    val zc = limeFeatures.zipWithIndex.map { case (f, i) =>
+      s"CAST(${f}__z * 1000000 AS BIGINT) AS c${i + 1}" }.mkString(",\n    ")
+    val caseC = "CASE %s WHEN 0 THEN 1000000 WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 3 THEN c3 WHEN 4 THEN c4 ELSE yn END"
+    s"""WITH pert AS (
+       |$core
+       |),
+       |st AS ($scoreStatsBody),
+       |wy AS (
+       |  SELECT instance_id,
+       |    CAST(ROUND(SQRT(EXP(-($zsum) / 2.25)) * 1000000.0) AS BIGINT) AS wn,
+       |    CAST(ROUND((1.0 / (1.0 + EXP(-($lin)))) * 1000000.0) AS BIGINT) AS yn,
+       |    $zc
+       |  FROM pert CROSS JOIN st
+       |),
+       |jk AS (
+       |  SELECT j, k
+       |  FROM (SELECT unnest(generate_series(0, 5)) AS j),
+       |       (SELECT unnest(generate_series(0, 5)) AS k)
+       |  WHERE k >= j
+       |)
+       |SELECT instance_id, CAST(j AS INT) AS j, CAST(k AS INT) AS k,
+       |  ROUND(CAST(SUM(CAST(wn AS HUGEINT) *
+       |    (${caseC.format("j")}) *
+       |    (${caseC.format("k")})) AS DOUBLE) / 1e18, 6) AS moment
+       |FROM wy CROSS JOIN jk
+       |GROUP BY instance_id, j, k
+       |ORDER BY instance_id, j, k""".stripMargin
+  }
+
   private def statsCte = {
     def one(f: String) =
       s"""SELECT '$f' AS feature,
@@ -338,21 +451,13 @@ object LimeOps {
     // Full RNG replay — see perturbOracleSql / XxSql scaladoc.
     "lime_perturb" -> perturbOracleSql(8, 2),
     "lime_score" ->
-      """WITH st AS (
-        |  SELECT
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*) AS mq,
-        |    GREATEST(SQRT(GREATEST((CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) - CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1.0), 0.0)), 1e-12) AS sq,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*) AS me,
-        |    GREATEST(SQRT(GREATEST((CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) - CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1.0), 0.0)), 1e-12) AS se,
-        |    CAST(SUM(CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*) AS md,
-        |    GREATEST(SQRT(GREATEST((CAST(SUM(CAST(l_discount AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) - CAST(SUM(CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) * CAST(SUM(CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1.0), 0.0)), 1e-12) AS sd,
-        |    CAST(SUM(CAST(l_tax AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*) AS mt,
-        |    GREATEST(SQRT(GREATEST((CAST(SUM(CAST(l_tax AS DECIMAL(19,6)) * CAST(l_tax AS DECIMAL(19,6))) AS DOUBLE) - CAST(SUM(CAST(l_tax AS DECIMAL(19,6))) AS DOUBLE) * CAST(SUM(CAST(l_tax AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1.0), 0.0)), 1e-12) AS st_
-        |  FROM lineitem
-        |)
-        |SELECT l_orderkey * 10 + l_linenumber AS instance_id,
-        |  ROUND(1.0 / (1.0 + EXP(-(0.1 + 0.8 * (l_quantity - mq) / sq + -0.5 * (l_extendedprice - me) / se + 1.2 * (l_discount - md) / sd + -0.7 * (l_tax - mt) / st_))), 6) AS pred
-        |FROM lineitem, st ORDER BY instance_id""".stripMargin,
+      s"""WITH st AS ($scoreStatsBody)
+         |SELECT l_orderkey * 10 + l_linenumber AS instance_id,
+         |  ROUND(1.0 / (1.0 + EXP(-(${scoreLin("l_quantity", "l_extendedprice", "l_discount", "l_tax")}))), 6) AS pred
+         |FROM lineitem, st ORDER BY instance_id""".stripMargin,
+    // Full RNG + kernel + logistic replay closing over the moment
+    // matrix — see ridgeMomentsOracleSql / momentsFrom scaladoc.
+    "lime_ridge_moments" -> ridgeMomentsOracleSql(8, 2),
     "lime_kernel" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         |SELECT p.vec_id AS probe_id, b.vec_id AS vec_id,
@@ -369,6 +474,7 @@ object LimeOps {
     "lime_score" -> (limeScore _),
     "lime_kernel" -> (limeKernel _),
     "lime_perturb" -> (limePerturb _),
+    "lime_ridge_moments" -> (limeRidgeMoments _),
     "lime_fit_ridge" -> (limeFitRidge _),
     "lime_select_topk" -> (limeSelectTopk _),
     "lime_explain_tabular" -> (limeExplainTabular _),

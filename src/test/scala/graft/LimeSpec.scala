@@ -385,4 +385,77 @@ class LimeSpec extends SparkSpec {
       assert(r.getLong(2) == n, s"${r.getString(0)}: n ${r.getLong(2)} != $n")
     }
   }
+
+  test("lime_ridge_moments solves to the RidgeAggregator fit on the same perturb output (r12)") {
+    // the moments row IS the normal-equations input: solving
+    // (G + λ·diag(0,1..1)) β = b from the 6-dp-quantized moment matrix
+    // must reproduce RidgeAggregator's unquantized Cholesky fit on the
+    // SAME (corpus-stats) perturb stream up to the quantization error —
+    // the hash-trust bridge for lime_fit_ridge
+    val li = graft.Tables.lineitem(spark, dir)
+    val inst = li.filter(col("l_orderkey") <= 2)
+      .withColumn("instance_id", col("l_orderkey") * 10 + col("l_linenumber"))
+      .select((Seq("instance_id") ++ LimeOps.limeFeatures).map(col): _*)
+    val moments = LimeOps.limeRidgeMoments(spark, dir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.map(r => (r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+      }
+    // corpus stats — the stats the graded row perturbs and scores with
+    val stats = Lime.fitStats(li, LimeOps.limeFeatures)
+    val pert = Lime.perturb(inst, "instance_id", stats, LimeConfig(nSamples = 8))
+    val yC = Lime.logisticScore(stats, LimeOps.limeFeatures.map(f => col(s"${f}__val")))
+    val d2C = LimeOps.limeFeatures.map(f => lit(1.0) - col(s"${f}__z")).reduce(_ + _)
+    val samples = pert.select(col("instance_id"),
+        array(LimeOps.limeFeatures.map(f => col(s"${f}__z")): _*).as("z"),
+        yC.cast("double").as("y"),
+        sqrt(exp(-d2C / lit(2.25))).cast("double").as("w"),
+        col("sample_id"))
+      .collect()
+      .groupBy(_.getLong(0))
+    val fits = samples.map { case (id, rows) =>
+      val agg = new RidgeAggregator(4, 1.0)
+      var buf = agg.zero
+      rows.sortBy(_.getInt(4)).foreach { r =>
+        buf = agg.reduce(buf, RidgeSample(
+          r.getSeq[Double](1).toArray, r.getDouble(2), r.getDouble(3)))
+      }
+      id -> agg.finish(buf)
+    }
+    assert(moments.keySet == fits.keySet, "instance sets diverged")
+    for ((id, m) <- moments) {
+      def g(j: Int, k: Int) = m(if (j <= k) (j, k) else (k, j))
+      // 5×5 ridge solve by Gaussian elimination with partial pivoting
+      val a = Array.tabulate(5, 6) { (r, c) =>
+        if (c == 5) g(r, 5)
+        else g(r, c) + (if (r == c && r > 0) 1.0 else 0.0) // λ = 1, intercept free
+      }
+      for (p <- 0 until 5) {
+        val piv = (p until 5).maxBy(r => math.abs(a(r)(p)))
+        val t = a(p); a(p) = a(piv); a(piv) = t
+        for (r <- p + 1 until 5) {
+          val f = a(r)(p) / a(p)(p)
+          for (c <- p to 5) a(r)(c) -= f * a(p)(c)
+        }
+      }
+      val beta = new Array[Double](5)
+      for (r <- 4 to 0 by -1)
+        beta(r) = (a(r)(5) - (r + 1 until 5).map(c => a(r)(c) * beta(c)).sum) / a(r)(r)
+      val fit = fits(id)
+      assert(math.abs(beta(0) - fit.intercept) < 5e-3,
+        s"instance $id: intercept ${beta(0)} vs aggregator ${fit.intercept}")
+      LimeOps.limeFeatures.indices.foreach { i =>
+        assert(math.abs(beta(i + 1) - fit.coefs(i)) < 5e-3,
+          s"instance $id/f$i: moment-solved ${beta(i + 1)} vs aggregator ${fit.coefs(i)}")
+      }
+      // r² from the same moments: ssRes = M55 − 2βᵀb + βᵀGβ (unpenalized G)
+      val b = (0 until 5).map(j => g(j, 5))
+      val btb = (0 until 5).map(j => beta(j) * b(j)).sum
+      val btgb = (for (j <- 0 until 5; k <- 0 until 5) yield beta(j) * g(j, k) * beta(k)).sum
+      val ssRes = g(5, 5) - 2 * btb + btgb
+      val ssTot = g(5, 5) - g(0, 5) * g(0, 5) / g(0, 0)
+      val r2 = 1.0 - ssRes / ssTot
+      assert(math.abs(r2 - fit.r2) < 5e-3, s"instance $id: r2 $r2 vs aggregator ${fit.r2}")
+    }
+  }
 }
