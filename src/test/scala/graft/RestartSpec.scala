@@ -198,4 +198,77 @@ class RestartSpec extends SparkSpec {
     assert(run1.forall(!_.contains("2024-01-10")),
       s"day 9 must not have closed before the stop: $run1")
   }
+
+  test("ctxJoinOuter restart: two-sided join state carried, outer null row emits exactly once") {
+    // the one stateful family the other restarts don't cover: a
+    // watermarked stream-stream interval join holds BOTH sides in
+    // state. Pinned across the kill/resume boundary: (a) a pre-stop
+    // click matches a post-restart purchase (left-side state
+    // carried); (b) a clickless purchase held at the stop emits its
+    // organic null row EXACTLY ONCE, after the recovered watermark
+    // finally proves no click can arrive; (c) nothing re-emits.
+    val s = spark
+    import s.implicits._
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val batch1 = Seq(
+      // user 1: click + purchase both pre-stop → matched row in run 1
+      (1L, ts(10), 1L, "click", 1.0), (2L, ts(30), 1L, "purchase", 1.0),
+      // user 2: clickless purchase — held in state at the stop (the
+      // watermark cannot yet prove no click will arrive)
+      (3L, ts(40), 2L, "purchase", 1.0),
+      // user 4: click only — its purchase lands after the restart
+      (4L, ts(20), 4L, "click", 1.0))
+    val batch2 = Seq(
+      (5L, ts(50), 4L, "purchase", 1.0),
+      // watermark advance on BOTH sides (global watermark is the min
+      // across the two delays); same-ts click/purchase never join
+      // (click_ts < purchase_ts is strict) and their own organic rows
+      // stay held past every batch here — no noise in either run
+      (6L, ts(600), 99L, "click", 1.0), (7L, ts(600), 99L, "purchase", 1.0),
+      (8L, ts(610), 98L, "click", 1.0), (9L, ts(610), 98L, "purchase", 1.0))
+    // the flush batch: state eligible under the batch-2 watermark
+    // emits in the NEXT microbatch, so one more file provides it
+    val batch3 = Seq(
+      (10L, ts(620), 97L, "click", 1.0), (11L, ts(620), 97L, "purchase", 1.0))
+
+    def run(src: String, ckpt: String, out: String,
+        phases: Seq[() => Unit]): Seq[String] = {
+      val sch = s.read.parquet(s"$src/batch1.parquet").schema
+      val q = EventStreams.ctxJoinOuter(
+          s.readStream.schema(sch).parquet(s"$src/batch*.parquet"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try phases.foreach { ph => ph(); q.processAllAvailable() } finally q.stop()
+      s.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    }
+
+    val src = tmpDir("graft-ctx-src-")
+    batch1.toDF(cols: _*).write.parquet(s"$src/batch1.parquet")
+    val ckpt = tmpDir("graft-ctx-ckpt-"); val out = tmpDir("graft-ctx-out-")
+    val run1 = run(src, ckpt, out, Seq(() => ()))
+    batch2.toDF(cols: _*).write.parquet(s"$src/batch2.parquet")
+    val all = run(src, ckpt, out, Seq(() => (),
+      () => batch3.toDF(cols: _*).write.parquet(s"$src/batch3.parquet")))
+    val run2 = diff(all, run1)
+
+    // uninterrupted twin, phased the same way past the flush batch
+    val src2 = tmpDir("graft-ctx-src2-")
+    (batch1 ++ batch2).toDF(cols: _*).write.parquet(s"$src2/batch1.parquet")
+    val single = run(src2, tmpDir("graft-ctx-ckpt2-"), tmpDir("graft-ctx-out2-"),
+      Seq(() => (),
+        () => batch3.toDF(cols: _*).write.parquet(s"$src2/batch2.parquet")))
+
+    def uid(r: String): Long = r.drop(1).takeWhile(_ != ',').toLong
+    assert(run1.map(uid) == Seq(1L),
+      s"run 1 must hold everything but the pre-stop match: $run1")
+    assert(run2.map(uid).sorted == Seq(2L, 4L),
+      s"after restart: user 4's cross-restart match + user 2's organic row, got $run2")
+    val organic = all.filter(_.endsWith(",null]"))
+    assert(organic.length == 1 && uid(organic.head) == 2L,
+      s"exactly one organic null row, for user 2: $all")
+    assert(run1.toSet.intersect(run2.toSet).isEmpty,
+      "a joined row re-emitted across the restart")
+    assert(all == single,
+      s"restarted sink diverged from the uninterrupted run:\nall=$all\nsingle=$single")
+  }
 }
