@@ -46,8 +46,8 @@ class PipelineSpec extends SparkSpec {
   private val nEmb = 10000L // docs 0..9999 carry embeddings
 
   /** The synthetic corpus: (doc_id, source, text, shingles, sz). */
-  private def corpus(s: SparkSession): DataFrame = {
-    s.range(nDocs).select(
+  private def corpus(s: SparkSession, nD: Long = nDocs): DataFrame = {
+    s.range(nD).select(
       col("id").as("doc_id"),
       concat(lit("src"), pmod(col("id"), lit(4))).as("source"),
       expr("""CASE
@@ -65,9 +65,9 @@ class PipelineSpec extends SparkSpec {
   /** Embeddings for docs 0..9999: seeded gaussians; dup copies add
     * 0.03σ noise to their base vector (cosine ≈ 0.999 in 64-d).
     */
-  private def embCorpus(s: SparkSession): DataFrame = {
+  private def embCorpus(s: SparkSession, nE: Long = nEmb): DataFrame = {
     import s.implicits._
-    s.range(nEmb).as[Long].map { id =>
+    s.range(nE).as[Long].map { id =>
       val base =
         if (id >= 8000 && id < 8300) 5000 + (id - 8000)
         else if (id >= 6000 && id < 6100) 2 * (id - 6000)
@@ -104,11 +104,12 @@ class PipelineSpec extends SparkSpec {
   private def compose(s: SparkSession,
       textPairsF: DataFrame => DataFrame,
       embPairsF: DataFrame => DataFrame,
-      driverEdgeMax: Long): Composed = {
+      driverEdgeMax: Long,
+      nD: Long = nDocs, nE: Long = nEmb): Composed = {
     // stage 1: quality gate (everything downstream sees survivors only)
-    val docs = corpus(s).filter(qualityKeep)
+    val docs = corpus(s, nD).filter(qualityKeep)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-    val emb = embCorpus(s)
+    val emb = embCorpus(s, nE)
       .join(docs.select(col("doc_id").as("vec_id")), "vec_id")
     // stage 2: exact text dedup — keep each text group's min doc_id
     val wT = Window.partitionBy("text").orderBy("doc_id")
@@ -269,5 +270,66 @@ class PipelineSpec extends SparkSpec {
     val shuffles = verdictPlan.collect { case e: ShuffleExchangeLike => e }.size
     info(s"composed verdict plan: $shuffles shuffles, $bcasts broadcasts")
     s.catalog.clearCache() // pair builders + closure cache internally
+  }
+
+  test("200k-doc soak: above-gate composition scales ~linearly (opt-in, GRAFT_SOAK=1)") {
+    // session-budget scale probe, excluded from the regular battery:
+    // the SAME above-gate composition at 4x the corpus (plants and the
+    // quality gate are id-anchored, so the expected pair set is
+    // IDENTICAL — only the unique-doc bulk grows). Pins (a) the edge
+    // set still equals the planted expectation at 200k, (b) no
+    // all-pairs operator appears in the edge plan, (c) wall time grows
+    // sublinearly-in-slack vs the 50k run measured in the same JVM —
+    // a superlinear (pairwise) regression would blow the 4x budget.
+    assume(sys.env.get("GRAFT_SOAK").contains("1"), "opt-in: set GRAFT_SOAK=1")
+    val s = spark
+    import s.implicits._
+    val embTables = LlmData.lshTablesFor(0.9, LlmData.EmbScaleBits,
+      LlmData.EmbLshRecallTarget).toInt
+    def runAt(nD: Long, nE: Long): (Double, Seq[(Long, Long)]) = {
+      s.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val c = compose(s,
+        sh => LlmData.textPairsBanded(sh, 0.3, s),
+        e => LlmData.embNearDupLsh(e, 0.9, LlmData.EmbScaleBits, embTables,
+          LlmData.EmbLshSeed),
+        driverEdgeMax = 0L, nD = nD, nE = nE)
+      val edges = c.edges.as[(Long, Long)].collect().sorted.toSeq
+      // materialize every stage the 50k test materializes, so the
+      // timing pair compares the same amount of work
+      c.clusters.count(); c.verdict.count(); c.mix.count(); c.split.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val edgePlan = c.edges.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      val allPairsOps = edgePlan.collect {
+        case cp: org.apache.spark.sql.execution.joins.CartesianProductExec => cp
+        case b: BroadcastNestedLoopJoinExec => b
+      }
+      assert(allPairsOps.isEmpty,
+        s"edge build at $nD docs planned an all-pairs operator:\n$edgePlan")
+      (secs, edges)
+    }
+    val (t50, e50) = runAt(50000L, 10000L)
+    val (t200, e200) = runAt(200000L, 40000L)
+    info(f"soak timing pair: 50k = $t50%.1f s, 200k = $t200%.1f s " +
+      f"(ratio ${t200 / t50}%.2f vs linear 4.0)")
+    assert(e200 == e50,
+      s"planted edge set drifted with corpus growth (${e200.length} vs ${e50.length})")
+    // independent expectation, same as the 50k test's
+    val keptIds = corpus(s).filter(qualityKeep)
+      .filter(col("doc_id") < 10000)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = ((0 until 1000).map(i => (2L * i, 2L * i + 1)) ++
+        (0 until 300).map(i => (5000L + i, 8000L + i)) ++
+        (0 until 100).map(i => (2L * i, 6000L + i)))
+      .filter { case (a, b) => keptIds(a) && keptIds(b) }.sorted
+    assert(e200 == expected, s"200k edge set != planted expectation " +
+      s"(got ${e200.length}, expected ${expected.length})")
+    // linear budget with fixed-overhead slack: 4x data in <= 6x time
+    assert(t200 <= 6.0 * t50 + 30.0,
+      f"200k composition superlinear: $t50%.1f s -> $t200%.1f s")
+    s.catalog.clearCache()
   }
 }
