@@ -214,7 +214,11 @@ object EventOps {
     val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
     uw.join(cohort, "user_id")
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
-      .agg(countDistinct(col("user_id")).as("n_active"))
+      // count(1), not countDistinct: uw is distinct on (user, week) and
+      // (cohort_week, offset) is a function of (user, week), so a user
+      // appears at most once per cell — the distinct-aggregate's extra
+      // expand/exchange phase would count the same thing slower
+      .agg(count(lit(1)).as("n_active"))
       .join(broadcast(sizes), "cohort_week")
       .select(col("cohort_week"), col("week_offset"), col("n_active"), col("cohort_size"),
         round(col("n_active").cast("double") / col("cohort_size"), 6).as("retention"))

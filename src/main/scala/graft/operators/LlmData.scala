@@ -4207,7 +4207,10 @@ object LlmData {
     * O(sources) + one doc-spine join that never carries text.
     */
   def qQualityLengthMad(s: SparkSession, dir: String): DataFrame = {
-    val lens = documents(s, dir).select(col("source"), col("doc_id"), col("n_chars"))
+    // (source, n_chars) only — doc_id is never read downstream, and
+    // this cache is corpus-sized (the one r11 cache that is), so every
+    // dropped column is real memory at scale
+    val lens = documents(s, dir).select(col("source"), col("n_chars"))
     val med = lens.groupBy("source")
       .agg(expr("percentile(n_chars, 0.5D)").as("med"))
     val joined = lens.join(med, "source").cache() // feeds MAD AND the flag census

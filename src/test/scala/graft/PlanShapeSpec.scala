@@ -274,8 +274,13 @@ class PlanShapeSpec extends SparkSpec {
     pin("q_stat_cuped", 4, 1)          // user reduce + arm census + windows; O(1) mid
     pin("q_seg_rfm", 3, 1)             // custkey reduce + ntile sort + rollup; O(1) asof
     pin("q_ev_anomaly_mad", 5, 0)      // fill + explode aggs on the cached model table
-    pin("q_ev_cohort", 7, 2)           // (user,week) reduce + first-week/size joins
+    // r12: count(1) replaced countDistinct (provably unique per cell) —
+    // the distinct-aggregate's extra exchange is gone
+    pin("q_ev_cohort", 6, 2)           // (user,week) reduce + first-week/size joins
     pin("q_ev_lifecycle", 6, 4)        // keyed self-joins on the cached activity table
     pin("q_emb_bitsketch_knn", 2, 1)   // cached sketch bcast; pairs never carry vectors
+    // r12: narrow perturb fan-out + ONE (instance, j, k) partial-agg
+    // exchange + output sort — the O(instances·d'²) ridge shuffle bound
+    pin("lime_ridge_moments", 2, 0)
   }
 }
