@@ -161,6 +161,99 @@ object LimeOps {
       .orderBy("instance_id", "j", "k")
   }
 
+  /** Oracle-checked ridge SOLVE (`lime_ridge_solve`, r12): the 5×5
+    * weighted-ridge system (G + λ·diag(0,1..1)) β = b solved by an
+    * UNROLLED Cholesky factorization + forward/back substitution over
+    * the lime_ridge_moments matrix — closing the last gap in the LIME
+    * trust chain: perturb (oracle) → moments (oracle) → solve (THIS
+    * row, oracle) ≈ RidgeAggregator fit (LimeSpec, quantization
+    * tolerance). The same stage program (choleskyStages) emits the
+    * IDENTICAL SQL arithmetic strings to Spark and DuckDB, and since
+    * +, −, ×, ÷ and SQRT are all IEEE-754 correctly rounded, equal
+    * text on equal inputs is bit-identical output — the one firewall
+    * the moments row already provides (its cells are hash-matched
+    * 6-dp doubles). Mirrors RidgeAggregator.finish: λ = 1 skips the
+    * intercept, r² = 1 − ssRes/ssTot on the unpenalized Gram,
+    * local_pred = Σβ (the binary-rep prediction at the instance).
+    * Scale shape: the moments aggregation (one partial-agg exchange)
+    * followed by per-row O(d'³) scalar arithmetic — nothing new
+    * shuffles.
+    */
+  def limeRidgeSolve(s: SparkSession, dir: String): DataFrame =
+    ridgeSolveFrom(limeRidgeMoments(s, dir))
+
+  private[graft] def ridgeSolveFrom(m: DataFrame): DataFrame = {
+    val cells = for { j <- 0 to 5; k <- j to 5 } yield
+      max(when(col("j") === j && col("k") === k, col("moment"))).as(s"m$j$k")
+    val wide = m.groupBy("instance_id").agg(cells.head, cells.tail: _*)
+    val staged = choleskyStages.foldLeft(wide) { (df, st) =>
+      df.selectExpr("*" +: st.map { case (n, e) => s"$e AS $n" }: _*)
+    }
+    staged.selectExpr(solveOutputCols: _*).orderBy("instance_id")
+  }
+
+  /** The shared unrolled-Cholesky stage program (see limeRidgeSolve).
+    * Each stage references only columns from earlier stages; the
+    * subtraction orders inside a cell match RidgeAggregator's
+    * ascending-k loops so the spec comparison is algorithm-faithful,
+    * not just numerically close.
+    */
+  private def choleskyStages: Seq[Seq[(String, String)]] = Seq(
+    // A = G + λ·diag(0,1,1,1,1) with λ = 1 (the LimeConfig default);
+    // b = XᵀWy (column 5 of the moment matrix)
+    Seq("a00" -> "m00", "a10" -> "m01", "a20" -> "m02", "a30" -> "m03", "a40" -> "m04",
+      "a11" -> "m11 + 1.0", "a21" -> "m12", "a31" -> "m13", "a41" -> "m14",
+      "a22" -> "m22 + 1.0", "a32" -> "m23", "a42" -> "m24",
+      "a33" -> "m33 + 1.0", "a43" -> "m34", "a44" -> "m44 + 1.0",
+      "b0" -> "m05", "b1" -> "m15", "b2" -> "m25", "b3" -> "m35", "b4" -> "m45"),
+    Seq("l00" -> "SQRT(a00)"),
+    Seq("l10" -> "a10 / l00", "l20" -> "a20 / l00",
+      "l30" -> "a30 / l00", "l40" -> "a40 / l00"),
+    Seq("l11" -> "SQRT(a11 - l10 * l10)"),
+    Seq("l21" -> "(a21 - l20 * l10) / l11", "l31" -> "(a31 - l30 * l10) / l11",
+      "l41" -> "(a41 - l40 * l10) / l11"),
+    Seq("l22" -> "SQRT(a22 - l20 * l20 - l21 * l21)"),
+    Seq("l32" -> "(a32 - l30 * l20 - l31 * l21) / l22",
+      "l42" -> "(a42 - l40 * l20 - l41 * l21) / l22"),
+    Seq("l33" -> "SQRT(a33 - l30 * l30 - l31 * l31 - l32 * l32)"),
+    Seq("l43" -> "(a43 - l40 * l30 - l41 * l31 - l42 * l32) / l33"),
+    Seq("l44" -> "SQRT(a44 - l40 * l40 - l41 * l41 - l42 * l42 - l43 * l43)"),
+    // forward substitution L z = b
+    Seq("z0" -> "b0 / l00"),
+    Seq("z1" -> "(b1 - l10 * z0) / l11"),
+    Seq("z2" -> "(b2 - l20 * z0 - l21 * z1) / l22"),
+    Seq("z3" -> "(b3 - l30 * z0 - l31 * z1 - l32 * z2) / l33"),
+    Seq("z4" -> "(b4 - l40 * z0 - l41 * z1 - l42 * z2 - l43 * z3) / l44"),
+    // back substitution Lᵀ β = z
+    Seq("bt4" -> "z4 / l44"),
+    Seq("bt3" -> "(z3 - l43 * bt4) / l33"),
+    Seq("bt2" -> "(z2 - l32 * bt3 - l42 * bt4) / l22"),
+    Seq("bt1" -> "(z1 - l21 * bt2 - l31 * bt3 - l41 * bt4) / l11"),
+    Seq("bt0" -> "(z0 - l10 * bt1 - l20 * bt2 - l30 * bt3 - l40 * bt4) / l00"),
+    // weighted R² on the UNPENALIZED Gram (RidgeAggregator.solveSubset)
+    Seq(
+      "gb0" -> "m00 * bt0 + m01 * bt1 + m02 * bt2 + m03 * bt3 + m04 * bt4",
+      "gb1" -> "m01 * bt0 + m11 * bt1 + m12 * bt2 + m13 * bt3 + m14 * bt4",
+      "gb2" -> "m02 * bt0 + m12 * bt1 + m22 * bt2 + m23 * bt3 + m24 * bt4",
+      "gb3" -> "m03 * bt0 + m13 * bt1 + m23 * bt2 + m33 * bt3 + m34 * bt4",
+      "gb4" -> "m04 * bt0 + m14 * bt1 + m24 * bt2 + m34 * bt3 + m44 * bt4"),
+    Seq(
+      "btgb" -> "bt0 * gb0 + bt1 * gb1 + bt2 * gb2 + bt3 * gb3 + bt4 * gb4",
+      "btb" -> "bt0 * b0 + bt1 * b1 + bt2 * b2 + bt3 * b3 + bt4 * b4"),
+    Seq("ss_res" -> "m55 - 2.0 * btb + btgb",
+      "ss_tot" -> "m55 - m05 * m05 / m00"))
+
+  /** Output select list shared verbatim by both engines. */
+  private def solveOutputCols: Seq[String] = Seq(
+    "instance_id",
+    "ROUND(bt0, 6) AS intercept",
+    "ROUND(bt1, 6) AS w_l_quantity",
+    "ROUND(bt2, 6) AS w_l_extendedprice",
+    "ROUND(bt3, 6) AS w_l_discount",
+    "ROUND(bt4, 6) AS w_l_tax",
+    "ROUND(CASE WHEN ss_tot <= 0.0 THEN 1.0 ELSE 1.0 - ss_res / ss_tot END, 6) AS r2",
+    "ROUND(bt0 + bt1 + bt2 + bt3 + bt4, 6) AS local_pred")
+
   def limeFitRidge(s: SparkSession, dir: String): DataFrame =
     Lime.explainTabular(instances(s, dir, 20), "instance_id", limeFeatures,
       LimeConfig(nSamples = 256, kFeatures = 4))
@@ -407,6 +500,34 @@ object LimeOps {
        |ORDER BY instance_id, j, k""".stripMargin
   }
 
+  /** The lime_ridge_solve oracle: the full moments replay as a CTE,
+    * the same 21-cell pivot, then the choleskyStages program emitted
+    * verbatim as chained CTEs — identical arithmetic text to the
+    * Spark side, hence bit-identical doubles (see limeRidgeSolve).
+    */
+  private def ridgeSolveOracleSql(nSamples: Int, maxOrderkey: Int): String = {
+    val momentsSql = ridgeMomentsOracleSql(nSamples, maxOrderkey)
+    val core = momentsSql.substring(0, momentsSql.lastIndexOf("\nORDER BY"))
+    val cellSelect = (for { j <- 0 to 5; k <- j to 5 } yield
+      s"MAX(CASE WHEN j = $j AND k = $k THEN moment END) AS m$j$k").mkString(",\n    ")
+    val stageCtes = choleskyStages.zipWithIndex.map { case (st, i) =>
+      val prev = if (i == 0) "wide" else s"s$i"
+      s"s${i + 1} AS (SELECT *, ${st.map { case (n, e) => s"$e AS $n" }.mkString(", ")} FROM $prev)"
+    }.mkString(",\n")
+    s"""WITH mom AS (
+       |$core
+       |),
+       |wide AS (
+       |  SELECT instance_id,
+       |    $cellSelect
+       |  FROM mom GROUP BY instance_id
+       |),
+       |$stageCtes
+       |SELECT ${solveOutputCols.mkString(",\n  ")}
+       |FROM s${choleskyStages.length}
+       |ORDER BY instance_id""".stripMargin
+  }
+
   private def statsCte = {
     def one(f: String) =
       s"""SELECT '$f' AS feature,
@@ -458,6 +579,8 @@ object LimeOps {
     // Full RNG + kernel + logistic replay closing over the moment
     // matrix — see ridgeMomentsOracleSql / momentsFrom scaladoc.
     "lime_ridge_moments" -> ridgeMomentsOracleSql(8, 2),
+    // Unrolled Cholesky over the moments replay — see ridgeSolveOracleSql.
+    "lime_ridge_solve" -> ridgeSolveOracleSql(8, 2),
     "lime_kernel" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         |SELECT p.vec_id AS probe_id, b.vec_id AS vec_id,
@@ -475,6 +598,7 @@ object LimeOps {
     "lime_kernel" -> (limeKernel _),
     "lime_perturb" -> (limePerturb _),
     "lime_ridge_moments" -> (limeRidgeMoments _),
+    "lime_ridge_solve" -> (limeRidgeSolve _),
     "lime_fit_ridge" -> (limeFitRidge _),
     "lime_select_topk" -> (limeSelectTopk _),
     "lime_explain_tabular" -> (limeExplainTabular _),

@@ -457,5 +457,25 @@ class LimeSpec extends SparkSpec {
       val r2 = 1.0 - ssRes / ssTot
       assert(math.abs(r2 - fit.r2) < 5e-3, s"instance $id: r2 $r2 vs aggregator ${fit.r2}")
     }
+    // and the ORACLE-CHECKED solve row agrees with the aggregator fit
+    // too — Cholesky (the graded row) vs Gaussian elimination (this
+    // spec) on the same quantized system, both within the moment
+    // quantization tolerance of the unquantized aggregator
+    val solved = LimeOps.limeRidgeSolve(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(solved.keySet == fits.keySet, "solve-row instance set diverged")
+    for ((id, fit) <- fits) {
+      val r = solved(id)
+      assert(math.abs(r.getDouble(1) - fit.intercept) < 5e-3,
+        s"instance $id: solve intercept ${r.getDouble(1)} vs aggregator ${fit.intercept}")
+      LimeOps.limeFeatures.indices.foreach { i =>
+        assert(math.abs(r.getDouble(2 + i) - fit.coefs(i)) < 5e-3,
+          s"instance $id/f$i: solve ${r.getDouble(2 + i)} vs aggregator ${fit.coefs(i)}")
+      }
+      assert(math.abs(r.getDouble(6) - fit.r2) < 5e-3,
+        s"instance $id: solve r2 ${r.getDouble(6)} vs aggregator ${fit.r2}")
+      assert(math.abs(r.getDouble(7) - fit.localPred) < 2e-2,
+        s"instance $id: solve local_pred ${r.getDouble(7)} vs aggregator ${fit.localPred}")
+    }
   }
 }
