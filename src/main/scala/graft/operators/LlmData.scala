@@ -4238,6 +4238,56 @@ object LlmData {
     * trusting fold-wise metrics. One corpus reduction to the O(5)
     * census; the share window runs on it.
     */
+  /** DSIR-style importance log-weights (`q_sample_dsir`, r12): per
+    * document, the unigram importance score
+    * Σ_w [ln p_target(w) − ln p_rest(w)] that distribution-matched
+    * data selection ranks by (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023 —
+    * public; hashed-ngram variant ≡ this with identity hashing, which
+    * the fixture's bounded vocab makes exact). Target = the English
+    * slice, rest = every other language; both unigram LMs use add-one
+    * smoothing over the SHARED vocabulary so zero counts stay finite.
+    * keep = positive total log-ratio (the doc looks more like the
+    * target than the rest).
+    *
+    * Cross-engine firewall: each word's log-ratio quantizes ONCE on
+    * the O(vocab) weight table (round(·×1e9) → long — the langScores
+    * nano-ln precedent, proven at three SFs), per-doc totals are
+    * exact long sums, and the closing divisions run on the same exact
+    * longs in both engines. Scale shape: the token stream reduces
+    * ONCE to the O(vocab) count table (one conditional-sum pass, no
+    * per-slice rescan); totals are an O(1) broadcast; the per-doc
+    * pass is ONE keyed join of the token stream against the weight
+    * table (Spark broadcasts it while the vocab fits — natural-
+    * language unigram vocabs do at ~10⁸ entries; past that the join
+    * shuffles on word and the q_agg_salted recipe handles stopword
+    * skew) followed by a doc-keyed partial aggregation. Docs with no
+    * tokens have no defined score and are absent in both engines.
+    */
+  def qSampleDsir(s: SparkSession, dir: String): DataFrame = {
+    val words = docsNorm(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(expr(wordsExpr)).as("word"))
+    val wc = words.groupBy("word").agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tw"),
+      sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("sw"))
+    val tot = wc.agg(sum(col("tw")).as("tt"), sum(col("sw")).as("ss"),
+      count(lit(1)).as("vv"))
+    val weights = wc.crossJoin(broadcast(tot))
+      .select(col("word"),
+        round((log((col("tw") + lit(1.0)) / (col("tt") + col("vv"))) -
+          log((col("sw") + lit(1.0)) / (col("ss") + col("vv")))) * lit(1e9))
+          .cast("long").as("lwn"))
+    words.join(weights, "word")
+      .groupBy("doc_id", "source", "lang")
+      .agg(count(lit(1)).as("n_words"), sum(col("lwn")).as("lsum"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_words"),
+        round(col("lsum").cast("double") / lit(1e9), 6).as("dsir_logw"),
+        round(col("lsum").cast("double") / lit(1e9) / col("n_words"), 6).as("dsir_avg"),
+        (col("lsum") > 0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
   def qSampleKfold(s: SparkSession, dir: String): DataFrame = {
     val all = Window.partitionBy()
     documents(s, dir)
@@ -5975,6 +6025,33 @@ object LlmData {
         |GROUP BY j.source ORDER BY j.source""".stripMargin,
     // Same double-Lehmer hash (the q_sample_split literal chain),
     // exact counts, one ROUND(6) share.
+    // Nano-ln quantization on the O(vocab) weight table (the
+    // langScores precedent); per-doc totals are exact long sums.
+    "q_sample_dsir" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, lang,
+        |    unnest(string_split(lower(trim(text)), ' ')) AS word
+        |  FROM documents
+        |), w2 AS (SELECT * FROM w WHERE word <> ''),
+        |wc AS (
+        |  SELECT word,
+        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tw,
+        |    SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS sw
+        |  FROM w2 GROUP BY word
+        |),
+        |tot AS (SELECT SUM(tw) AS tt, SUM(sw) AS ss, COUNT(*) AS vv FROM wc),
+        |wt AS (
+        |  SELECT word,
+        |    CAST(ROUND((LN((tw + 1.0) / (tt + vv)) - LN((sw + 1.0) / (ss + vv))) * 1000000000.0) AS BIGINT) AS lwn
+        |  FROM wc CROSS JOIN tot
+        |)
+        |SELECT doc_id, source, lang, COUNT(*) AS n_words,
+        |  ROUND(CAST(SUM(lwn) AS DOUBLE) / 1e9, 6) AS dsir_logw,
+        |  ROUND(CAST(SUM(lwn) AS DOUBLE) / 1e9 / COUNT(*), 6) AS dsir_avg,
+        |  (SUM(lwn) > 0) AS keep
+        |FROM w2 JOIN wt USING (word)
+        |GROUP BY doc_id, source, lang
+        |ORDER BY doc_id""".stripMargin,
     "q_sample_kfold" ->
       """WITH d AS (
         |  SELECT ((doc_id * 48271) % 2147483647 * 48271) % 2147483647 % 5 AS fold,
@@ -7392,6 +7469,7 @@ object LlmData {
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_budget" -> (qSampleBudget _),
     "q_sample_neyman" -> (qSampleNeyman _),
+    "q_sample_dsir" -> (qSampleDsir _),
     "q_sample_kfold" -> (qSampleKfold _),
     "q_quality_length_mad" -> (qQualityLengthMad _),
     "q_dedup_crosssrc" -> (qDedupCrosssrc _),

@@ -1434,4 +1434,49 @@ class LlmDataSpec extends SparkSpec {
     // exactly k rows per vector
     assert(got.forall(_._3 <= 64) && got.size == vecs.size * 5)
   }
+
+  test("q_sample_dsir matches a full driver-side recompute; target-language docs score higher") {
+    val dir = "/root/testdata/sf0.001"
+    // independent recompute: same tokenizer, smoothing and nano-ln
+    // quantization, entirely in driver Scala
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "source", "lang", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3).trim.toLowerCase.split(" ").filter(_.nonEmpty)))
+    val tw = scala.collection.mutable.Map.empty[String, Long]
+    val sw = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (_, _, lang, ws) =>
+      val m = if (lang == "en") tw else sw
+      ws.foreach(w => m(w) = m.getOrElse(w, 0L) + 1)
+    }
+    val vocab = (tw.keySet ++ sw.keySet)
+    val (tt, ss, vv) = (tw.values.sum, sw.values.sum, vocab.size.toLong)
+    val lwn = vocab.map { w =>
+      w -> math.round((math.log((tw.getOrElse(w, 0L) + 1.0) / (tt + vv)) -
+        math.log((sw.getOrElse(w, 0L) + 1.0) / (ss + vv))) * 1e9)
+    }.toMap
+    val want = docs.filter(_._4.nonEmpty).map { case (id, src, lang, ws) =>
+      val lsum = ws.map(lwn).sum
+      (id, src, lang, ws.length.toLong, lsum, lsum > 0)
+    }.sortBy(_._1).toSeq
+    val got = graft.operators.LlmData.qSampleDsir(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        math.round(r.getDouble(4) * 1e9), r.getBoolean(6))).toSeq
+    assert(got.size == want.size, s"row count ${got.size} != recompute ${want.size}")
+    got.zip(want).foreach { case (g, w) =>
+      // dsir_logw is the 6-dp rounding of lsum/1e9: compare at that
+      // resolution (±500 nano-units of the exact long)
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3 && g._4 == w._4 &&
+        math.abs(g._5 - w._5) <= 500 && g._6 == w._6,
+        s"doc ${g._1}: $g != recompute $w")
+    }
+    // the planted direction: the target slice must out-score the rest
+    // on average — DSIR's whole point
+    val (en, rest) = want.partition(_._3 == "en")
+    def meanAvg(xs: Seq[(Long, String, String, Long, Long, Boolean)]): Double =
+      xs.map(x => x._5.toDouble / 1e9 / x._4).sum / xs.size
+    assert(meanAvg(en) > meanAvg(rest),
+      f"en mean per-word log-ratio ${meanAvg(en)}%.4f not above rest ${meanAvg(rest)}%.4f")
+  }
 }
