@@ -1979,6 +1979,32 @@ object LlmData {
     * scan-side map, the bucket join touches nProbe/K of the corpus,
     * and the centroid table stays O(K) broadcast bytes.
     */
+  /** ANN recall@k evaluation (`q_emb_ann_recall`, r12): per probe,
+    * how many of the exact top-10 cosine neighbors (q_sim_topk_cosine,
+    * the brute-force baseline) the IVF index (q_sim_ivf_ann) actually
+    * returned — THE acceptance metric every vector-index deployment
+    * gates on, promoted from the spec suite to a first-class graded
+    * query. Composes the two already-oracle-checked graphs with a
+    * left join on (probe, neighbor id); recall is a ratio of exact
+    * long counts, so the only double is the one closing division.
+    * Scale shape: inherits both builders' shapes (the exact baseline
+    * carries q_emb_knn's 8192-vector footer gate reasoning — at
+    * corpus scale the baseline comes from a sampled probe set, which
+    * is exactly what this query's 5-probe slice is); the join and
+    * rollup touch O(probes·k) rows.
+    */
+  def qEmbAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = qSimTopkCosine(s, dir).select(col("probe_id"), col("vec_id"))
+    val ann = qSimIvfAnn(s, dir).select(col("probe_id"), col("vec_id"))
+      .withColumn("hit", lit(1L))
+    exact.join(ann, Seq("probe_id", "vec_id"), "left")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("probe_id"), col("k"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("k"), 6).as("recall"))
+      .orderBy("probe_id")
+  }
+
   def qSimIvfAnn(s: SparkSession, dir: String): DataFrame = {
     val emb = embWithNorms(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
@@ -2431,6 +2457,44 @@ object LlmData {
     * candidates via the cell-keyed join, rank over the ROUNDED cosine
     * with the production tie rule (cosine DESC, vec_id).
     */
+  /** q_sim_topk_cosine's replay — a def so the ANN recall oracle can
+    * compose it verbatim with the IVF replay.
+    */
+  private def topkCosineOracleSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |scored AS (
+      |  SELECT p.vec_id AS probe_id, e.vec_id,
+      |    ROUND(list_cosine_similarity(p.e, e.e), 6) AS cosine
+      |  FROM v p JOIN v e ON p.vec_id < 5 AND e.vec_id <> p.vec_id
+      |), ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rnk
+      |  FROM scored
+      |)
+      |SELECT probe_id, vec_id, cosine, rnk FROM ranked WHERE rnk <= 10
+      |ORDER BY probe_id, rnk""".stripMargin
+
+  /** The q_emb_ann_recall oracle: the exact top-k replay and the full
+    * IVF-ANN replay as CTEs, recall = the id-set overlap per probe.
+    * Each replay is independently hash-proven against its Spark twin,
+    * so the joined id sets — and therefore the recall — agree by
+    * construction; this row pins the COMPOSITION.
+    */
+  private def annRecallOracleSql: String = {
+    def core(sql: String): String = sql.substring(0, sql.lastIndexOf("\nORDER BY"))
+    s"""WITH exact_g AS (
+       |${core(topkCosineOracleSql)}
+       |),
+       |ann_g AS (
+       |${core(ivfAnnOracleSql)}
+       |)
+       |SELECT e.probe_id, COUNT(*) AS k,
+       |  CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  ROUND(CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS recall
+       |FROM exact_g e LEFT JOIN ann_g a ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+       |GROUP BY e.probe_id
+       |ORDER BY e.probe_id""".stripMargin
+  }
+
   private[graft] def ivfAnnOracleSql: String =
     s"""$annOraclePrefix,
        |p1 AS (
@@ -6403,18 +6467,9 @@ object LlmData {
         |), mx
         |WHERE cosine >= 0.4 AND b_id > m - CAST(FLOOR(m / 10.0) AS BIGINT)
         |ORDER BY a_id, b_id""".stripMargin,
-    "q_sim_topk_cosine" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |scored AS (
-        |  SELECT p.vec_id AS probe_id, e.vec_id,
-        |    ROUND(list_cosine_similarity(p.e, e.e), 6) AS cosine
-        |  FROM v p JOIN v e ON p.vec_id < 5 AND e.vec_id <> p.vec_id
-        |), ranked AS (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rnk
-        |  FROM scored
-        |)
-        |SELECT probe_id, vec_id, cosine, rnk FROM ranked WHERE rnk <= 10
-        |ORDER BY probe_id, rnk""".stripMargin,
+    "q_sim_topk_cosine" -> topkCosineOracleSql,
+    // Both graph replays joined on ids — see annRecallOracleSql.
+    "q_emb_ann_recall" -> annRecallOracleSql,
     // Semantics-level oracle (plain N² join + window): the engine's
     // per-row broadcast top-k must equal rank-by-(rounded cosine, id).
     // The q_emb_knn rank-1 replay + two label joins; exact counts and
@@ -7496,6 +7551,7 @@ object LlmData {
     "q_sim_topk_cosine" -> (qSimTopkCosine _),
     "q_sim_lsh_ann" -> (qSimLshAnn _),
     "q_sim_ivf_ann" -> (qSimIvfAnn _),
+    "q_emb_ann_recall" -> (qEmbAnnRecall _),
     "q_sim_ivf2_ann" -> (qSimIvf2Ann _),
     "q_emb_norm_ops" -> (qEmbNormOps _),
     "q_emb_assign" -> (qEmbAssign _),

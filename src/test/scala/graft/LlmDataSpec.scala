@@ -1479,4 +1479,28 @@ class LlmDataSpec extends SparkSpec {
     assert(meanAvg(en) > meanAvg(rest),
       f"en mean per-word log-ratio ${meanAvg(en)}%.4f not above rest ${meanAvg(rest)}%.4f")
   }
+
+  test("q_emb_ann_recall equals the intersection of the two graded graphs") {
+    val dir = "/root/testdata/sf0.001"
+    def ids(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("probe_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (p, rs) => p -> rs.map(_.getLong(1)).toSet }
+    val exact = ids(LlmData.qSimTopkCosine(spark, dir))
+    val ann = ids(LlmData.qSimIvfAnn(spark, dir))
+    val got = LlmData.qEmbAnnRecall(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet == exact.keySet, "probe set diverged")
+    got.foreach { case (p, k, nHit, recall) =>
+      assert(k == 10, s"probe $p: k=$k")
+      val want = exact(p).intersect(ann.getOrElse(p, Set.empty)).size
+      assert(nHit == want, s"probe $p: n_hit $nHit != recomputed intersection $want")
+      assert(math.abs(recall - want / 10.0) < 1e-9, s"probe $p: recall $recall")
+    }
+    // the index must be USEFUL at fixture scale (nProbe = half the
+    // lists): mean recall well above chance, pinned loosely enough to
+    // survive fixture regeneration
+    val mean = got.map(_._4).sum / got.length
+    assert(mean >= 0.5, f"mean recall@10 $mean%.2f below the 0.5 floor")
+    spark.catalog.clearCache() // qSimIvfAnn's documented emb cache
+  }
 }
