@@ -272,6 +272,78 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** Always-valid sequential A/B test (`q_stat_sprt`, r12): per event
+    * type, the mixture-SPRT always-valid p-value process over the day
+    * sequence (Johari, Koomen, Pekelis & Walsh, "Peeking at A/B
+    * Tests", KDD 2017 — public): arms = user_id mod 2 (the
+    * q_stat_cuped split), cumulative per-arm moments per day,
+    * Λ_d = √(V/(V+τ²)) · exp(δ²τ²/(2V(V+τ²))) with
+    * V = σ̂²(1/n₀+1/n₁) from the pooled cumulative variance and the
+    * mixture variance tied to the observation scale (τ² = σ̂²/4, the
+    * standard tuning), and p_d = running min over days of
+    * min(1, 1/Λ) — the p-value a dashboard may legally peek at every
+    * day. Cross-engine firewall: cumulative moments are exact
+    * decimal/long window sums over the O(types×days) model table;
+    * the per-day 1/Λ quantizes to micro-units (LEAST(10⁶,
+    * round(10⁶/Λ)) → long) BEFORE the running min, so the
+    * monotone-min chain compares exact longs, never raw doubles —
+    * the one exp per day is the round-6-class exposure and it never
+    * propagates across rows. Days where either arm has < 2
+    * cumulative observations (or σ̂² = 0) contribute NULL and the min
+    * skips them in both engines. Scale shape: events reduce ONCE
+    * keyed (type, day) with conditional partial-aggregated sums; the
+    * cumulative and min windows run per type on O(days) rows.
+    */
+  def qStatSprt(s: SparkSession, dir: String): DataFrame =
+    sprtFrom(events(s, dir))
+
+  /** qStatSprt on an arbitrary event frame — the planted-lift /
+    * exact-null property specs feed synthetic streams through the
+    * exact production path.
+    */
+  private[graft] def sprtFrom(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"),
+      date_trunc("DAY", col("ts")).as("day"),
+      (col("user_id") % 2).cast("int").as("arm"), d2(col("value")).as("v"))
+    val daily = ev.groupBy("event_type", "day").agg(
+      sum(when(col("arm") === 0, 1L)).as("dn0"),
+      sum(when(col("arm") === 1, 1L)).as("dn1"),
+      sum(when(col("arm") === 0, col("v"))).as("ds0"),
+      sum(when(col("arm") === 1, col("v"))).as("ds1"),
+      sum(when(col("arm") === 0, col("v") * col("v"))).as("dss0"),
+      sum(when(col("arm") === 1, col("v") * col("v"))).as("dss1"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily
+      .withColumn("cn0", sum(col("dn0")).over(w))
+      .withColumn("cn1", sum(col("dn1")).over(w))
+      .withColumn("cs0", sum(col("ds0")).over(w))
+      .withColumn("cs1", sum(col("ds1")).over(w))
+      .withColumn("css0", sum(col("dss0")).over(w))
+      .withColumn("css1", sum(col("dss1")).over(w))
+    val n0 = col("cn0").cast("double"); val n1 = col("cn1").cast("double")
+    val s0 = col("cs0").cast("double"); val s1 = col("cs1").cast("double")
+    val sig2 = (col("css0").cast("double") - s0 * s0 / n0 +
+      (col("css1").cast("double") - s1 * s1 / n1)) / (n0 + n1 - lit(2.0))
+    val tau2 = sig2 / lit(4.0)
+    val vn = sig2 * (lit(1.0) / n0 + lit(1.0) / n1)
+    val dlt = s1 / n1 - s0 / n0
+    val lam = sqrt(vn / (vn + tau2)) *
+      exp(dlt * dlt * tau2 / (lit(2.0) * vn * (vn + tau2)))
+    val ok = col("cn0") > 1 && col("cn1") > 1 && sig2 > lit(0.0)
+    cum
+      .withColumn("pq", when(ok,
+        least(lit(1000000L), round(lit(1e6) / lam).cast("long"))))
+      .withColumn("avq", min(col("pq")).over(w))
+      .select(col("event_type"), col("day"),
+        coalesce(col("cn0"), lit(0L)).as("n0"),
+        coalesce(col("cn1"), lit(0L)).as("n1"),
+        round(when(ok, dlt), 6).as("delta"),
+        round(col("avq").cast("double") / lit(1e6), 6).as("always_valid_p"),
+        coalesce(col("avq") <= lit(50000L), lit(false)).as("signif"))
+      .orderBy("event_type", "day")
+  }
+
   /** Week-over-week growth panel (`q_ev_wow`, r11): per (type,
     * epoch-week), events, the prior week's events, and the WoW growth
     * rate — the trend readout product reviews open with; weeks with
@@ -1459,6 +1531,60 @@ object EventOps {
         |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
     // The same Wilson expression tree over exact long counts; z is
     // the shared 16-digit literal.
+    // Exact cumulative moments; the per-day 1/Lambda quantizes to
+    // micro-unit longs BEFORE the running min (see qStatSprt).
+    "q_stat_sprt" ->
+      """WITH ev AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(user_id % 2 AS INTEGER) AS arm,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events
+        |), d AS (
+        |  SELECT event_type, day,
+        |    SUM(CASE WHEN arm = 0 THEN 1 END) AS dn0,
+        |    SUM(CASE WHEN arm = 1 THEN 1 END) AS dn1,
+        |    SUM(CASE WHEN arm = 0 THEN v END) AS ds0,
+        |    SUM(CASE WHEN arm = 1 THEN v END) AS ds1,
+        |    SUM(CASE WHEN arm = 0 THEN v * v END) AS dss0,
+        |    SUM(CASE WHEN arm = 1 THEN v * v END) AS dss1
+        |  FROM ev GROUP BY 1, 2
+        |), c AS (
+        |  SELECT event_type, day,
+        |    CAST(SUM(dn0) OVER wd AS BIGINT) AS cn0,
+        |    CAST(SUM(dn1) OVER wd AS BIGINT) AS cn1,
+        |    SUM(ds0) OVER wd AS cs0, SUM(ds1) OVER wd AS cs1,
+        |    SUM(dss0) OVER wd AS css0, SUM(dss1) OVER wd AS css1
+        |  FROM d WINDOW wd AS (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |), t AS (
+        |  SELECT *, CAST(cn0 AS DOUBLE) AS n0, CAST(cn1 AS DOUBLE) AS n1,
+        |    CAST(cs0 AS DOUBLE) AS s0, CAST(cs1 AS DOUBLE) AS s1
+        |  FROM c
+        |), g AS (
+        |  SELECT *,
+        |    (CAST(css0 AS DOUBLE) - s0 * s0 / n0 + (CAST(css1 AS DOUBLE) - s1 * s1 / n1)) / (n0 + n1 - 2.0) AS sig2
+        |  FROM t
+        |), l AS (
+        |  SELECT *, sig2 / 4.0 AS tau2,
+        |    sig2 * (1.0 / n0 + 1.0 / n1) AS vn,
+        |    s1 / n1 - s0 / n0 AS dlt
+        |  FROM g
+        |), q AS (
+        |  SELECT event_type, day, cn0, cn1, dlt,
+        |    (cn0 > 1 AND cn1 > 1 AND sig2 > 0.0) AS ok,
+        |    CASE WHEN cn0 > 1 AND cn1 > 1 AND sig2 > 0.0 THEN
+        |      LEAST(1000000, CAST(ROUND(1e6 / (SQRT(vn / (vn + tau2)) * EXP(dlt * dlt * tau2 / (2.0 * vn * (vn + tau2))))) AS BIGINT))
+        |    END AS pq
+        |  FROM l
+        |), r AS (
+        |  SELECT *, MIN(pq) OVER (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING) AS avq
+        |  FROM q
+        |)
+        |SELECT event_type, day,
+        |  COALESCE(cn0, 0) AS n0, COALESCE(cn1, 0) AS n1,
+        |  ROUND(CASE WHEN ok THEN dlt END, 6) AS delta,
+        |  ROUND(CAST(avq AS DOUBLE) / 1e6, 6) AS always_valid_p,
+        |  COALESCE(avq <= 50000, FALSE) AS signif
+        |FROM r ORDER BY event_type, day""".stripMargin,
     "q_stat_wilson" ->
       """WITH d AS (
         |  SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events,
@@ -1741,6 +1867,7 @@ object EventOps {
     "q_ev_adoption" -> (qEvAdoption _),
     "q_ev_wow" -> (qEvWow _),
     "q_ev_value_bands" -> (qEvValueBands _),
+    "q_stat_sprt" -> (qStatSprt _),
     "q_stat_wilson" -> (qStatWilson _),
     "q_ev_power_users" -> (qEvPowerUsers _),
     "q_ev_burst" -> (qEvBurst _),

@@ -294,4 +294,38 @@ class StatOpsSpec extends SparkSpec {
     assert(got.keySet == Set(0, 1))
     got.values.foreach { case (_, _, _, _, _, rho2) => assert(rho2 >= 0 && rho2 <= 1) }
   }
+
+  test("q_stat_sprt: planted lift rejects, an exact null never does (r12)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // 20 days × 200 users × 1 event; 'lifted' adds +10.0 to arm 1
+    // (odd users) on top of the same deterministic base; 'flat' gives
+    // BOTH arms identical values, so delta is exactly 0 every day and
+    // the always-valid p may never leave 1.0
+    val rows = for {
+      day <- 0 until 20
+      u <- 0 until 200
+      typ <- Seq("lifted", "flat")
+    } yield {
+      val base = 50.0 + (u % 7) + (day % 3)
+      val v = if (typ == "lifted" && u % 2 == 1) base + 10.0 else base
+      (day * 200L + u, java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00"),
+        u.toLong, typ, v)
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.EventOps.sprtFrom(ev).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(5), r.getBoolean(6)))
+    val flat = got.filter(_._1 == "flat")
+    assert(flat.nonEmpty && flat.forall(x => x._3 == 1.0 && !x._4),
+      s"exact-null arm must hold p = 1.0 forever: ${flat.take(3).toSeq}")
+    val lifted = got.filter(_._1 == "lifted").sortBy(_._2.getTime)
+    assert(lifted.last._3 <= 0.05 && lifted.last._4,
+      s"a +10.0 lift on 2000 obs/arm must reject by the final day: ${lifted.last}")
+    // always-valid means MONOTONE non-increasing — the peeking guarantee
+    lifted.map(_._3).sliding(2).foreach { pair =>
+      assert(pair(1) <= pair(0) + 1e-12,
+        s"always-valid p increased: ${pair(0)} -> ${pair(1)}")
+    }
+  }
 }
