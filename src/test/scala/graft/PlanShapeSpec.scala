@@ -283,4 +283,18 @@ class PlanShapeSpec extends SparkSpec {
     // exchange + output sort — the O(instances·d'²) ridge shuffle bound
     pin("lime_ridge_moments", 2, 0)
   }
+
+  test("round-12 shapes: model-table reductions stay reduced") {
+    pin("q_stat_sprt", 3, 0)      // (type,day) agg + type window + sort
+    // dsir: docsNorm rebalance ×2 (the token stream feeds the vocab
+    // count AND the per-doc join — corpus-statistics ops rescan, the
+    // tfidf precedent), word agg, O(1) totals, the word-keyed join's
+    // two sides, doc agg, output sort; totals broadcast
+    pin("q_sample_dsir", 8, 2)
+    // recall: inherits both graphs' shapes cold — the exact baseline
+    // (probe broadcast over the corpus) + the IVF build (emb cache
+    // repartition, centroid pick, assignment/probe windows, cell-keyed
+    // join) + the id-join rollup and output sort
+    pin("q_emb_ann_recall", 8, 3)
+  }
 }
