@@ -2168,37 +2168,64 @@ object LlmData {
     */
   private[graft] def trainPqCodebook(train: DataFrame, M: Int, K: Int,
       iters: Int, subDim: Int): Array[Array[Array[Double]]] = {
-    def sub(vc: Column, m: Int): Column = slice(vc, m * subDim + 1, subDim)
-    val initRows = train.withColumn("h", xxhash64(col("vec_id")))
-      .orderBy("h", "vec_id").limit(K)
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
-    require(initRows.length == K,
+    // ONE collect of the (already cap-bounded) training sample, then
+    // init ordering and every Lloyd round run on the driver over the
+    // O(cap·d) rows — the codebook is a tiny model and its fit never
+    // needs the cluster (guide §5: bounded driver state; the
+    // union-find/limeStats precedent). Replaces one TakeOrdered job +
+    // one explode/groupBy/collect job PER ROUND with a single collect.
+    // Arithmetic is bit-identical to the previous distributed rounds:
+    //  - init = the K smallest rows by (xxhash64(vec_id), vec_id),
+    //    with XXH64.hashLong(id, 42) = Spark's xxhash64 on a long;
+    //  - assignment = the PqCodes kernel loop verbatim (left-to-right
+    //    L2 fold, strict < argmin so ties break to the smaller code);
+    //  - refit = exact HALF_UP scale-12 decimal sums (= the previous
+    //    Cast(double → decimal(28,12)) → SUM) read off as
+    //    sum.doubleValue / count — partition-order-independent before,
+    //    order-independent (exact decimal) now.
+    val rows: Array[(Long, Array[Double])] = train.select("vec_id", "v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(rows.length >= K,
       s"PQ codebook training: fewer than K=$K vectors")
+    val ordered = rows.sortBy { case (id, _) =>
+      (org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L), id)
+    }
     val codebook: Array[Array[Array[Double]]] =
-      Array.tabulate(M, K)((m, k) => initRows(k).slice(m * subDim, (m + 1) * subDim))
-    // one Lloyd iteration: assign codes with the compiled PqCodes
-    // kernel (one argmin loop per row — the M·K interpreted
-    // zip_with/aggregate lambda evals this replaces dominated the
-    // query at 3.6+ s), re-fit centroids from exact decimal sums
+      Array.tabulate(M, K)((m, k) => ordered(k)._2.slice(m * subDim, (m + 1) * subDim))
     for (_ <- 1 to iters) {
-      val assigned = train.withColumn("codes",
-        graft.functions.VectorExprs.pqCodes(col("v"), codebook))
-      val subRows = assigned.select(explode(array((0 until M).map(m =>
-        struct(lit(m).as("m"),
-          element_at(col("codes"), m + 1).as("code"),
-          sub(col("v"), m).as("sub"))): _*)).as("e"))
-        .select(col("e.m"), col("e.code"), posexplode(col("e.sub")))
-      // exact decimal SUM → one double division (the binMeans firewall
-      // shape — engine-portable, unlike Spark's decimal-division
-      // rounding, so the Lloyd chain can be replayed by the PQ oracle)
-      val fitted = subRows.groupBy("m", "code", "pos")
-        .agg((sum(col("col").cast("decimal(28,12)")).cast("double") /
-          count(lit(1))).as("mean"))
-        .collect()
-      // empty clusters keep their previous centroid
-      fitted.foreach { r =>
-        codebook(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      val sums = Array.fill(M, K, subDim)(java.math.BigDecimal.ZERO)
+      val counts = Array.ofDim[Long](M, K)
+      ordered.foreach { case (_, v) =>
+        var mi = 0
+        while (mi < M) {
+          val base = mi * subDim
+          var best = 0
+          var bestD = Double.PositiveInfinity
+          var ki = 0
+          while (ki < K) {
+            val c = codebook(mi)(ki)
+            var d = 0.0
+            var j = 0
+            while (j < subDim) { val t = v(base + j) - c(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = ki }
+            ki += 1
+          }
+          counts(mi)(best) += 1L
+          var j = 0
+          while (j < subDim) {
+            // Cast(double → decimal(28,12)) semantics: decimal text
+            // representation of the double, HALF_UP to scale 12
+            sums(mi)(best)(j) = sums(mi)(best)(j).add(
+              new java.math.BigDecimal(java.lang.Double.toString(v(base + j)))
+                .setScale(12, java.math.RoundingMode.HALF_UP))
+            j += 1
+          }
+          mi += 1
+        }
       }
+      // empty clusters keep their previous centroid
+      for (mi <- 0 until M; ki <- 0 until K if counts(mi)(ki) > 0; j <- 0 until subDim)
+        codebook(mi)(ki)(j) = sums(mi)(ki)(j).doubleValue() / counts(mi)(ki).toDouble
     }
     codebook
   }
@@ -2223,8 +2250,7 @@ object LlmData {
     // and only the ONE final assignment pass does O(N·K·d) work.
     val train = emb.withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h", "vec_id").limit(trainCap)
-      .select("vec_id", "v")
-      .cache() // re-read once per Lloyd iteration
+      .select("vec_id", "v") // read ONCE: trainPqCodebook collects it
     val codebook = trainPqCodebook(train, M, K, iters, subDim)
     val codes = emb.withColumn("codes",
         graft.functions.VectorExprs.pqCodes(col("v"), codebook))
@@ -3057,8 +3083,7 @@ object LlmData {
         import sess.implicits._
         val train = emb.withColumn("h", xxhash64(col("vec_id")))
           .orderBy("h", "vec_id").limit(trainCap)
-          .select("vec_id", "v")
-          .cache() // re-read once per Lloyd round
+          .select("vec_id", "v") // read ONCE: the trainer collects it
         trainCoarseCentroids(train, k1, coarseIters).zipWithIndex
           .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
           .toDF("cell", "cv")
@@ -3072,8 +3097,7 @@ object LlmData {
       .cache() // codebook sample + the one final code-assignment pass
     val train = resid.withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h", "vec_id").limit(trainCap)
-      .select("vec_id", "v")
-      .cache() // re-read once per Lloyd iteration
+      .select("vec_id", "v") // read ONCE: trainPqCodebook collects it
     val codebook = trainPqCodebook(train, M, K, iters, subDim)
     val codes = resid.withColumn("codes",
         graft.functions.VectorExprs.pqCodes(col("v"), codebook))
