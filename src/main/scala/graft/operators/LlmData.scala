@@ -2257,13 +2257,29 @@ object LlmData {
       .select(col("vec_id"), col("codes"))
     // ADC: per-probe M×K lookup table of exact subspace distances,
     // candidates scored by element_at on their codes — raw vectors
-    // are never joined
-    val cbAll = typedlit(codebook.map(_.map(_.toSeq).toSeq).toSeq)
-    val probes = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
-      .withColumn("lut", transform(cbAll, (cbm, m) =>
-        transform(cbm, c => dist2(slice(col("pv"),
-          m * subDim + 1, lit(subDim)), c))))
+    // are never joined. The probe set is O(1) (vec_id < 5), so the
+    // LUTs are computed on the DRIVER from the collected probe rows
+    // with the same left-to-right subspace L2 fold as the previous
+    // in-plan aggregate(zip_with) — dropping the O(M·K·subDim)
+    // codebook literal (and its per-query codegen) from the plan.
+    val session = emb0.sparkSession
+    import session.implicits._
+    val probeRows: Array[(Long, Array[Double])] = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def lutOf(pv: Array[Double]): Seq[Seq[Double]] =
+      (0 until M).map { m =>
+        (0 until K).map { k =>
+          val c = codebook(m)(k)
+          var d = 0.0; var j = 0
+          while (j < subDim) { val t = pv(m * subDim + j) - c(j); d += t * t; j += 1 }
+          d
+        }
+      }
+    val probes = probeRows.toSeq
+      .map { case (id, pv) => (id, lutOf(pv)) }.toDF("probe_id", "lut")
+    val probeVecs = probeRows.toSeq
+      .map { case (id, pv) => (id, pv.toSeq) }.toDF("probe_id", "pv")
     val adist = (0 until M).map(m =>
       element_at(element_at(col("lut"), m + 1),
         element_at(col("codes"), m + 1) + 1))
@@ -2273,7 +2289,7 @@ object LlmData {
     // vectors of just R candidates per probe are fetched through a
     // vec_id-keyed join — O(probes·R) rows at any corpus size
     val shortR = 50
-    val scored = codes.crossJoin(broadcast(probes.drop("pv")))
+    val scored = codes.crossJoin(broadcast(probes))
       .filter(col("probe_id") =!= col("vec_id"))
       .withColumn("adist", adist)
     // Two-phase shortlist cut above the gate (the vocab-coverage
@@ -2298,7 +2314,7 @@ object LlmData {
     val wOut = Window.partitionBy("probe_id").orderBy(col("dist"), col("vec_id"))
     shortlist
       .join(emb, "vec_id")
-      .join(broadcast(probes.select(col("probe_id"), col("pv"))), "probe_id")
+      .join(broadcast(probeVecs), "probe_id")
       .withColumn("dist", round(dist2(col("pv"), col("v")), 6))
       .withColumn("rnk", row_number().over(wOut))
       .filter(col("rnk") <= topK)
@@ -3073,25 +3089,38 @@ object LlmData {
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
     val emb = emb0.cache() // assignment, probes, re-rank fetch
-    val cent =
+    val session = emb0.sparkSession
+    import session.implicits._
+    // Coarse centroids as a DRIVER model array in cell-id order
+    // (O(k1·d) — the trainPqCodebook accounting). The hash-sample pick
+    // is the same TakeOrdered rows as before, collected instead of
+    // broadcast; Lloyd centroids already carry 0..k1-1 cell ids.
+    val centArr: Array[(Long, Array[Double])] =
       if (!lloydCoarse)
         emb.withColumn("h", xxhash64(col("vec_id")))
           .orderBy("h", "vec_id").limit(k1)
-          .select(col("vec_id").as("cell"), col("v").as("cv"))
+          .select(col("vec_id"), col("v"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1) // cell-ascending = the previous (cdist, cell) tie order
       else {
-        val sess = emb0.sparkSession
-        import sess.implicits._
         val train = emb.withColumn("h", xxhash64(col("vec_id")))
           .orderBy("h", "vec_id").limit(trainCap)
           .select("vec_id", "v") // read ONCE: the trainer collects it
         trainCoarseCentroids(train, k1, coarseIters).zipWithIndex
-          .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
-          .toDF("cell", "cv")
+          .map { case (c, i) => (i.toLong, c) }
       }
-    val wA = Window.partitionBy("vec_id").orderBy(col("cdist"), col("cell"))
-    val resid = emb.crossJoin(broadcast(cent))
-      .withColumn("cdist", dist2(col("v"), col("cv")))
-      .withColumn("r", row_number().over(wA)).filter(col("r") === 1)
+    val centDf = centArr.toSeq.map { case (id, cv) => (id, cv.toSeq) }.toDF("cell", "cv")
+    // Nearest-cell assignment through the compiled PqCodes kernel at
+    // M = 1 (left-to-right L2 fold, strict < argmin over the
+    // cell-ascending array ≡ the previous per-vector (cdist, cell)
+    // window) — removes the O(N·k1) crossJoin rows and the full
+    // per-vector window shuffle from the build.
+    val cellIds = typedlit(centArr.map(_._1).toSeq)
+    val resid = emb
+      .withColumn("cell", element_at(cellIds, element_at(
+        graft.functions.VectorExprs.pqCodes(col("v"), Array(centArr.map(_._2))),
+        1) + 1).cast("long"))
+      .join(broadcast(centDf), "cell")
       .select(col("vec_id"), col("cell"),
         zip_with(col("v"), col("cv"), (x, c) => x - c).as("v"))
       .cache() // codebook sample + the one final code-assignment pass
@@ -3102,22 +3131,36 @@ object LlmData {
     val codes = resid.withColumn("codes",
         graft.functions.VectorExprs.pqCodes(col("v"), codebook))
       .select(col("vec_id"), col("cell"), col("codes"))
-    val cbAll = typedlit(codebook.map(_.map(_.toSeq).toSeq).toSeq)
-    val wP = Window.partitionBy("probe_id").orderBy(col("cdist"), col("cell"))
-    val probes = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
-      .cache() // cell probing + re-rank
-    val probeCells = probes.crossJoin(broadcast(cent))
-      .withColumn("cdist", dist2(col("pv"), col("cv")))
-      .withColumn("r", row_number().over(wP)).filter(col("r") <= nProbe)
-      // ADC LUT from the probe's residual AGAINST THE PROBED CELL —
-      // the residual trick is per-cell, which is why the LUT can't be
-      // shared across cells like flat PQ's
-      .withColumn("prv", zip_with(col("pv"), col("cv"), (x, c) => x - c))
-      .withColumn("lut", transform(cbAll, (cbm, m) =>
-        transform(cbm, c => dist2(slice(col("prv"),
-          m * subDim + 1, lit(subDim)), c))))
-      .select(col("probe_id"), col("cell"), col("lut"))
+    // Probe cell picks + per-(probe, cell) residual ADC LUTs on the
+    // DRIVER (probe set is O(1), centroids are the model array): the
+    // same (cdist, cell)-ordered nProbe pick and the same
+    // left-to-right subspace L2 folds as the previous in-plan
+    // crossJoin + window + aggregate(zip_with) chain.
+    val probeRows: Array[(Long, Array[Double])] = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def l2(a: Array[Double], b: Array[Double], off: Int, len: Int): Double = {
+      var d = 0.0; var j = 0
+      while (j < len) { val t = a(off + j) - b(j); d += t * t; j += 1 }
+      d
+    }
+    val probeCellRows = probeRows.toSeq.flatMap { case (pid, pv) =>
+      centArr.map { case (cid, cv) => (l2(pv, cv, 0, pv.length), cid, cv) }
+        .sortWith { (a, b) =>
+          val c = java.lang.Double.compare(a._1, b._1)
+          c < 0 || (c == 0 && a._2 < b._2)
+        }
+        .take(nProbe)
+        .map { case (_, cid, cv) =>
+          val prv = Array.tabulate(pv.length)(j => pv(j) - cv(j))
+          val lut = (0 until M).map(m =>
+            (0 until K).map(k => l2(prv, codebook(m)(k), m * subDim, subDim)))
+          (pid, cid, lut)
+        }
+    }
+    val probeCells = probeCellRows.toDF("probe_id", "cell", "lut")
+    val probeVecs = probeRows.toSeq
+      .map { case (id, pv) => (id, pv.toSeq) }.toDF("probe_id", "pv")
     val adist = (0 until M).map(m =>
       element_at(element_at(col("lut"), m + 1),
         element_at(col("codes"), m + 1) + 1))
@@ -3143,7 +3186,7 @@ object LlmData {
     val wOut = Window.partitionBy("probe_id").orderBy(col("dist"), col("vec_id"))
     shortlist
       .join(emb, "vec_id")
-      .join(broadcast(probes), "probe_id")
+      .join(broadcast(probeVecs), "probe_id")
       .withColumn("dist", round(dist2(col("pv"), col("v")), 6))
       .withColumn("rnk", row_number().over(wOut))
       .filter(col("rnk") <= topK)
