@@ -19,10 +19,21 @@ object SpLime {
     */
   def pick(explanations: DataFrame, b: Int,
            featureCol: String = "feature"): Seq[(Int, Long, Double)] = {
-    val w = explanations.select(
+    val w0 = explanations.select(
       col("instance_id"), col(featureCol).as("feature"), abs(col("weight")).as("aw"))
       .filter(col("aw") > 0)
-      .cache()
+    // At or below the gate the W matrix is bounded driver state
+    // (O(instances·d') rows of ~30 bytes): collect it once and run the
+    // B greedy rounds locally instead of B aggregation jobs. Same
+    // algorithm, same (gain DESC, instance_id) argmax; the only
+    // difference is double-sum order, which the importance spec
+    // already tolerates at 1 ulp. Above the gate the distributed
+    // per-round loop runs unchanged.
+    val wGate = 1000000
+    val local = w0.limit(wGate + 1).collect()
+    if (local.length <= wGate) return pickLocal(local.map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))), b)
+    val w = w0.cache()
     val importance = w.groupBy("feature").agg(sqrt(sum(col("aw"))).as("imp"))
 
     var covered = Set.empty[String]
@@ -55,6 +66,40 @@ object SpLime {
       }
     }
     w.unpersist()
+    picked
+  }
+
+  /** The greedy rounds over the collected W rows — Algorithm 2
+    * verbatim: I_j = sqrt(Σ|W_ij|), per round pick the instance with
+    * the largest uncovered-importance sum (ties → smaller id), add its
+    * features to the covered set. Zero-gain instances stay pickable.
+    */
+  private def pickLocal(rows: Array[(Long, String, Double)],
+                        b: Int): Seq[(Int, Long, Double)] = {
+    val imp: Map[String, Double] = rows.groupBy(_._2)
+      .map { case (f, rs) => f -> math.sqrt(rs.map(_._3).sum) }
+    val byInstance: Seq[(Long, Array[String])] = rows.groupBy(_._1)
+      .map { case (id, rs) => id -> rs.map(_._2) } // one row per (instance, feature)
+      .toSeq.sortBy(_._1)
+    var covered = Set.empty[String]
+    var remaining = byInstance
+    var picked = Vector.empty[(Int, Long, Double)]
+    var round = 0
+    while (round < b && remaining.nonEmpty) {
+      var bestId = -1L; var bestGain = Double.NegativeInfinity
+      remaining.foreach { case (id, feats) =>
+        var g = 0.0
+        feats.foreach(f => if (!covered(f)) g += imp(f))
+        // argmax (gain DESC, instance_id): remaining is id-ascending,
+        // so strict > keeps the smaller id on ties
+        if (java.lang.Double.compare(g, bestGain) > 0) { bestGain = g; bestId = id }
+      }
+      val feats = remaining.find(_._1 == bestId).get._2
+      picked :+= ((round, bestId, bestGain))
+      covered ++= feats
+      remaining = remaining.filterNot(_._1 == bestId)
+      round += 1
+    }
     picked
   }
 }

@@ -1636,6 +1636,74 @@ object LlmData {
     * fixtures through the exact production path.
     */
   private[graft] def mmrPick(embIn: DataFrame, s: SparkSession, k: Int): DataFrame = {
+    // At or below the gate the whole candidate geometry is bounded
+    // driver state (O(n·d) doubles — 34 MB at the 65,536 cap): collect
+    // it once and run the k greedy rounds locally instead of k argmax
+    // window jobs + k cached candidate rewrites. Every quantity
+    // replays the distributed arithmetic bit-for-bit: cosines are the
+    // same in-order dot fold, ROUND(x, 6) via BigDecimal HALF_UP, the
+    // λ-blend in exact decimals, argmax (score DESC, vec_id). Above
+    // the gate (where candidates arrive from the ANN family) the
+    // distributed loop runs unchanged.
+    val mmrGate = 65536
+    val localRows = embIn.select(col("vec_id"), col("v"), col("nrm"))
+      .limit(mmrGate + 1).collect()
+    if (localRows.length <= mmrGate) {
+      val session = s
+      import session.implicits._
+      val vecs = localRows
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+        .sortBy(_._1)
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var i = 0
+        while (i < a.length) { d += a(i) * b(i); i += 1 }
+        d
+      }
+      def dec6(x: Double): java.math.BigDecimal = {
+        val r = java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        new java.math.BigDecimal(java.lang.Double.toString(r))
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+      }
+      val lam = new java.math.BigDecimal("0.7")
+      val mu = new java.math.BigDecimal("0.3")
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long)]
+      vecs.filter(_._1 < 5).foreach { case (pid, pv, pn) =>
+        val cands = scala.collection.mutable.ArrayBuffer.empty[
+          (Long, Array[Double], Double, java.math.BigDecimal, java.math.BigDecimal)]
+        vecs.foreach { case (id, v, nrm) =>
+          if (id != pid) cands += ((id, v, nrm, dec6(dot(pv, v) / (pn * nrm)),
+            java.math.BigDecimal.ZERO.setScale(6)))
+        }
+        for (rk <- 1 to k if cands.nonEmpty) {
+          var bi = -1
+          var bs: java.math.BigDecimal = null
+          var i = 0
+          while (i < cands.length) {
+            val c = cands(i)
+            val score = lam.multiply(c._4).subtract(mu.multiply(c._5))
+            // argmax (score DESC, vec_id): cands is vec_id-ascending,
+            // strict > keeps the smaller id on ties
+            if (bs == null || score.compareTo(bs) > 0) { bs = score; bi = i }
+            i += 1
+          }
+          val (wid, wv, wn, _, _) = cands(bi)
+          picked += ((pid, rk, wid, bs.movePointRight(7).longValueExact()))
+          cands.remove(bi)
+          if (rk < k) {
+            var j = 0
+            while (j < cands.length) {
+              val c = cands(j)
+              val cw = dec6(dot(c._2, wv) / (c._3 * wn))
+              if (cw.compareTo(c._5) > 0) cands(j) = (c._1, c._2, c._3, c._4, cw)
+              j += 1
+            }
+          }
+        }
+      }
+      return picked.toSeq.toDF("probe_id", "rank", "vec_id", "score_e7")
+        .orderBy("probe_id", "rank")
+    }
     val d6 = "decimal(18,6)"
     val emb = embIn.cache() // probes + candidates + winner fetch
     val probes = emb.filter(col("vec_id") < 5)
@@ -3821,46 +3889,118 @@ object LlmData {
     val s = docs.sparkSession
     import s.implicits._
     // the ONE corpus pass: word frequencies, then chars
-    var words = docs
+    val words0 = docs
       .select(explode(expr(wordsExpr)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(expr("filter(split(w, ''), x -> x != '')").as("syms"), col("cnt"))
       .filter(size(col("syms")) > 1) // single-symbol words carry no pairs
-      .cache()
+    // The corpus reduces ONCE to the weighted vocab table; at or below
+    // the gate the merge rounds run on the DRIVER over the collected
+    // vocab (O(distinct words) bounded state — the union-find gate
+    // precedent) instead of one argmax job + one cached rewrite per
+    // round. Pair counts are exact long sums (order-independent), the
+    // argmax tie-break is (n DESC, left, right) in UTF-8 BYTE order
+    // (Spark's UTF8String ordering, which the DuckDB oracle also
+    // pins), and the rewrite is the same left-to-right non-overlapping
+    // carry/emit pass as bpeApply. Above the gate the previous
+    // distributed per-round loop runs unchanged.
+    val vocabGate = 262144
+    val vocabRows = words0.limit(vocabGate + 1).collect()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var rk = 1
-    var done = false
-    // the parent of the current vocab table stays cached until the
-    // NEXT round's argmax has materialized the child through it, then
-    // drops — one generation of overlap instead of a dedicated
-    // count() job per round (10 fewer jobs per build, same lineage
-    // depth: each cached child is always computed from a cached parent)
-    var prev: DataFrame = null
-    while (rk <= rounds && !done) {
-      val top = words.select(col("cnt"), explode(
-          zip_with(slice(col("syms"), lit(1), size(col("syms")) - 1),
-            slice(col("syms"), lit(2), size(col("syms")) - 1),
-            (x, y) => struct(x.as("l"), y.as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("cnt")).as("n"))
-        .orderBy(col("n").desc, col("l"), col("r"))
-        .limit(1).collect() // materializes `words` into its cache
-      if (prev != null) { prev.unpersist(); prev = null }
-      if (top.isEmpty) done = true
-      else {
-        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((rk, l, r, n))
-        val next = words
-          .select(bpeApply(col("syms"), l, r).as("syms"), col("cnt"))
-          .filter(size(col("syms")) > 1)
-          .cache()
-        prev = words
-        words = next
-        rk += 1
+    if (vocabRows.length <= vocabGate) {
+      var vocab: Array[(Array[String], Long)] = vocabRows
+        .map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
+      def cmpU8(a: String, b: String): Int = {
+        val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        while (i < x.length && i < y.length) {
+          val d = (x(i) & 0xff) - (y(i) & 0xff)
+          if (d != 0) return d
+          i += 1
+        }
+        x.length - y.length
       }
+      var rk = 1
+      var done = false
+      while (rk <= rounds && !done) {
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        vocab.foreach { case (syms, cnt) =>
+          var i = 0
+          while (i < syms.length - 1) {
+            val k = (syms(i), syms(i + 1))
+            counts.update(k, counts.getOrElse(k, 0L) + cnt)
+            i += 1
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          var best: ((String, String), Long) = null
+          counts.foreach { kv =>
+            if (best == null) best = kv
+            else {
+              val c = java.lang.Long.compare(kv._2, best._2)
+              val better = c > 0 || (c == 0 && {
+                val cl = cmpU8(kv._1._1, best._1._1)
+                cl < 0 || (cl == 0 && cmpU8(kv._1._2, best._1._2) < 0)
+              })
+              if (better) best = kv
+            }
+          }
+          val ((l, r), n) = best
+          merges += ((rk, l, r, n))
+          // bpeApply's carry/emit machine, one left-to-right
+          // non-overlapping pass per word
+          vocab = vocab.flatMap { case (syms, cnt) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var c: String = null
+            syms.foreach { x =>
+              if (c == null) c = x
+              else if (c == l && x == r) { out += (l + r); c = null }
+              else { out += c; c = x }
+            }
+            if (c != null) out += c
+            if (out.length > 1) Some((out.toArray, cnt)) else None
+          }
+          rk += 1
+        }
+      }
+    } else {
+      var words = words0.cache()
+      var rk = 1
+      var done = false
+      // the parent of the current vocab table stays cached until the
+      // NEXT round's argmax has materialized the child through it, then
+      // drops — one generation of overlap instead of a dedicated
+      // count() job per round (10 fewer jobs per build, same lineage
+      // depth: each cached child is always computed from a cached parent)
+      var prev: DataFrame = null
+      while (rk <= rounds && !done) {
+        val top = words.select(col("cnt"), explode(
+            zip_with(slice(col("syms"), lit(1), size(col("syms")) - 1),
+              slice(col("syms"), lit(2), size(col("syms")) - 1),
+              (x, y) => struct(x.as("l"), y.as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).as("n"))
+          .orderBy(col("n").desc, col("l"), col("r"))
+          .limit(1).collect() // materializes `words` into its cache
+        if (prev != null) { prev.unpersist(); prev = null }
+        if (top.isEmpty) done = true
+        else {
+          val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((rk, l, r, n))
+          val next = words
+            .select(bpeApply(col("syms"), l, r).as("syms"), col("cnt"))
+            .filter(size(col("syms")) > 1)
+            .cache()
+          prev = words
+          words = next
+          rk += 1
+        }
+      }
+      if (prev != null) prev.unpersist()
+      words.unpersist()
     }
-    if (prev != null) prev.unpersist()
-    words.unpersist()
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
       .withColumn("merged", concat(col("left"), col("right")))
       .select("rank", "left", "right", "merged", "pair_count")
