@@ -4831,36 +4831,114 @@ object LlmData {
     * Jacobi with the largest-|loading|-positive sign convention — the
     * basis is identical under any partitioning / re-run.
     */
+  /** Exact covariance moments in ONE corpus pass: per partition, the
+    * nano-quantized long vectors accumulate Σxn per dim and the
+    * upper-triangle Σxn·xn pair products into long accumulators
+    * (exact-integer escalation to BigInteger on any overflow — the
+    * fitStats long-fast-path idiom), and each partition emits one
+    * O(d²) partial row. Replaces the exploded-vector self-join +
+    * decimal hash-aggregate (N·d² join rows, per-cell Decimal churn):
+    * the same exact integer sums, so every downstream double is
+    * bit-identical, but nothing wider than d(d+1)/2 longs ever leaves
+    * a task. Partition-order-independent by exactness.
+    */
+  private[graft] def covMoments(emb: DataFrame)
+      : (Long, Array[java.math.BigInteger], Array[java.math.BigInteger]) = {
+    val session = emb.sparkSession
+    import session.implicits._
+    val parts = emb.select(
+        transform(col("v"), x => round(x * lit(1e9)).cast("long")).as("xs"))
+      .as[Array[Long]]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val first = it.next()
+          val d = first.length
+          val nC = d * (d + 1) / 2
+          var n = 0L
+          val dimL = new Array[Long](d)
+          val cellL = new Array[Long](nC)
+          var dimB: Array[java.math.BigInteger] = null
+          var cellB: Array[java.math.BigInteger] = null
+          def bi(v: Long) = java.math.BigInteger.valueOf(v)
+          def escalate(): Unit = if (cellB == null) {
+            dimB = dimL.map(bi)
+            cellB = cellL.map(bi)
+          }
+          def addRow(xs: Array[Long]): Unit = {
+            require(xs.length == d, s"covMoments: vector dim ${xs.length} != $d")
+            n += 1
+            var i = 0
+            var idx = 0
+            while (i < d) {
+              val xi = xs(i)
+              var dimAdded = false
+              if (cellB == null) {
+                val s = dimL(i) + xi
+                if (((dimL(i) ^ s) & (xi ^ s)) < 0) escalate()
+                else { dimL(i) = s; dimAdded = true }
+              }
+              if (!dimAdded) { escalate(); dimB(i) = dimB(i).add(bi(xi)) }
+              var j = i
+              while (j < d) {
+                val xj = xs(j)
+                val p = xi * xj
+                val fits = java.lang.Math.multiplyHigh(xi, xj) == (p >> 63)
+                var cellAdded = false
+                if (cellB == null && fits) {
+                  val s = cellL(idx) + p
+                  if (((cellL(idx) ^ s) & (p ^ s)) < 0) escalate()
+                  else { cellL(idx) = s; cellAdded = true }
+                }
+                if (!cellAdded) {
+                  escalate()
+                  val pb = if (fits) bi(p) else bi(xi).multiply(bi(xj))
+                  cellB(idx) = cellB(idx).add(pb)
+                }
+                idx += 1
+                j += 1
+              }
+              i += 1
+            }
+          }
+          addRow(first)
+          it.foreach(addRow)
+          if (cellB == null) { dimB = dimL.map(bi); cellB = cellL.map(bi) }
+          Iterator.single((n, dimB.map(_.toByteArray), cellB.map(_.toByteArray)))
+        }
+      }
+      .collect()
+    require(parts.nonEmpty, "covMoments: empty corpus")
+    val d = parts.head._2.length
+    val nC = parts.head._3.length
+    var n = 0L
+    val dims = Array.fill(d)(java.math.BigInteger.ZERO)
+    val cells = Array.fill(nC)(java.math.BigInteger.ZERO)
+    parts.foreach { case (pn, pd, pc) =>
+      n += pn
+      var i = 0
+      while (i < d) { dims(i) = dims(i).add(new java.math.BigInteger(pd(i))); i += 1 }
+      var c = 0
+      while (c < nC) { cells(c) = cells(c).add(new java.math.BigInteger(pc(c))); c += 1 }
+    }
+    (n, dims, cells)
+  }
+
   private[graft] def pcaBasis(
       emb: DataFrame): (Long, Array[Double], Array[Double], Array[Array[Double]]) = {
-    val flatV = emb.select(col("vec_id"), posexplode(col("v")))
-      .select(col("vec_id"), col("pos").as("i"),
-        round(col("col") * lit(1e9)).cast("long").as("xn"))
-      .cache() // dim sums + pair products
-    val dimRows = flatV.groupBy("i")
-      .agg(sum(col("xn").cast("decimal(38,0)")).as("sx"), count(lit(1)).as("n"))
-      .collect().sortBy(_.getInt(0))
-    val nRows = dimRows.head.getLong(2)
+    val (nRows, dimSums, cellSums) = covMoments(emb)
     val n = nRows.toDouble
-    val dims = dimRows.length
-    val mean = dimRows.map(_.getDecimal(1).doubleValue() / 1e9 / n)
-    // upper-triangle pair products, exact decimal sums; the pair
-    // stream partial-aggregates to the O(d²) cell table before its
-    // one exchange. One operand casts to decimal BEFORE the multiply:
-    // a long×long product overflows at |v| > ~3 (xn·yn > 2⁶³), while
-    // long·decimal(38,0) is exact for every long pair (< 2¹²⁶ < 10³⁸)
-    val cells = flatV.as("a")
-      .join(flatV.select(col("vec_id"), col("i").as("j"), col("xn").as("yn")), "vec_id")
-      .filter(col("i") <= col("j"))
-      .groupBy("i", "j")
-      .agg(sum(col("xn").cast("decimal(38,0)") * col("yn")).as("sp"))
-      .collect()
-    flatV.unpersist()
+    val dims = dimSums.length
+    // the same double read-off order as the previous collect:
+    // sx→double / 1e9 / n, sp→double / 1e18 / n − mean(i)·mean(j)
+    val mean = dimSums.map(sx => new java.math.BigDecimal(sx).doubleValue() / 1e9 / n)
     val cov = Array.ofDim[Double](dims, dims)
-    cells.foreach { r =>
-      val (i, j) = (r.getInt(0), r.getInt(1))
-      val e = r.getDecimal(2).doubleValue() / 1e18 / n - mean(i) * mean(j)
+    var idx = 0
+    for (i <- 0 until dims; j <- i until dims) {
+      val e = new java.math.BigDecimal(cellSums(idx)).doubleValue() / 1e18 / n -
+        mean(i) * mean(j)
       cov(i)(j) = e; cov(j)(i) = e
+      idx += 1
     }
     val (eigVals, eigVecs) = jacobiEigen(cov) // descending, sign-fixed
     (nRows, mean, eigVals, eigVecs)
@@ -4942,29 +5020,31 @@ object LlmData {
     * back onto the O(d²) cell table.
     */
   def qEmbWhitenCov(s: SparkSession, dir: String): DataFrame = {
+    val session = s
+    import session.implicits._
     val emb = embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val flatV = emb.select(col("vec_id"), posexplode(col("v")))
-      .select(col("vec_id"), col("pos").as("i"),
-        round(col("col") * lit(1e9)).cast("long").as("xn"))
-      .cache() // dim margin + pair products
-    val m = flatV.groupBy("i")
-      .agg(sum(col("xn").cast("decimal(38,0)")).as("sx"), count(lit(1)).as("n"))
-    val p = flatV.as("a")
-      .join(flatV.select(col("vec_id"), col("i").as("j"), col("xn").as("yn")), "vec_id")
-      .filter(col("i") <= col("j"))
-      .groupBy("i", "j")
-      .agg(sum(col("xn").cast("decimal(38,0)") * col("yn")).as("sp"))
-    // identical double op ORDER on both engines: sp/1e18/n − (sxᵢ/1e9/n)·(sxⱼ/1e9/n)
-    p.join(broadcast(m.select(col("i"), col("sx").as("sxi"), col("n"))), "i")
-      .join(broadcast(m.select(col("i").as("j"), col("sx").as("sxj"))), "j")
-      .select(col("i"), col("j"),
-        // + 0.0 collapses IEEE −0.0 to 0.0 (a cell rounding to zero
-        // from below differs in SIGN between engines otherwise)
-        (round(col("sp").cast("double") / lit(1e18) / col("n") -
-          (col("sxi").cast("double") / lit(1e9) / col("n")) *
-            (col("sxj").cast("double") / lit(1e9) / col("n")), 6) + lit(0.0)).as("cov"))
-      .orderBy("i", "j")
+    // ONE covMoments pass (exact per-partition long/BigInteger moment
+    // accumulation — the pcaBasis shape) replaces the exploded-vector
+    // self-join + two decimal hash-aggregates; the O(d²) cell table is
+    // bounded model output, read off on the driver with the identical
+    // double op ORDER as before (and as the DuckDB oracle):
+    // sp/1e18/n − (sxᵢ/1e9/n)·(sxⱼ/1e9/n), ROUND HALF_UP 6, + 0.0
+    // collapsing IEEE −0.0 (a cell rounding to zero from below differs
+    // in SIGN between engines otherwise).
+    val (nRows, dimSums, cellSums) = covMoments(emb)
+    val n = nRows.toDouble
+    val d = dimSums.length
+    val sxD = dimSums.map(sx => new java.math.BigDecimal(sx).doubleValue() / 1e9 / n)
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    var idx = -1
+    val rows = for (i <- 0 until d; j <- i until d) yield {
+      idx += 1
+      val sp = new java.math.BigDecimal(cellSums(idx)).doubleValue() / 1e18 / n
+      (i, j, r6(sp - sxD(i) * sxD(j)) + 0.0)
+    }
+    rows.toDF("i", "j", "cov").orderBy("i", "j")
   }
 
   private[graft] def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {

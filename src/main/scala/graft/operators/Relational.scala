@@ -876,19 +876,44 @@ object Relational {
     * exact decimal so both engines cross at the identical row.
     */
   def qAggWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    // Two-phase exact crossing search (guide §2.3: aggregate before
+    // you shuffle). The previous shape ran the cumulative-weight
+    // window over EVERY row — one task per return flag sorting a
+    // third of the corpus with non-compact decimal sums. Weights are
+    // exact centi-unit LONGS (the same DECIMAL(18,2) value lattice,
+    // so every comparison crosses at the identical row), phase 1
+    // reduces the corpus to O(flags × price-buckets) partial sums and
+    // finds each flag's crossing bucket, and phase 2 runs the
+    // running-sum window over only that bucket's slice (~1/100 of the
+    // rows). Outputs are bit-identical: min price is untouched and
+    // totw/100.0 is the same nearest-double as CAST(decimal AS DOUBLE).
+    val wl = (col("l_quantity").cast(D) * lit(100)).cast("long")
+    val li = lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"), wl.as("w"))
+      .withColumn("bkt", floor(col("l_extendedprice") / lit(1000.0)))
+    val wB = Window.partitionBy("l_returnflag").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy("l_returnflag")
+    val wR = Window.partitionBy("l_returnflag").orderBy("bkt")
+    val crossing = li.groupBy(col("l_returnflag"), col("bkt"))
+      .agg(sum(col("w")).as("bw"))
+      .withColumn("cumb", sum(col("bw")).over(wB))
+      .withColumn("totw", sum(col("bw")).over(wF))
+      .withColumn("base", col("cumb") - col("bw"))
+      .filter(col("cumb") * lit(2) >= col("totw"))
+      .withColumn("rb", row_number().over(wR))
+      .filter(col("rb") === 1) // the bucket where the cumulative weight crosses
+      .select(col("l_returnflag"), col("bkt"), col("base"), col("totw"))
     val wCum = Window.partitionBy("l_returnflag")
       .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wTot = Window.partitionBy("l_returnflag")
-    lineitem(s, dir)
-      .select(col("l_returnflag"), col("l_extendedprice"),
-        col("l_orderkey"), col("l_linenumber"), d2(col("l_quantity")).as("w"))
-      .withColumn("cumw", sum(col("w")).over(wCum))
-      .withColumn("totw", sum(col("w")).over(wTot))
+    li.join(broadcast(crossing), Seq("l_returnflag", "bkt"))
+      .withColumn("cumw", col("base") + sum(col("w")).over(wCum))
       .filter(col("cumw") * lit(2) >= col("totw"))
       .groupBy("l_returnflag")
       .agg(outD(min(col("l_extendedprice"))).as("wmedian"),
-        outD(first(col("totw"))).as("tot_weight"))
+        (first(col("totw")) / lit(100.0)).as("tot_weight"))
       .orderBy("l_returnflag")
   }
 
