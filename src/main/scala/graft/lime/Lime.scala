@@ -435,6 +435,93 @@ object Lime {
     }
   }
 
+  /** Driver-side fitStats for explain-time instance sets (the
+    * explainTabular gate): the same arithmetic as the two smallInput
+    * aggregation jobs — exact HALF_UP scale-6 moment sums, the
+    * Percentile order-statistic interpolation, exact per-bin decimal
+    * sums — computed from ONE collected instance table instead of two
+    * whole-plan aggregate jobs per explanation query. Bit-identical
+    * for double feature columns (the gate checks the type).
+    */
+  private[lime] def fitStatsLocal(rows: Array[org.apache.spark.sql.Row],
+                                  features: Seq[String], nBins: Int): Seq[FeatureStats] = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val n = rows.length.toLong
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    def m6(v: Double): java.math.BigInteger =
+      new java.math.BigDecimal(java.lang.Double.toString(v))
+        .setScale(6, java.math.RoundingMode.HALF_UP).unscaledValue()
+    features.zipWithIndex.map { case (f, fi) =>
+      val vs: Array[Double] =
+        rows.flatMap(r => if (r.isNullAt(fi)) None else Some(r.getDouble(fi)))
+      require(vs.nonEmpty && n > 0, s"fitStats: feature $f has no non-null values")
+      var sm = java.math.BigInteger.ZERO
+      var smm = java.math.BigInteger.ZERO
+      vs.foreach { v =>
+        val m = m6(v)
+        sm = sm.add(m); smm = smm.add(m.multiply(m))
+      }
+      val sumD = new java.math.BigDecimal(sm, 6).doubleValue()
+      val sumsqD = new java.math.BigDecimal(smm, 12).doubleValue()
+      val mean = sumD / n
+      val stdV = math.sqrt((sumsqD - sumD * sumD / n) / (n - 1.0))
+      val std = math.max(if (stdV.isNaN) 0.0 else stdV, 1e-12)
+      val sorted = vs.sorted
+      val edges = ps.map { p =>
+        val pos = (vs.length - 1) * p
+        val lo = math.floor(pos).toLong
+        val hi = math.ceil(pos).toLong
+        val a = sorted(lo.toInt); val b = sorted(hi.toInt)
+        round6(if (lo == hi) a else (hi - pos) * a + (pos - lo) * b)
+      }.toVector
+      val binSum = Array.fill(nBins)(java.math.BigInteger.ZERO)
+      val binCnt = new Array[Long](nBins)
+      vs.foreach { v =>
+        val b = edges.count(e => v > e) // binOf: edges strictly below
+        binSum(b) = binSum(b).add(m6(v))
+        binCnt(b) += 1
+      }
+      // empty bin: the aggregate read a NULL sum back as 0.0 — 0/1 here
+      val binMeans = (0 until nBins).map(b =>
+        new java.math.BigDecimal(binSum(b), 6).doubleValue() / math.max(binCnt(b), 1L))
+      val freqs = (0 until nBins).map(b => binCnt(b).toDouble / n)
+      val cum = freqs.scanLeft(0.0)(_ + _).tail.updated(nBins - 1, 1.0)
+      FeatureStats(f, mean, std, edges, binMeans, cum)
+    }
+  }
+
+  /** Driver-side fitCatStats over the same collected instance table:
+    * counts per distinct value in UTF-8 byte order (Spark's string
+    * ordering), cumulative frequencies with the last pinned to 1.0.
+    */
+  private[lime] def fitCatStatsLocal(rows: Array[org.apache.spark.sql.Row],
+      offset: Int, catFeatures: Seq[String], maxCard: Int = 64): Seq[CatStats] = {
+    def cmpU8(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      x.length - y.length
+    }
+    catFeatures.zipWithIndex.map { case (f, ci) =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      rows.foreach { r =>
+        val v = r.get(offset + ci).toString
+        counts.update(v, counts.getOrElse(v, 0L) + 1L)
+      }
+      val keys = counts.keys.toArray.sortWith(cmpU8(_, _) < 0)
+      require(keys.length <= maxCard,
+        s"categorical feature $f has ${keys.length} distinct values (> $maxCard)")
+      val total = counts.valuesIterator.sum.toDouble
+      val cum = keys.map(counts(_) / total).scanLeft(0.0)(_ + _).tail
+      CatStats(f, keys.toVector, cum.toVector.updated(keys.length - 1, 1.0))
+    }
+  }
+
   /** Quartile bin id: count of edges strictly below x — matches
     * numpy searchsorted(side='left') used by the public discretizer.
     */
@@ -541,8 +628,29 @@ object Lime {
       catFeatures: Seq[String] = Nil): DataFrame = {
     val spark = instances.sparkSession
     import spark.implicits._
-    val stats = fitStats(instances, features, cfg.nBins, smallInput = true)
-    val catStats = if (catFeatures.nonEmpty) fitCatStats(instances, catFeatures) else Nil
+    // Explain-time stats gate: instance sets are bounded by contract
+    // (tens-to-thousands of rows), so at or below the gate the stats
+    // come from ONE collect + the driver-side twins of the two
+    // smallInput aggregate jobs (bit-identical arithmetic; the type
+    // check keeps exotic fixture schemas on the distributed path).
+    val statsGate = 65536
+    val statCols = features ++ catFeatures
+    val localOk =
+      features.forall(f => instances.schema(f).dataType ==
+        org.apache.spark.sql.types.DoubleType) &&
+      catFeatures.forall(f => instances.schema(f).dataType ==
+        org.apache.spark.sql.types.StringType)
+    val localRows =
+      if (localOk) instances.select(statCols.map(col): _*).limit(statsGate + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    val (stats, catStats) =
+      if (localOk && localRows.nonEmpty && localRows.length <= statsGate)
+        (fitStatsLocal(localRows, features, cfg.nBins),
+          if (catFeatures.nonEmpty) fitCatStatsLocal(localRows, features.size, catFeatures)
+          else Nil)
+      else
+        (fitStats(instances, features, cfg.nBins, smallInput = true),
+          if (catFeatures.nonEmpty) fitCatStats(instances, catFeatures) else Nil)
     val allFeatures = features ++ catFeatures
     val d = allFeatures.size
     val width = cfg.kernelWidth.getOrElse(0.75 * math.sqrt(d))
