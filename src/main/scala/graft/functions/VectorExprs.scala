@@ -1040,6 +1040,90 @@ case class MatVec(child: Expression, mat: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** Per-row top-`keep` centroid pick over a bounded model table
+  * (`top_cells`): for each row vector, score every centroid — cosine
+  * dot(v,cv)/(nrm·cn) when `cosine`, else the left-to-right L2 fold —
+  * and return the best `keep` as (cell, score) structs in the rank
+  * order of the per-vector window this kernel replaces: (score DESC
+  * for cosine / ASC for L2, by java.lang.Double.compare — the SQL
+  * double sort order — then cell id ascending, which is the iteration
+  * order since the centroid arrays MUST arrive cell-id-ascending).
+  * Replaces crossJoin(broadcast(cents)) + row_number window: the
+  * O(N·k1) joined rows and the per-vector window shuffle disappear;
+  * every score is the identical IEEE fold, so argmax/argmin and
+  * rounded readouts are bit-unchanged (oracle-checked downstream).
+  */
+case class TopCells(vec: Expression, nrm: Expression,
+    ids: Array[Long], cvs: Array[Array[Double]], cns: Array[Double],
+    keep: Int, cosine: Boolean)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def left: Expression = vec
+  override def right: Expression = nrm
+  override def prettyName: String = "top_cells"
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("score", DoubleType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, nrm.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, double), got ${l.sql} and ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = b.asInstanceOf[Double]
+    val k = ids.length
+    val kk = math.min(keep, k)
+    val selIds = new Array[Long](kk)
+    val selSc = new Array[Double](kk)
+    var filled = 0
+    var ci = 0
+    while (ci < k) {
+      val cv = cvs(ci)
+      val len = math.min(v.numElements(), cv.length)
+      var sc = 0.0
+      if (cosine) {
+        var j = 0
+        while (j < len) { sc += v.getDouble(j) * cv(j); j += 1 }
+        sc = sc / (n * cns(ci))
+      } else {
+        var j = 0
+        while (j < len) { val t = v.getDouble(j) - cv(j); sc += t * t; j += 1 }
+      }
+      // insertion: move up past entries STRICTLY worse than sc; equal
+      // scores keep the earlier (smaller-id) entry ahead
+      var pos = filled
+      while (pos > 0 && {
+        val c = java.lang.Double.compare(selSc(pos - 1), sc)
+        if (cosine) c < 0 else c > 0
+      }) pos -= 1
+      if (pos < kk) {
+        var q = math.min(filled, kk - 1)
+        while (q > pos) { selIds(q) = selIds(q - 1); selSc(q) = selSc(q - 1); q -= 1 }
+        selIds(pos) = ids(ci); selSc(pos) = sc
+        if (filled < kk) filled += 1
+      }
+      ci += 1
+    }
+    val rows = new Array[Any](filled)
+    var i = 0
+    while (i < filled) {
+      rows(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](selIds(i), selSc(i)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TopCells =
+    copy(vec = l, nrm = r)
+}
+
 /** Whole-table BPE tokenization in one eval (`bpe_encode`): applies the
   * ENTIRE learned merge table to a symbol array, replacing the
   * one-higher-order-fold-per-merge chain whose expression tree grows
@@ -1214,6 +1298,11 @@ object VectorExprs {
 
   def hyperplaneSigs(v: Column, seed: Long, tables: Int, bits: Int, dim: Int): Column =
     GraftColumnShim.column(HyperplaneSigs(GraftColumnShim.expression(v), seed, tables, bits, dim))
+
+  def topCells(v: Column, nrm: Column, ids: Array[Long], cvs: Array[Array[Double]],
+      cns: Array[Double], keep: Int, cosine: Boolean): Column =
+    GraftColumnShim.column(TopCells(GraftColumnShim.expression(v),
+      GraftColumnShim.expression(nrm), ids, cvs, cns, keep, cosine))
 
   def matVec(v: Column, mat: Array[Array[Double]], mean: Array[Double]): Column =
     GraftColumnShim.column(MatVec(GraftColumnShim.expression(v),

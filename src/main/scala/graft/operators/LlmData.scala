@@ -2091,20 +2091,27 @@ object LlmData {
     val n = emb.count()
     val k = math.max(4, math.min(65536L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt)
     val nProbe = math.max(2, math.min(64, (k / 2.0).ceil.toInt))
-    val cent = emb.withColumn("h", xxhash64(col("vec_id")))
+    // centroid model collected in cent-id order (the same hash-sample
+    // TakeOrdered rows as before); assignment and probe fan-out run
+    // through the TopCells kernel — identical cosine folds and
+    // (ccos DESC, cent_id) tie order as the crossJoin + per-vector
+    // window they replace, with zero assignment exchanges. The model
+    // stays O(k) ≤ 65536 rows (the broadcast bound, now a kernel arg).
+    val centArr = emb.withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h", "vec_id").limit(k)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    def nearestCents(df: DataFrame, idCol: String, vCol: String, nCol: String, keep: Int) = {
-      val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cent_id"))
-      df.crossJoin(broadcast(cent))
-        .withColumn("ccos", dotCol(col(vCol), col("cv")) / (col(nCol) * col("cn")))
-        .withColumn("crnk", row_number().over(w))
-        .filter(col("crnk") <= keep)
-    }
-    val assigned = nearestCents(emb, "vec_id", "v", "nrm", 1)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1) // cent-id ascending = the window's tie order
+    def cells(keep: Int) = graft.functions.VectorExprs.topCells(
+      col("v"), col("nrm"), centArr.map(_._1), centArr.map(_._2),
+      centArr.map(_._3), keep, cosine = true)
+    val assigned = emb
+      .withColumn("cent_id", element_at(cells(1), 1).getField("cell"))
       .select(col("cent_id"), col("vec_id"), col("v"), col("nrm"))
-    val probes = nearestCents(emb.filter(col("vec_id") < 5), "vec_id", "v", "nrm", nProbe)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"), col("cent_id"))
+    val probes = emb.filter(col("vec_id") < 5)
+      .withColumn("tc", explode(cells(nProbe)))
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"),
+        col("tc.cell").as("cent_id"))
     val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id"))
     probes.join(assigned, "cent_id")
       .filter(col("probe_id") =!= col("vec_id"))
@@ -2140,13 +2147,20 @@ object LlmData {
   private[graft] def ivfTwoLevel(emb0: DataFrame, k1: Int, k2: Int,
       nProbeC: Int, nProbeF: Int, topK: Int): DataFrame = {
     val hashed = emb0.withColumn("h", xxhash64(col("vec_id")))
-    val coarse = hashed.orderBy("h", "vec_id").limit(k1)
-      .select(col("vec_id").as("c1_id"), col("v").as("c1v"), col("nrm").as("c1n"))
-    // nearest coarse cell per vector: the broadcast is O(k1) forever
-    val wV = Window.partitionBy("vec_id").orderBy(col("c1cos").desc, col("c1_id"))
-    val cellOf = hashed.crossJoin(broadcast(coarse))
-      .withColumn("c1cos", dotCol(col("v"), col("c1v")) / (col("nrm") * col("c1n")))
-      .withColumn("r", row_number().over(wV)).filter(col("r") === 1)
+    // coarse centroid model collected in cent-id order (same
+    // hash-sample rows); level-1 assignment and the probe fan-out run
+    // through the TopCells kernel — same folds and (c1cos DESC, c1_id)
+    // tie order as the crossJoin + window they replace, O(k1) model
+    // state forever
+    val coarseArr = hashed.orderBy("h", "vec_id").limit(k1)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    def cCells(keep: Int) = graft.functions.VectorExprs.topCells(
+      col("v"), col("nrm"), coarseArr.map(_._1), coarseArr.map(_._2),
+      coarseArr.map(_._3), keep, cosine = true)
+    val cellOf = hashed
+      .withColumn("c1_id", element_at(cCells(1), 1).getField("cell"))
       .select(col("vec_id"), col("v"), col("nrm"), col("h"), col("c1_id"))
       .cache() // read by the fine-centroid pick AND the fine assignment
     // fine centroids: the k2 smallest-hash members of each cell
@@ -2155,19 +2169,16 @@ object LlmData {
       .select(col("c1_id"), col("vec_id").as("c2_id"), col("v").as("c2v"), col("nrm").as("c2n"))
     // fine assignment: KEYED join on the coarse cell — never broadcast
     val wV2 = Window.partitionBy("vec_id").orderBy(col("c2cos").desc, col("c2_id"))
-    val assigned = cellOf.join(fine, "c1_id")
+    val assigned = cellOf.join(fine.hint("merge"), "c1_id")
       .withColumn("c2cos", dotCol(col("v"), col("c2v")) / (col("nrm") * col("c2n")))
       .withColumn("r2", row_number().over(wV2)).filter(col("r2") === 1)
       .select(col("c2_id"), col("vec_id"), col("v"), col("nrm"))
-    val probes0 = emb0.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
-    val wP1 = Window.partitionBy("probe_id").orderBy(col("c1cos").desc, col("c1_id"))
-    val pCells = probes0.crossJoin(broadcast(coarse))
-      .withColumn("c1cos", dotCol(col("pv"), col("c1v")) / (col("pn") * col("c1n")))
-      .withColumn("r", row_number().over(wP1)).filter(col("r") <= nProbeC)
-      .select(col("probe_id"), col("pv"), col("pn"), col("c1_id"))
+    val pCells = emb0.filter(col("vec_id") < 5)
+      .withColumn("tc", explode(cCells(nProbeC)))
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"),
+        col("tc.cell").as("c1_id"))
     val wP2 = Window.partitionBy("probe_id").orderBy(col("c2cos").desc, col("c2_id"))
-    val pLists = pCells.join(fine, "c1_id")
+    val pLists = pCells.join(fine.hint("merge"), "c1_id")
       .withColumn("c2cos", dotCol(col("pv"), col("c2v")) / (col("pn") * col("c2n")))
       .withColumn("r2", row_number().over(wP2)).filter(col("r2") <= nProbeF)
       .select(col("probe_id"), col("pv"), col("pn"), col("c2_id"))
@@ -2436,18 +2447,21 @@ object LlmData {
     */
   def qEmbIvfCells(s: SparkSession, dir: String): DataFrame = {
     val k1 = 16
-    def dist2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
     val emb = embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val cent = emb.orderBy("vec_id").limit(k1)
-      .select(col("vec_id").as("cell"), col("v").as("cv"))
-    val wA = Window.partitionBy("vec_id").orderBy(col("cdist"), col("cell"))
-    emb.crossJoin(broadcast(cent))
-      .withColumn("cdist", dist2(col("v"), col("cv")))
-      .withColumn("r", row_number().over(wA)).filter(col("r") === 1)
-      .select(col("vec_id"), col("cell"), round(col("cdist"), 6).as("cdist"))
+    // centroid model collected in cell-id order (the same smallest-
+    // vec_id rows); the per-vector argmin runs in ONE TopCells kernel
+    // eval per row — identical L2 fold and (cdist, cell) tie order as
+    // the crossJoin + window it replaces, zero assignment exchanges
+    val centArr = emb.orderBy("vec_id").limit(k1)
+      .select(col("vec_id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val tc = element_at(graft.functions.VectorExprs.topCells(
+      col("v"), lit(0.0), centArr.map(_._1), centArr.map(_._2),
+      centArr.map(_ => 1.0), keep = 1, cosine = false), 1)
+    emb.withColumn("tc", tc)
+      .select(col("vec_id"), col("tc.cell").as("cell"),
+        round(col("tc.score"), 6).as("cdist"))
       .orderBy("vec_id")
   }
 
@@ -2472,13 +2486,19 @@ object LlmData {
   def qSimIvfCells(s: SparkSession, dir: String): DataFrame = {
     val k1 = 16
     val emb = embWithNorms(s, dir)
-    val cent = emb.orderBy("vec_id").limit(k1)
-      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
-    val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))
-    emb.crossJoin(broadcast(cent))
-      .withColumn("ccos", dotCol(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      .withColumn("r", row_number().over(wA)).filter(col("r") === 1)
-      .select(col("vec_id"), col("cell"), round(col("ccos"), 6).as("ccos"))
+    // same kernel shape as q_emb_ivf_cells in cosine: one TopCells
+    // eval per row over the cell-id-ordered centroid model — identical
+    // dot fold, division, and (ccos DESC, cell) tie order as the
+    // crossJoin + window it replaces
+    val centArr = emb.orderBy("vec_id").limit(k1)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val tc = element_at(graft.functions.VectorExprs.topCells(
+      col("v"), col("nrm"), centArr.map(_._1), centArr.map(_._2),
+      centArr.map(_._3), keep = 1, cosine = true), 1)
+    emb.withColumn("tc", tc)
+      .select(col("vec_id"), col("tc.cell").as("cell"),
+        round(col("tc.score"), 6).as("ccos"))
       .orderBy("vec_id")
   }
 
@@ -2501,19 +2521,23 @@ object LlmData {
   def qSimIvf2Cells(s: SparkSession, dir: String): DataFrame = {
     val k1 = 8; val k2 = 8
     val emb = embWithNorms(s, dir)
-    val coarse = emb.orderBy("vec_id").limit(k1)
-      .select(col("vec_id").as("c1_id"), col("v").as("c1v"), col("nrm").as("c1n"))
-    val wV = Window.partitionBy("vec_id").orderBy(col("c1cos").desc, col("c1_id"))
-    val cellOf = emb.crossJoin(broadcast(coarse))
-      .withColumn("c1cos", dotCol(col("v"), col("c1v")) / (col("nrm") * col("c1n")))
-      .withColumn("r", row_number().over(wV)).filter(col("r") === 1)
+    // level-1 assignment through the TopCells kernel (the
+    // q_sim_ivf_cells shape) — same fold/tie order, no O(N·k1)
+    // crossJoin rows, no per-vector window exchange
+    val coarseArr = emb.orderBy("vec_id").limit(k1)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val tc1 = element_at(graft.functions.VectorExprs.topCells(
+      col("v"), col("nrm"), coarseArr.map(_._1), coarseArr.map(_._2),
+      coarseArr.map(_._3), keep = 1, cosine = true), 1)
+    val cellOf = emb.withColumn("c1_id", tc1.getField("cell"))
       .select(col("vec_id"), col("v"), col("nrm"), col("c1_id"))
       .cache() // read by the fine-centroid pick AND the fine assignment
     val wC = Window.partitionBy("c1_id").orderBy("vec_id")
     val fine = cellOf.withColumn("fr", row_number().over(wC)).filter(col("fr") <= k2)
       .select(col("c1_id"), col("vec_id").as("c2_id"), col("v").as("c2v"), col("nrm").as("c2n"))
     val wV2 = Window.partitionBy("vec_id").orderBy(col("c2cos").desc, col("c2_id"))
-    cellOf.join(fine, "c1_id")
+    cellOf.join(fine.hint("merge"), "c1_id")
       .withColumn("c2cos", dotCol(col("v"), col("c2v")) / (col("nrm") * col("c2n")))
       .withColumn("r2", row_number().over(wV2)).filter(col("r2") === 1)
       .select(col("vec_id"), col("c1_id").as("cell"), col("c2_id").as("list_id"),

@@ -205,12 +205,13 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("round-9 companion shapes: covariance cells + avro round-trip") {
-    // whiten-cov: the cached flatV's vec_id self-join (2) + the
-    // O(d²) pair-cell agg (1) + output sort (1); both dim margins
-    // arrive as broadcasts onto the cell table (plus AQE's reused
-    // subtree view) — the cell table itself NEVER reshuffles for a
-    // join
-    pin("q_emb_whiten_cov", 4, 3)
+    // whiten-cov (r13): the covariance moments fold per-partition in
+    // ONE covMoments pass (exact long/BigInteger accumulators — its
+    // collect job carries no exchange at all) and the O(d²) cell table
+    // is emitted from the merged moments; the only exchange left in
+    // the returned plan is the output sort. The pre-r13 shape (flatV
+    // self-join + pair-cell agg + margin broadcasts) was 4/3.
+    pin("q_emb_whiten_cov", 1, 0)
     // avro read-back: source agg partial+final + countDistinct(lang)
     // expand + output sort; no joins — the round-trip is scan-shaped
     pin("q_src_avro", 3, 0)
@@ -238,17 +239,19 @@ class PlanShapeSpec extends SparkSpec {
     // pq_codes: ONE narrow kernel pass + posexplode + output sort —
     // any join or aggregate appearing is a regression
     pin("q_emb_pq_codes", 1, 0)
-    // ivf_cells: crossJoin(broadcast(16-row centroid table)) +
-    // per-vector argmin window + output sort
-    pin("q_emb_ivf_cells", 2, 1)
+    // ivf_cells (r13): the per-vector argmin runs in ONE TopCells
+    // kernel eval per row against the collected O(k1) centroid model —
+    // the crossJoin broadcast and the per-vector window exchange are
+    // gone; only the output sort remains (pre-r13 shape: 2/1)
+    pin("q_emb_ivf_cells", 1, 0)
   }
 
   test("round-11 shapes: cosine cell assignments") {
     spark.catalog.clearCache()
-    // sim_ivf_cells: the q_emb_ivf_cells shape in cosine — crossJoin
-    // (broadcast(16-row centroid table)) + per-vector argmax window +
-    // output sort
-    pin("q_sim_ivf_cells", 2, 1)
+    // sim_ivf_cells (r13): the q_emb_ivf_cells shape in cosine — the
+    // TopCells kernel replaces the centroid broadcast + argmax window;
+    // output sort only (pre-r13 shape: 2/1)
+    pin("q_sim_ivf_cells", 1, 0)
     // sim_ivf2_cells: level 1 = the ONE O(k1) broadcast cross; level 2
     // = the fine table joined KEYED on the coarse cell (never
     // broadcast whole — the composition that scales); windows for the
@@ -293,8 +296,9 @@ class PlanShapeSpec extends SparkSpec {
     pin("q_sample_dsir", 8, 2)
     // recall: inherits both graphs' shapes cold — the exact baseline
     // (probe broadcast over the corpus) + the IVF build (emb cache
-    // repartition, centroid pick, assignment/probe windows, cell-keyed
-    // join) + the id-join rollup and output sort
-    pin("q_emb_ann_recall", 8, 3)
+    // repartition, TopCells kernel assignment/probing since r13 — the
+    // two assignment windows and the centroid broadcast are gone —
+    // cell-keyed join) + the id-join rollup and output sort
+    pin("q_emb_ann_recall", 6, 2)
   }
 }
