@@ -3494,18 +3494,26 @@ object LlmData {
     val perDim = emb.select(col("label"), posexplode(col("v")))
       .groupBy(col("label"), col("pos"))
       .agg(sum(col("col").cast("decimal(18,9)")).as("sx"), count(lit(1)).as("cnt"))
-    val cents = perDim
+    // O(labels) centroid model collected in ascending-label order
+    // (labels are INTs — numeric sort = the previous (d2, c_label)
+    // tie order), assignment through the TopCells kernel — identical
+    // L2 fold and tie rule as the crossJoin + per-vector window it
+    // replaces
+    val centRows = perDim
       .withColumn("c", col("sx").cast("double") / col("cnt"))
       .groupBy(col("label"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cv"))
-      .select(col("label").as("c_label"), col("cv"))
-    val wA = Window.partitionBy("vec_id").orderBy(col("d2"), col("c_label"))
-    emb.crossJoin(broadcast(cents))
-      .withColumn("d2", expr(
-        "aggregate(zip_with(v, cv, (x, c) -> (x - c) * (x - c)), CAST(0 AS DOUBLE), (a, e) -> a + e)"))
-      .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("c_label").as("assigned"),
-        round(sqrt(col("d2")), 6).as("dist"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val tc = element_at(graft.functions.VectorExprs.topCells(
+      col("v"), lit(0.0), centRows.indices.map(_.toLong).toArray,
+      centRows.map(_._2), centRows.map(_ => 1.0), keep = 1, cosine = false), 1)
+    emb.withColumn("tc", tc)
+      .select(col("vec_id"), col("label"),
+        element_at(typedlit(centRows.map(_._1).toSeq),
+          col("tc.cell").cast("int") + 1).as("assigned"),
+        round(sqrt(col("tc.score")), 6).as("dist"))
       .orderBy("vec_id")
   }
 
