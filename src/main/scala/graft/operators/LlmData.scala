@@ -5011,27 +5011,36 @@ object LlmData {
     val n = nRows.toDouble
     val totVar = eigVals.sum
     // whitened variance of each of the top-k projections, computed
-    // DISTRIBUTED over the corpus (micro-unit exact-long fold)
-    val comps = (0 until k).map { c =>
+    // DISTRIBUTED over the corpus (micro-unit exact-long fold). All k
+    // components fold in ONE aggregation pass (previously a union of
+    // k single-component aggregates — k scans of the cache and k
+    // exchange branches); sums and the read-off expressions are
+    // identical per component, so the output is unchanged.
+    val meanLit = typedlit(mean.toSeq)
+    val aggCols = (0 until k).flatMap { c =>
       val u = eigVecs(c); val lam = eigVals(c)
-      val meanLit = typedlit(mean.toSeq)
       val uLit = typedlit(u.toSeq)
       val z = aggregate(
         zip_with(zip_with(col("v"), meanLit, (x, m) => x - m), uLit, (d, w) => d * w),
         lit(0.0), (acc, t) => acc + t) / lit(math.sqrt(lam))
-      emb.select(round(z * lit(1e6)).cast("long").as("zn"))
-        .agg(sum(col("zn").cast("decimal(38,0)")).as("sz"),
-          sum((col("zn") * col("zn")).cast("decimal(38,0)")).as("szz"),
-          count(lit(1)).as("nn"))
-        .select(lit(c).as("component"),
-          round(lit(lam), 6).as("eigval"),
-          round(lit(lam / totVar), 6).as("evr"),
-          round((col("szz").cast("double") / col("nn") -
-            (col("sz").cast("double") / col("nn")) *
-              (col("sz").cast("double") / col("nn"))) / lit(1e12), 6)
-            .as("whitened_var"))
+      val zn = round(z * lit(1e6)).cast("long")
+      Seq(sum(zn.cast("decimal(38,0)")).as(s"sz$c"),
+        sum((zn * zn).cast("decimal(38,0)")).as(s"szz$c"))
+    } :+ count(lit(1)).as("nn")
+    val comps = (0 until k).map { c =>
+      val lam = eigVals(c)
+      struct(lit(c).as("component"),
+        round(lit(lam), 6).as("eigval"),
+        round(lit(lam / totVar), 6).as("evr"),
+        round((col(s"szz$c").cast("double") / col("nn") -
+          (col(s"sz$c").cast("double") / col("nn")) *
+            (col(s"sz$c").cast("double") / col("nn"))) / lit(1e12), 6)
+          .as("whitened_var"))
     }
-    comps.reduce(_ union _).orderBy("component")
+    emb.agg(aggCols.head, aggCols.tail: _*)
+      .select(explode(array(comps: _*)).as("c"))
+      .select(col("c.component"), col("c.eigval"), col("c.evr"), col("c.whitened_var"))
+      .orderBy("component")
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix —
