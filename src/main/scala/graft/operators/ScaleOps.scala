@@ -80,16 +80,37 @@ object ScaleOps {
     * `nName` (total group row count — ntileFromRank needs it and a
     * separate count pass would rescan the input).
     */
+  /** Caches retained by distributedRank invocations (the documented
+    * cache-retention contract: the result is lazy, so the slice cache
+    * cannot unpersist inside the builder). Harness sweeps clear the
+    * whole catalog per query; long-lived production callers call
+    * `unpersistRetained()` after materializing their consumers instead
+    * of accumulating one corpus-sized cache per invocation.
+    */
+  private val retained =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  /** Drop every slice cache retained by prior distributedRank calls. */
+  def unpersistRetained(): Unit = {
+    var d = retained.poll()
+    while (d != null) { d.unpersist(false); d = retained.poll() }
+  }
+
   def distributedRank(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
                       rnName: String, nName: String,
                       numParts: Int = 0): DataFrame = {
     val parts =
       if (numParts > 0) numParts
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      // "spark.sql.shuffle.partitions" may be non-numeric on some
+      // platforms (e.g. "auto"); fall back to the cluster default
+      else scala.util.Try(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+        .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
     val gcols = groupCols.map(col)
     val sliced = df.repartitionByRange(parts, gcols ++ order: _*)
       .withColumn("__slice", spark_partition_id())
       .cache()
+    retained.add(sliced)
     val counts = sliced.groupBy(col("__slice") +: gcols: _*).agg(count(lit(1)).as("__cnt"))
     val cumWin = Window.partitionBy(gcols: _*).orderBy(col("__slice"))
       .rowsBetween(Window.unboundedPreceding, -1)
