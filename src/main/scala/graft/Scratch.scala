@@ -18,7 +18,11 @@ object Scratch {
     names.foreach { n => t(s"warm_$n")(SparkEntry.queries(n)(spark, sfDir).count()) }
     spark.catalog.clearCache()
     operators.LimeOps.clearStatsCache()
-    names.foreach { n => t(s"cold_$n")(SparkEntry.queries(n)(spark, sfDir).count()) }
+    names.foreach { n =>
+      t(s"cold_$n")(SparkEntry.queries(n)(spark, sfDir).count())
+      spark.catalog.clearCache()
+      operators.LimeOps.clearStatsCache()
+    }
     spark.stop()
   }
 }

@@ -115,6 +115,12 @@ object Lime {
   private def fitStatsInner(df: DataFrame, features: Seq[String], nBins: Int,
                             smallInput: Boolean): Seq[FeatureStats] = {
     def r6(v: Double): Double = round6(v)
+    def ph[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      if (sys.env.contains("GRAFT_PROFILE"))
+        println(f"[fit-phase] $name%-16s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    }
     val ps = (1 until nBins).map(_.toDouble / nBins)
     // Exact mean/std in primitive LONG micro-units instead of decimal
     // sums: m = unscaled(cast(x AS DECIMAL(18,6))) — the SAME
@@ -127,9 +133,11 @@ object Lime {
     // Fallback to the full decimal path when (a) any value overflowed
     // the DECIMAL(18,6) cast (m null where x isn't: |x| ≥ 10¹²) or
     // (b) the post-hoc (count, max|m|) bound says a sum could wrap.
-    val pass1 = features.flatMap { f =>
-      val m = (col(f).cast("decimal(18,6)") * lit(1000000L).cast("decimal(7,0)"))
+    def micro(f: String): Column =
+      (col(f).cast("decimal(18,6)") * lit(1000000L).cast("decimal(7,0)"))
         .cast("long")
+    val momentCols = features.flatMap { f =>
+      val m = micro(f)
       val r = pmod(m, lit(1000000L))
       // (m−r) is an exact multiple of 10⁶ and < 2⁵³, so the double
       // division is exact; cast back to long for the long-only sums
@@ -143,12 +151,38 @@ object Lime {
         max(r).as(s"${f}__maxr"),
         count(col(f)).as(s"${f}__nx"),
         count(m).as(s"${f}__nm"))
-    } ++ Seq(count(lit(1)).as("__n")) ++ (if (smallInput) features.map { f =>
-      // functions.percentile (exact), col(f)-based — no SQL-string
-      // interpolation, so quoted/exotic column names keep working
-      percentile(col(f), array(ps.map(lit): _*)).as(s"${f}__q")
-    } else quantileSketchCols(features, ps)) // fuse quantile job (A) into pass 1
-    val r1 = df.agg(pass1.head, pass1.tail: _*).head()
+    } ++ Seq(count(lit(1)).as("__n"))
+    // smallInput: ONE fused aggregate job exactly as before (moments +
+    // exact percentile). Corpus path: the sketch's TypedImperativeAggregate
+    // would force the whole fused aggregate into interpreted
+    // ObjectHashAggregate — measured 1.32 s fused vs 0.62 s (codegen
+    // moments) + 0.63 s (sketch) SEPARATE at bench scale — so the two
+    // run as independent overlapped jobs instead (guide §2.6), with the
+    // shared projection cache populated once up front.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val (r1, rSketch) =
+      if (smallInput) {
+        val pass1 = momentCols ++ features.map { f =>
+          // functions.percentile (exact), col(f)-based — no SQL-string
+          // interpolation, so quoted/exotic column names keep working
+          percentile(col(f), array(ps.map(lit): _*)).as(s"${f}__q")
+        }
+        val r = ph("pass1")(df.agg(pass1.head, pass1.tail: _*).head())
+        (r, r)
+      } else {
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        ph("populate")(df.count()) // build the cache once, not racily twice
+        val momentsF = Future {
+          ph("moments")(df.agg(momentCols.head, momentCols.tail: _*).head())
+        }
+        // bracket job (A): approx sketch + the non-null counts the
+        // read-off needs (exactQuantilesFromSketch reads `${f}__nx`)
+        val sketchCols = features.map(f => count(col(f)).as(s"${f}__nx")) ++
+          quantileSketchCols(features, ps)
+        val rs = ph("sketch")(df.agg(sketchCols.head, sketchCols.tail: _*).head())
+        (Await.result(momentsF, Duration.Inf), rs)
+      }
     val n = r1.getAs[Long]("__n")
     val longSafe = n > 0 && features.forall { f =>
       val maxm = BigInt(math.max(r1.getAs[Long](s"${f}__maxm"), 1L))
@@ -201,32 +235,67 @@ object Lime {
             s"fitStats: feature $f has no non-null values")
           qs.toVector.map(r6)
         }
-      else exactQuantilesFromSketch(df, features, ps, r1).map(_.map(r6))
+      else ph("sketchReadoff")(exactQuantilesFromSketch(df, features, ps, rSketch)).map(_.map(r6))
 
-    // Bin means now go through the decimal firewall (exact per-bin
-    // decimal sums → one double division), and bin frequencies were
+    // Bin means go through the exact-integer firewall (exact per-bin
+    // micro-unit sums → one double division), and bin frequencies were
     // always exact long counts → one division — so BOTH are
     // partition-order-independent AND engine-replicable. This is what
     // lets lime_perturb carry a DuckDB oracle: the sampling
     // thresholds (cumFreqs) and the emitted __val (binMeans) must be
     // bit-reproducible from SQL, not 1e-13-wobbly double sums.
-    val pass2 = features.zip(edges).flatMap { case (f, e) =>
-      val bin = binOf(col(f), e)
-      (0 until nBins).flatMap { b =>
-        Seq(
-          (sum(when(bin === b, col(f).cast(D6))).cast("double") /
-            greatest(sum(when(bin === b, 1).otherwise(0)), lit(1))).as(s"${f}__bm$b"),
-          (sum(when(bin === b, 1).otherwise(0)).cast("double") / count(lit(1))).as(s"${f}__bf$b"))
+    // When longSafe holds, the per-bin sums ride the SAME micro-unit
+    // LONG lattice as the moments (each bin's sum is a subset of Σm,
+    // so the no-wrap bound holds a fortiori) — codegen'd long
+    // aggregation, measured 0.64 s vs 0.90 s for the decimal form at
+    // bench scale; the unscaled integer is identical, so the closing
+    // division is the same IEEE op on the same values. Null features
+    // fall to bin 0 in the COUNT but stay out of the SUM (null m),
+    // exactly like the decimal form (sum skips nulls).
+    val binStats: Map[String, (IndexedSeq[Double], IndexedSeq[Double])] =
+      if (longSafe) {
+        val pass2 = features.zip(edges).flatMap { case (f, e) =>
+          val bin = binOf(col(f), e)
+          val m = micro(f)
+          (0 until nBins).flatMap { b =>
+            Seq(
+              sum(when(bin === b, m)).as(s"${f}__bs$b"),
+              sum(when(bin === b, 1L).otherwise(0L)).as(s"${f}__bc$b"))
+          }
+        }
+        val r2 = ph("pass2")(df.agg(pass2.head, pass2.tail: _*).head())
+        features.map { f =>
+          val cnts = (0 until nBins).map(b => r2.getAs[Long](s"${f}__bc$b"))
+          val means = (0 until nBins).map { b =>
+            val i = r2.fieldIndex(s"${f}__bs$b")
+            // empty bin: the decimal form read a NULL sum back as 0.0
+            if (r2.isNullAt(i)) 0.0
+            else BigDecimal(BigInt(r2.getLong(i)), 6).toDouble /
+              math.max(cnts(b), 1L)
+          }
+          f -> (means, cnts.map(_.toDouble / n))
+        }.toMap
+      } else {
+        val pass2 = features.zip(edges).flatMap { case (f, e) =>
+          val bin = binOf(col(f), e)
+          (0 until nBins).flatMap { b =>
+            Seq(
+              (sum(when(bin === b, col(f).cast(D6))).cast("double") /
+                greatest(sum(when(bin === b, 1).otherwise(0)), lit(1))).as(s"${f}__bm$b"),
+              (sum(when(bin === b, 1).otherwise(0)).cast("double") / count(lit(1))).as(s"${f}__bf$b"))
+          }
+        }
+        val r2 = ph("pass2")(df.agg(pass2.head, pass2.tail: _*).head())
+        features.map { f =>
+          f -> ((0 until nBins).map(b => r2.getAs[Double](s"${f}__bm$b")),
+            (0 until nBins).map(b => r2.getAs[Double](s"${f}__bf$b")))
+        }.toMap
       }
-    }
-    val r2 = df.agg(pass2.head, pass2.tail: _*).head()
-    def g2(n: String): Double = r2.getAs[Double](n)
 
     features.zip(edges).map { case (f, e) =>
-      val freqs = (0 until nBins).map(b => g2(s"${f}__bf$b"))
+      val (means, freqs) = binStats(f)
       val cum = freqs.scanLeft(0.0)(_ + _).tail.updated(nBins - 1, 1.0)
-      FeatureStats(f, g(s"${f}__mean"), g(s"${f}__std"), e,
-        (0 until nBins).map(b => g2(s"${f}__bm$b")), cum)
+      FeatureStats(f, g(s"${f}__mean"), g(s"${f}__std"), e, means, cum)
     }
   }
 
@@ -321,7 +390,19 @@ object Lime {
         sum(when(col(f) < lo, 1L).otherwise(0L)).as(s"${f}__below$i")
       }
     }
-    val rB = df.agg(aggB.head, aggB.tail: _*).head()
+    // The below-counts aggregate (B1) and the bracket census (B2) are
+    // independent given the brackets — run them as overlapped jobs
+    // (guide §2.6) so the tail of one back-fills the other's tasks.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val rBF = Future {
+      val t0 = System.nanoTime()
+      val r = df.agg(aggB.head, aggB.tail: _*).head()
+      if (sys.env.contains("GRAFT_PROFILE"))
+        println(f"[fit-phase] jobB1_below    ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    }
     // ONE scan for every feature's bracket census, not a scan per
     // feature: melt (feature, value) pairs with an explode over
     // struct literals (no SQL-string interpolation, so quoted/exotic
@@ -343,8 +424,15 @@ object Lime {
         .groupBy("feature", "v").agg(count(lit(1)).as("c"))
         .select(col("feature"), col("v"), col("c"))
     }
-    val byFeat = inBracket.collect().groupBy(_.getString(0))
+    val byFeat = {
+      val t0 = System.nanoTime()
+      val r = inBracket.collect()
+      if (sys.env.contains("GRAFT_PROFILE"))
+        println(f"[fit-phase] jobB2_census   ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    }.groupBy(_.getString(0))
       .map { case (f, rs) => f -> rs.map(r => (r.getDouble(1), r.getLong(2))).sortBy(_._1) }
+    val rB = Await.result(rBF, Duration.Inf)
     def search(f: String, k: Long): Option[Double] = {
       val vs = byFeat.getOrElse(f, Array.empty[(Double, Long)])
       var res: Option[Double] = None
