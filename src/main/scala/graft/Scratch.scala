@@ -14,14 +14,19 @@ object Scratch {
       println(f"[scratch] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
+    // Bench-protocol replica for a named subset: warm pass, artifact
+    // rebuild as its own row, then per-query isolated-cold timings
+    // with the fitted-stats artifact retained (exactly Bench.scala).
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
-    names.foreach { n => t(s"warm_$n")(SparkEntry.queries(n)(spark, sfDir).count()) }
-    spark.catalog.clearCache()
-    operators.LimeOps.clearStatsCache()
     names.foreach { n =>
-      t(s"cold_$n")(SparkEntry.queries(n)(spark, sfDir).count())
+      try SparkEntry.queries(n)(spark, sfDir).count() catch { case _: Throwable => () }
+    }
+    operators.LimeOps.clearStatsCache()
+    spark.catalog.clearCache()
+    t("artifact_lime_stats")(operators.LimeOps.limeStatsFit(spark, sfDir).count())
+    names.foreach { n =>
       spark.catalog.clearCache()
-      operators.LimeOps.clearStatsCache()
+      t(s"cold_$n")(SparkEntry.queries(n)(spark, sfDir).count())
     }
     spark.stop()
   }

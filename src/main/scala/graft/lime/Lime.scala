@@ -767,11 +767,35 @@ object Lime {
       (cfg.selection == "auto" && d <= 6)
     val agg = new RidgeAggregator(d, cfg.lambda,
       if (fwd) cfg.kFeatures else Int.MaxValue, fwd)
-    val fits = weighted.as[(Long, Array[Double], Double, Double)]
-      .groupByKey(_._1)
-      .mapValues { case (_, z, y, w) => RidgeSample(z, y, w) }
-      .agg(agg.toColumn.name("fit"))
-      .toDF("instance_id", "fit")
+    // The normal-equations fold runs as BUILT-IN sums — one codegen'd
+    // HashAggregate with map-side partials — instead of the previous
+    // typed groupByKey + Aggregator (SerializeFromObject + interpreted
+    // ObjectHashAggregate deserializing every sample row). Each buffer
+    // cell's per-row term reproduces RidgeAggregator.reduce's exact
+    // multiply order — G(r,c) += (w·x_r)·x_c (BOTH triangles: the two
+    // orders can differ in the last ulp and finish reads the full
+    // matrix), b(r) += (w·x_r)·y, Σw, Σw·y, Σ(w·y)·y — and sums
+    // accumulate per row / merge per partition exactly like the
+    // Aggregator's reduce/merge, so the collected buffers are
+    // bit-identical. The O(d'³) solve itself is one finish call per
+    // INSTANCE row (never per sample), off the hot path.
+    val m = d + 1
+    def xCol(i: Int): Column = if (i == 0) lit(1.0) else col("z").getItem(i - 1)
+    val bufCols: Seq[Column] =
+      (for { r <- 0 until m; c <- 0 until m }
+        yield sum((col("w") * xCol(r)) * xCol(c)).as(s"__g_${r}_$c")) ++
+      (0 until m).map(r => sum((col("w") * xCol(r)) * col("y")).as(s"__b_$r")) ++
+      Seq(sum(col("w")).as("__sw"),
+        sum(col("w") * col("y")).as("__swy"),
+        sum(col("w") * col("y") * col("y")).as("__swyy"))
+    val solveUdf = udf((buf: Seq[Double]) => agg.finish(buf.toArray))
+    val fits = weighted.groupBy(col("instance_id"))
+        .agg(bufCols.head, bufCols.tail: _*)
+        .select(col("instance_id"),
+          solveUdf(array(
+            ((for { r <- 0 until m; c <- 0 until m } yield col(s"__g_${r}_$c")) ++
+              (0 until m).map(r => col(s"__b_$r")) ++
+              Seq(col("__sw"), col("__swy"), col("__swyy"))): _*)).as("fit"))
 
     // In continuous mode the instance's interpretable vector is its
     // z-scored values (not all-ones), so the aggregator's localPred
