@@ -1302,20 +1302,21 @@ object Relational {
       .withColumn("late",
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
     // ONE aggregation of the raw stream to per-(order, supplier) late
-    // flags, cached: the per-order census (distinct suppliers ≡ rows
-    // of the pair table, so no countDistinct expansion) and the
-    // late-pair join side both read it — the alternative re-scans and
-    // re-joins lineitem⋈orders once per consumer.
+    // flags (distinct suppliers ≡ rows of the pair table, so no
+    // countDistinct expansion), then ONE per-order census. The census
+    // filter keeps only orders with exactly one late supplier, so
+    // max(when(has_late, suppkey)) inside the same aggregate IS that
+    // supplier — the cached pair table, its second read, and the
+    // sort-merge semi join of the previous shape all disappear (the
+    // culprit is recovered in-aggregate instead of by joining back).
     val perPair = li.groupBy("l_orderkey", "l_suppkey")
       .agg(max(col("late")).as("has_late"))
-      .cache()
-    val perOrder = perPair.groupBy("l_orderkey")
+    perPair.groupBy("l_orderkey")
       .agg(count(lit(1)).as("nsupp"),
-        count(when(col("has_late"), lit(1))).as("nlate"))
+        count(when(col("has_late"), lit(1))).as("nlate"),
+        max(when(col("has_late"), col("l_suppkey"))).as("late_supp"))
       .filter(col("nsupp") >= 2 && col("nlate") === 1)
-    perPair.filter(col("has_late"))
-      .join(perOrder, Seq("l_orderkey"), "left_semi")
-      .groupBy("l_suppkey")
+      .groupBy(col("late_supp").as("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
       .join(broadcast(supplier(s, dir).select("s_suppkey", "s_name")),
         col("l_suppkey") === col("s_suppkey"))
@@ -1723,14 +1724,47 @@ object Relational {
       .orderBy("l_returnflag", "day")
   }
 
-  def qWinNtilePctrank(s: SparkSession, dir: String): DataFrame = {
-    val total = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-    val byBal = Window.orderBy(col("c_acctbal"))
-    customer(s, dir)
-      .select(col("c_custkey"), col("c_acctbal"),
-        ntile(4).over(total).as("quartile"),
-        round(percent_rank().over(byBal), 6).as("pct_rank"))
-      .orderBy("c_custkey")
+  /** Quartile + percent_rank census over the customer table. Scale
+    * shape: at or below the ScaleOps.SortWindowGate footer count the
+    * two unpartitioned windows sort customers in one task (the
+    * oracle's own semantics); above it the IDENTICAL numbers come
+    * from ONE ScaleOps.distributedRank pass on the total order
+    * (c_acctbal, c_custkey) — quartile via ntileFromRank, and
+    * percent_rank's RANK (ties share the rank of their first row)
+    * recovered as min(rn) over the per-value group, a window KEYED on
+    * c_acctbal (never a single-partition exchange). percent_rank =
+    * (rank − 1)/(n − 1) is then the same IEEE division both engines
+    * evaluate. Forced ≡-pinned in ScaleOpsSpec.
+    */
+  def qWinNtilePctrank(s: SparkSession, dir: String): DataFrame =
+    winNtilePctrankFrom(customer(s, dir),
+      scalePath = LlmData.parquetRowCount(s, s"$dir/customer.parquet") > ScaleOps.SortWindowGate)
+
+  /** qWinNtilePctrank with the path gate exposed so the forced-scale
+    * spec can pin scale ≡ exact on the same input.
+    */
+  private[graft] def winNtilePctrankFrom(cust: DataFrame, scalePath: Boolean): DataFrame = {
+    val base = cust.select(col("c_custkey"), col("c_acctbal"))
+    val ranked =
+      if (!scalePath) {
+        val total = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+        val byBal = Window.orderBy(col("c_acctbal"))
+        base.select(col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(total).as("quartile"),
+          round(percent_rank().over(byBal), 6).as("pct_rank"))
+      } else {
+        val wVal = Window.partitionBy("c_acctbal")
+        ScaleOps.distributedRank(base, Nil,
+            Seq(col("c_acctbal"), col("c_custkey")), "__rn", "__n")
+          .withColumn("quartile", ScaleOps.ntileFromRank("__rn", "__n", 4))
+          // n = 1 emits 0.0 exactly like PercentRank (never 0/0)
+          .withColumn("pct_rank",
+            round(when(col("__n") > 1L,
+              (min(col("__rn")).over(wVal) - lit(1L)).cast("double") /
+                (col("__n") - lit(1L)).cast("double")).otherwise(lit(0.0)), 6))
+          .select("c_custkey", "c_acctbal", "quartile", "pct_rank")
+      }
+    ranked.orderBy("c_custkey")
   }
 
   // ===== §2.6 sort / set ops / scalar functions =====

@@ -783,6 +783,10 @@ class ScaleOpsSpec extends SparkSpec {
     assert(sortedRows(graft.operators.Relational.aggTrimmedFrom(li, scalePath = true)) ==
       sortedRows(graft.operators.Relational.aggTrimmedFrom(li, scalePath = false)),
       "q_agg_trimmed scale path diverged")
+    val cust = Tables.customer(spark, dir)
+    assert(sortedRows(graft.operators.Relational.winNtilePctrankFrom(cust, scalePath = true)) ==
+      sortedRows(graft.operators.Relational.winNtilePctrankFrom(cust, scalePath = false)),
+      "q_win_ntile_pctrank scale path diverged")
     spark.catalog.clearCache() // distributedRank's documented retention
   }
 
