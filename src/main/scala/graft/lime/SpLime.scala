@@ -29,11 +29,18 @@ object SpLime {
     // difference is double-sum order, which the importance spec
     // already tolerates at 1 ulp. Above the gate the distributed
     // per-round loop runs unchanged.
+    // Gate probe rides ONE cached materialization of W: the count
+    // ships a long, so an above-gate input never pays a discarded
+    // 1M-row collect, and the distributed rounds reuse the same cache
+    // (the r13 ADVICE probe-cost item).
     val wGate = 1000000
-    val local = w0.limit(wGate + 1).collect()
-    if (local.length <= wGate) return pickLocal(local.map(r =>
-      (r.getLong(0), r.getString(1), r.getDouble(2))), b)
     val w = w0.cache()
+    if (w.limit(wGate + 1).count() <= wGate) {
+      val local = w.collect()
+      w.unpersist() // the greedy rounds run on the collected rows
+      return pickLocal(local.map(r =>
+        (r.getLong(0), r.getString(1), r.getDouble(2))), b)
+    }
     val importance = w.groupBy("feature").agg(sqrt(sum(col("aw"))).as("imp"))
 
     var covered = Set.empty[String]

@@ -287,8 +287,16 @@ object EventOps {
     * the per-day 1/Λ quantizes to micro-units (LEAST(10⁶,
     * round(10⁶/Λ)) → long) BEFORE the running min, so the
     * monotone-min chain compares exact longs, never raw doubles —
-    * the one exp per day is the round-6-class exposure and it never
-    * propagates across rows. Days where either arm has < 2
+    * the one exp per day is the round-6-class exposure. Note the
+    * sticky-min propagation: the min chain itself is exact once
+    * quantized, but if a half-way case in round(10⁶/Λ) ever flipped
+    * one day's pq by a micro-unit AND that day became the running
+    * minimum, every later day's p-value would inherit the flipped
+    * value — a single-ulp exposure can persist to the end of the
+    * series (including across the signif threshold at exactly
+    * 50000). Accepted parity risk, same class as the per-day exp
+    * itself; no such flip occurs on the test data. Days where either
+    * arm has < 2
     * cumulative observations (or σ̂² = 0) contribute NULL and the min
     * skips them in both engines. Scale shape: events reduce ONCE
     * keyed (type, day) with conditional partial-aggregated sums; the
@@ -935,9 +943,17 @@ object EventOps {
     // long per-node sums (order-independent), dangling mass over the
     // same quantized ranks. Above the gate, the previous distributed
     // per-round loop runs unchanged.
+    // Gate probe rides ONE cached materialization of the edge table:
+    // the count ships a long, not rows, so an above-gate input never
+    // pays a discarded 1M-row driver collect, and the distributed
+    // branch reuses the same cache instead of recomputing the corpus
+    // window + aggregation (the r13 ADVICE probe-cost item).
     val edgeGate = 1000000
-    val eRows = edges.limit(edgeGate + 1).collect()
-    if (eRows.length <= edgeGate) {
+    val edgesC = edges.cache() // probe + below-gate collect + distributed rounds
+    val nEdges = edgesC.limit(edgeGate + 1).count()
+    if (nEdges <= edgeGate) {
+      val eRows = edgesC.collect()
+      edgesC.unpersist() // all rounds run on the collected rows
       val e = eRows.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       def qz(v: Double): Long = java.math.BigDecimal.valueOf(v)
         .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue.toLong
@@ -959,7 +975,6 @@ object EventOps {
         .toDF("event_type", "out_transitions", "pagerank")
         .orderBy("event_type")
     } else {
-      val edgesC = edges.cache() // read by out-degrees + every unrolled round
       val outd = edgesC.groupBy("from_type").agg(sum(col("n")).as("outn"))
       val nodes = edgesC.select(col("from_type").as("type"))
         .union(edgesC.select(col("to_type").as("type"))).distinct().cache()

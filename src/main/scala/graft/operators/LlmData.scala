@@ -573,18 +573,44 @@ object LlmData {
       exactGate: Long = TextExactGate): DataFrame = {
     val sh = shIn.filter(col("sz") > 0).cache()
     if (nDocs <= exactGate) {
-      val ex = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
-      val exNew = ex.filter(col("doc_id") > t)
-        .select(col("doc_id").as("b_id"), col("sz").as("b_sz"), col("sh"))
-      ex.join(exNew, Seq("sh"))
-        .filter(col("doc_id") < col("b_id"))
-        .groupBy(col("doc_id").as("a_id"), col("b_id"))
-        .agg(count(lit(1)).as("inter"),
-          first(col("sz")).as("a_sz"), first(col("b_sz")).as("bsz"))
-        .withColumn("jac",
-          round(col("inter") / (col("a_sz") + col("bsz") - col("inter")), 6))
-        .filter(col("jac") >= tau)
-        .select("a_id", "b_id", "jac")
+      // Vocabulary-adaptive like jaccardPairs/qDedupContain, same
+      // reason: in a dense vocabulary the shared-shingle join's
+      // exploded string stream shuffles O(Σ df·df_new) rows, while the
+      // packed-bitset popcount block-NL verifies the same pairs with
+      // zero pair-row shuffles. The new-batch restriction survives:
+      // popcountPairs' minBId starts each row's scan past max(a, T),
+      // so old×old pairs never materialize and pair work stays
+      // O(new × corpus). Emits are exact (|A∩B| popcount == the join's
+      // per-pair match count: shingle sets are distinct per doc), and
+      // jac is the identical round(inter/(a+b−inter), 6) double.
+      val tokens = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
+        .cache() // gate aggregate + (dense) bitset build / (sparse) both join sides
+      val gate = tokens.agg(
+        countDistinct(col("sh")).as("v"),
+        countDistinct(col("doc_id")).as("nd")).head()
+      val (v, nd) = (gate.getLong(0).toInt, gate.getLong(1))
+      if (v <= DenseVocabMax &&
+          nd * ((v + 63) / 64).toLong <= DenseBitsetBudgetLongs) {
+        val vocab = tokens.select("sh").distinct()
+        popcountPairs(packedBitsets(sh, tokens, vocab, v), tau - 1e-6,
+            PopcountJaccard, s, minBId = t)
+          .withColumn("jac",
+            round(col("inter") / (col("a_sz") + col("b_sz") - col("inter")), 6))
+          .filter(col("jac") >= tau)
+          .select("a_id", "b_id", "jac")
+      } else {
+        val exNew = tokens.filter(col("doc_id") > t)
+          .select(col("doc_id").as("b_id"), col("sz").as("b_sz"), col("sh"))
+        tokens.join(exNew, Seq("sh"))
+          .filter(col("doc_id") < col("b_id"))
+          .groupBy(col("doc_id").as("a_id"), col("b_id"))
+          .agg(count(lit(1)).as("inter"),
+            first(col("sz")).as("a_sz"), first(col("b_sz")).as("bsz"))
+          .withColumn("jac",
+            round(col("inter") / (col("a_sz") + col("bsz") - col("inter")), 6))
+          .filter(col("jac") >= tau)
+          .select("a_id", "b_id", "jac")
+      }
     } else {
       val bands = mhBandsFor(tau, MhBandRows, MhRecallTarget)
       require(bands <= MhMaxBands,
@@ -1056,27 +1082,32 @@ object LlmData {
     * branch predicts perfectly and the loop stays tight).
     */
   private def popcountPairs(packed: DataFrame, tauSlack: Double,
-                            emitMode: Int, s: SparkSession): DataFrame = {
+                            emitMode: Int, s: SparkSession,
+                            minBId: Long = Long.MinValue): DataFrame = {
     val session = s
     import session.implicits._
     val bLocal = packed.select(col("doc_id"), col("bits"), col("sz"))
       .as[(Long, Array[Long], Int)].collect().sortBy(_._1)
     val bBc = s.sparkContext.broadcast(bLocal)
     val p = s.sparkContext.defaultParallelism
-    // primitive local so the task closure captures a boolean, not the
-    // enclosing module
+    // primitives local so the task closure captures a boolean + long,
+    // not the enclosing module
     val jaccardMode = emitMode == PopcountJaccard
+    val bFloor = minBId
     packed.select(col("doc_id"), col("bits"), col("sz"))
       .repartition(p, col("doc_id"))
       .as[(Long, Array[Long], Int)]
       .mapPartitions { it =>
         val bs = bBc.value
         it.flatMap { case (aId, aBits, aSz) =>
-          // bs is sorted by doc_id: start past aId for the a<b half
+          // bs is sorted by doc_id: start past max(aId, bFloor) — the
+          // a<b half, restricted to b > bFloor when the caller scopes
+          // the b side (incremental dedup's new-batch bound)
+          val aMin = math.max(aId, bFloor)
           var lo = 0; var hi = bs.length
           while (lo < hi) {
             val mid = (lo + hi) >>> 1
-            if (bs(mid)._1 <= aId) lo = mid + 1 else hi = mid
+            if (bs(mid)._1 <= aMin) lo = mid + 1 else hi = mid
           }
           val out = Iterator.range(lo, bs.length).flatMap { j =>
             val (bId, bBits, bSz) = bs(j)
@@ -1966,44 +1997,52 @@ object LlmData {
     * (nProbe ≪ k1) on a 50k corpus.
     *
     * Cache retention contract (the SparkEntry session rule): the
-    * returned plan reads TWO cached relations — `emb` (N×d, for the
-    * centroid pick and the scoring pass) and `ranked` (N×k1, filtered
-    * once for the assignment and once for the probe fan-out) — and
-    * both stay registered after the output materializes, because the
+    * returned plan reads ONE cached relation — `emb` (N×d, for the
+    * centroid pick, the assignment and the probe fan-out) — which
+    * stays registered after the output materializes, because the
     * result is lazy and unpersisting inside this function would drop
-    * them before the consumer's job runs. Harness entry points
+    * it before the consumer's job runs. Harness entry points
     * (Verify/Bench) run `spark.catalog.clearCache()` per query; any
     * other long-lived session must do the same (or unpersist) after
-    * materializing, or repeated calls accumulate one N×k1 ranked
-    * table per invocation.
+    * materializing.
     */
   private[graft] def knnGraphAnn(emb0: DataFrame, k1: Int, nProbe: Int,
       k: Int): DataFrame = {
-    val emb = emb0.cache() // centroid pick + the one ranking pass
-    val cent = emb.withColumn("h", xxhash64(col("vec_id")))
+    val emb = emb0.cache() // centroid pick + assignment + probe fan-out
+    // Centroid model collected in cent-id order (the same hash-sample
+    // TakeOrdered rows as before); assignment and probe fan-out run
+    // through the TopCells kernel — identical cosine folds and
+    // (ccos DESC, cent_id) tie order as the crossJoin + per-vector
+    // row_number window they replace (the qSimIvfAnn r13 shape), with
+    // ZERO exchanges on the N×k1 ranking: the N×k1-row joined stream,
+    // the two window shuffles and the N×nProbe cache disappear. The
+    // keep=1 argmax re-scores k1 cells per row rather than reading the
+    // cached keep=nProbe ranking — one extra compiled O(N·k1·d) pass
+    // is cheaper than materializing and re-reading the N×nProbe table
+    // (measured in the r13 IVF family switch).
+    val centArr = emb.withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h", "vec_id").limit(k1)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    // ONE N×k1 scoring+ranking pass serves both faces: the assignment
-    // is rank 1 of the same per-vector centroid ranking the probe
-    // fan-out reads ranks 1..nProbe of — evaluating it twice would
-    // double the operator's dominant cost (the N×k1 dots), so the
-    // ranked table is cached and filtered twice instead
-    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
-    val ranked = emb.crossJoin(broadcast(cent))
-      .withColumn("ccos", dotCol(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      .withColumn("crnk", row_number().over(w))
-      .filter(col("crnk") <= nProbe)
-      .cache() // read by the assignment filter AND the probe fan-out
-    val assigned = ranked.filter(col("crnk") === 1)
-      .select(col("cent_id").as("cell"), col("vec_id"), col("v"), col("nrm"))
-    val probes = ranked
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1) // cent-id ascending = the window's tie order
+    def cells(keep: Int) = graft.functions.VectorExprs.topCells(
+      col("v"), col("nrm"), centArr.map(_._1), centArr.map(_._2),
+      centArr.map(_._3), keep, cosine = true)
+    val assigned = emb
+      .withColumn("cell", element_at(cells(1), 1).getField("cell"))
+      .select(col("cell"), col("vec_id"), col("v"), col("nrm"))
+    val probes = emb
+      .withColumn("tc", explode(cells(nProbe)))
       .select(col("vec_id").as("src_id"), col("v").as("sv"),
-        col("nrm").as("sn"), col("cent_id").as("cell"))
+        col("nrm").as("sn"), col("tc.cell").as("cell"))
     val wCell = Window.partitionBy("src_id", "cell")
       .orderBy(col("cosine").desc, col("vec_id"))
     val wOut = Window.partitionBy("src_id")
       .orderBy(col("cosine").desc, col("vec_id"))
-    probes.join(assigned, "cell")
+    // merge hint: pins the at-scale cell-KEYED fine join (the
+    // PlanShapeSpec 4/0 shape) now that post-kernel size estimates
+    // would broadcast the fixture-sized assigned table
+    probes.hint("merge").join(assigned, "cell")
       .filter(col("src_id") =!= col("vec_id"))
       .select(col("src_id"), col("cell"), col("vec_id"),
         round(dotCol(col("sv"), col("v")) / (col("sn") * col("nrm")), 6).as("cosine"))
@@ -3936,10 +3975,18 @@ object LlmData {
     // pins), and the rewrite is the same left-to-right non-overlapping
     // carry/emit pass as bpeApply. Above the gate the previous
     // distributed per-round loop runs unchanged.
+    // Gate probe rides ONE cached materialization of the vocab table:
+    // the count ships a long, so an above-gate corpus never pays a
+    // discarded 256k-row driver collect, and the distributed rounds
+    // reuse the same cache as their round-0 table (the r13 ADVICE
+    // probe-cost item).
     val vocabGate = 262144
-    val vocabRows = words0.limit(vocabGate + 1).collect()
+    val words0C = words0.cache()
+    val nVocab = words0C.limit(vocabGate + 1).count()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    if (vocabRows.length <= vocabGate) {
+    if (nVocab <= vocabGate) {
+      val vocabRows = words0C.collect()
+      words0C.unpersist() // all rounds run on the collected rows
       var vocab: Array[(Array[String], Long)] = vocabRows
         .map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
       def cmpU8(a: String, b: String): Int = {
@@ -3998,7 +4045,7 @@ object LlmData {
         }
       }
     } else {
-      var words = words0.cache()
+      var words = words0C
       var rk = 1
       var done = false
       // the parent of the current vocab table stays cached until the
@@ -4947,6 +4994,12 @@ object LlmData {
     val dims = Array.fill(d)(java.math.BigInteger.ZERO)
     val cells = Array.fill(nC)(java.math.BigInteger.ZERO)
     parts.foreach { case (pn, pd, pc) =>
+      // each partition only self-checks dims against its own first
+      // row — a cross-partition dimensionality mismatch must fail
+      // loudly here, not misalign the packed upper triangle
+      require(pd.length == d && pc.length == nC,
+        s"covMoments: partition moment width ${pd.length}/${pc.length} != " +
+          s"head's $d/$nC — embedding dimensionality differs across partitions")
       n += pn
       var i = 0
       while (i < d) { dims(i) = dims(i).add(new java.math.BigInteger(pd(i))); i += 1 }
@@ -5273,7 +5326,10 @@ object LlmData {
       .withColumn("ws", expr(wordsExpr)).select("doc_id", "ws").cache()
     val words = base.select(explode(col("ws")).as("w"))
     val uni = words.groupBy("w").agg(count(lit(1)).as("cw"))
-    val ttot = words.agg(count(lit(1)).as("t"))
+    // total word mass WITHOUT re-exploding the corpus: the token count
+    // is Σ size(ws) over the cached arrays (wordsExpr already filtered
+    // empties), an exact long identical to count(1) over the explode
+    val ttot = base.agg(sum(size(col("ws"))).cast("long").as("t"))
     val bgAll = base.select(explode(bigramsOf(col("ws"))).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("cb"))
       .cache() // read twice: total bigram mass + thresholded pairs
@@ -5895,7 +5951,18 @@ object LlmData {
     * int64 overflow). Unlike the xxhash64 fingerprint this one IS
     * oracle-checked.
     */
-  def qTextWinnow(s: SparkSession, dir: String): DataFrame = {
+  def qTextWinnow(s: SparkSession, dir: String): DataFrame =
+    winnowFps(s, dir).orderBy("doc_id", "fp")
+
+  /** The unsorted winnow fingerprint stream — shared so qDedupWinnow
+    * composes on it WITHOUT qTextWinnow's output sort: that inherited
+    * orderBy survived into the aggregation plan as a full range
+    * exchange + sort of the exploded fingerprint stream (collect_list
+    * is order-sensitive, so the optimizer cannot drop it), yet the
+    * consumer wraps the list in sort_array, making the pre-sort
+    * semantically dead. qTextWinnow's own output is unchanged.
+    */
+  private def winnowFps(s: SparkSession, dir: String): DataFrame = {
     import Winnow._
     // One compiled WinnowFingerprints kernel per row replaces the
     // earlier interpreted per-position polynomial transform + cascaded
@@ -5907,7 +5974,6 @@ object LlmData {
       .filter(length(col("at")) >= K + W - 1)
       .select(col("doc_id"),
         explode(graft.functions.VectorExprs.winnowFingerprints(col("at"))).as("fp"))
-      .orderBy("doc_id", "fp")
   }
 
   /** Fingerprint-based near-dup candidates: pairs of docs sharing
@@ -5927,7 +5993,7 @@ object LlmData {
     // blowup at O(Σ df²)), expand the unordered pairs in-row, and
     // count shared anchors per pair. No cache needed — the winnow
     // subtree is read exactly once.
-    qTextWinnow(s, dir)
+    winnowFps(s, dir)
       .groupBy("fp").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, DfCap))
       .select(explode(expr(

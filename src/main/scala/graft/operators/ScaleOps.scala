@@ -90,6 +90,14 @@ object ScaleOps {
   private val retained =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
 
+  /** Upper bound on retained slice caches: past it the OLDEST retained
+    * cache unpersists automatically, so a long-lived caller that never
+    * learns the unpersistRetained() contract accumulates at most this
+    * many corpus-sized caches (the newest entries — the ones whose lazy
+    * consumers may still be pending — always survive).
+    */
+  private val RetainedCap = 8
+
   /** Drop every slice cache retained by prior distributedRank calls. */
   def unpersistRetained(): Unit = {
     var d = retained.poll()
@@ -111,6 +119,10 @@ object ScaleOps {
       .withColumn("__slice", spark_partition_id())
       .cache()
     retained.add(sliced)
+    while (retained.size > RetainedCap) {
+      val oldest = retained.poll()
+      if (oldest != null) oldest.unpersist(false)
+    }
     val counts = sliced.groupBy(col("__slice") +: gcols: _*).agg(count(lit(1)).as("__cnt"))
     val cumWin = Window.partitionBy(gcols: _*).orderBy(col("__slice"))
       .rowsBetween(Window.unboundedPreceding, -1)
