@@ -711,8 +711,7 @@ object TextKernels {
   * O(n). KnnKernelSpec pins kernel ≡ the higher-order chain.
   */
 case class KnnTopkKeys(corpus: Expression, vec: Expression, nrm: Expression,
-    selfId: Expression, k: Int) extends Expression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    selfId: Expression, k: Int) extends Expression {
   import org.apache.spark.sql.types.StructType
   override def children: Seq[Expression] = Seq(corpus, vec, nrm, selfId)
   override def nullable: Boolean = false
@@ -753,11 +752,21 @@ case class KnnTopkKeys(corpus: Expression, vec: Expression, nrm: Expression,
     java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val corpusArr = corpus.eval(input).asInstanceOf[ArrayData]
-    val v = vec.eval(input).asInstanceOf[ArrayData]
-    val myNrm = nrm.eval(input).asInstanceOf[Double]
-    val me = selfId.eval(input).asInstanceOf[Long]
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    kernelEval(corpus.eval(input).asInstanceOf[ArrayData],
+      vec.eval(input).asInstanceOf[ArrayData],
+      nrm.eval(input).asInstanceOf[Double],
+      selfId.eval(input).asInstanceOf[Long])
+
+  /** The top-k loop over evaluated inputs — shared by the interpreted
+    * eval and the generated path (doGenCode calls back in, so results
+    * are identical by construction and the projection stays inside
+    * whole-stage codegen — guide §4).
+    */
+  def kernelEval(corpusIn: AnyRef, vecIn: AnyRef, myNrm: Double,
+      me: Long): ArrayData = {
+    val corpusArr = corpusIn.asInstanceOf[ArrayData]
+    val v = vecIn.asInstanceOf[ArrayData]
     val n = corpusArr.numElements()
     val dim = v.numElements()
     val keys = new Array[Long](k)
@@ -811,6 +820,24 @@ case class KnnTopkKeys(corpus: Expression, vec: Expression, nrm: Expression,
       java.util.Arrays.copyOf(keys, filled))
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val ref = ctx.addReferenceObj("kernel", this)
+    val cCode = corpus.genCode(ctx)
+    val vCode = vec.genCode(ctx)
+    val nCode = nrm.genCode(ctx)
+    val idCode = selfId.genCode(ctx)
+    ev.copy(code = code"""
+      |${cCode.code}
+      |${vCode.code}
+      |${nCode.code}
+      |${idCode.code}
+      |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+      |  $ref.kernelEval(${cCode.value}, ${vCode.value}, ${nCode.value}, ${idCode.value});
+      """.stripMargin, isNull = FalseLiteral)
+  }
+
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): KnnTopkKeys =
     copy(corpus = newChildren(0), vec = newChildren(1),
@@ -829,8 +856,7 @@ case class KnnTopkKeys(corpus: Expression, vec: Expression, nrm: Expression,
   * not of every bigram occurrence).
   */
 case class PackedBigramCounts(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.sql.types.{StructField, StructType}
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("bg", LongType, nullable = false),
@@ -870,6 +896,20 @@ case class PackedBigramCounts(child: Expression)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /** Public handle for the generated path — doGenCode calls back into
+    * the SAME compiled loop as the interpreted eval, so results are
+    * identical by construction; what changes is that the surrounding
+    * projection stays inside whole-stage codegen instead of falling
+    * back to an interpreted stage (guide §4).
+    */
+  def kernelEval(input: AnyRef): ArrayData =
+    nullSafeEval(input).asInstanceOf[ArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kernel", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernelEval($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): PackedBigramCounts =
     copy(child = newChild)
 }
@@ -889,8 +929,7 @@ case class PackedBigramCounts(child: Expression)
   */
 case class LangScores(child: Expression, bgs: Array[Long],
                       terms: Array[Array[Long]])
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.sql.types.StructType
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "lang_scores"
@@ -926,6 +965,19 @@ case class LangScores(child: Expression, bgs: Array[Long],
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Public handle for the generated path — the SAME compiled loop as
+    * the interpreted eval (results identical by construction); the
+    * surrounding projection stays inside whole-stage codegen instead
+    * of falling back to an interpreted stage (guide §4).
+    */
+  def kernelEval(input: AnyRef): ArrayData =
+    nullSafeEval(input).asInstanceOf[ArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kernel", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernelEval($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): LangScores =
     copy(child = newChild)
 }
@@ -941,8 +993,7 @@ case class LangScores(child: Expression, bgs: Array[Long],
   * per element, bit-identical to `aggregate(zip_with(...))`.
   */
 case class PqCodes(child: Expression, cb: Array[Array[Array[Double]]])
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "pq_codes"
   override lazy val deterministic: Boolean = true
@@ -985,6 +1036,20 @@ case class PqCodes(child: Expression, cb: Array[Array[Array[Double]]])
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+
+  /** Public handle for the generated path — the SAME compiled loop as
+    * the interpreted eval (results identical by construction); the
+    * surrounding projection stays inside whole-stage codegen instead
+    * of falling back to an interpreted stage (guide §4).
+    */
+  def kernelEval(input: AnyRef): ArrayData =
+    nullSafeEval(input).asInstanceOf[ArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kernel", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernelEval($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): PqCodes =
     copy(child = newChild)
 }
@@ -1000,8 +1065,7 @@ case class PqCodes(child: Expression, cb: Array[Array[Array[Double]]])
   */
 case class MatVec(child: Expression, mat: Array[Array[Double]],
     mean: Array[Double])
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "mat_vec"
   override lazy val deterministic: Boolean = true
@@ -1036,6 +1100,20 @@ case class MatVec(child: Expression, mat: Array[Array[Double]],
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+
+  /** Public handle for the generated path — the SAME compiled loop as
+    * the interpreted eval (results identical by construction); the
+    * surrounding projection stays inside whole-stage codegen instead
+    * of falling back to an interpreted stage (guide §4).
+    */
+  def kernelEval(input: AnyRef): ArrayData =
+    nullSafeEval(input).asInstanceOf[ArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kernel", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernelEval($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): MatVec =
     copy(child = newChild)
 }
@@ -1056,8 +1134,7 @@ case class MatVec(child: Expression, mat: Array[Array[Double]],
 case class TopCells(vec: Expression, nrm: Expression,
     ids: Array[Long], cvs: Array[Array[Double]], cns: Array[Double],
     keep: Int, cosine: Boolean)
-    extends BinaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends BinaryExpression {
   override def left: Expression = vec
   override def right: Expression = nrm
   override def prettyName: String = "top_cells"
@@ -1120,6 +1197,20 @@ case class TopCells(vec: Expression, nrm: Expression,
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
   }
 
+
+  /** Public handle for the generated path — the SAME compiled loop as
+    * the interpreted eval (results identical by construction); the
+    * surrounding projection stays inside whole-stage codegen instead
+    * of falling back to an interpreted stage (guide §4).
+    */
+  def kernelEval(v: AnyRef, n: Double): ArrayData =
+    nullSafeEval(v, n.asInstanceOf[AnyRef]).asInstanceOf[ArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kernel", this)
+    nullSafeCodeGen(ctx, ev, (v, n) => s"${ev.value} = $ref.kernelEval($v, $n);")
+  }
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): TopCells =
     copy(vec = l, nrm = r)
 }
@@ -1148,8 +1239,7 @@ case class TopCells(vec: Expression, nrm: Expression,
   * symbol pair; absent pairs never merge.
   */
 case class BpeEncode(child: Expression, merges: Array[(String, String)])
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.sql.types.StringType
   import org.apache.spark.unsafe.types.UTF8String
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -1243,6 +1333,20 @@ case class BpeEncode(child: Expression, merges: Array[(String, String)])
     var k = 0
     while (k < len) { out(k) = UTF8String.fromString(syms(k)); k += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+
+  /** Public handle for the generated path — the SAME compiled loop as
+    * the interpreted eval (results identical by construction); the
+    * surrounding projection stays inside whole-stage codegen instead
+    * of falling back to an interpreted stage (guide §4).
+    */
+  def kernelEval(input: AnyRef): ArrayData =
+    nullSafeEval(input).asInstanceOf[ArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kernel", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernelEval($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncode =

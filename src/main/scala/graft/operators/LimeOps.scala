@@ -344,9 +344,17 @@ object LimeOps {
         count(lit(1)).as("n_instances"))
       .orderBy("feature")
 
-  def spLimePick(s: SparkSession, dir: String): DataFrame = {
+  def spLimePick(s: SparkSession, dir: String): DataFrame =
+    spLimePickGated(s, dir, wGate = 1000000)
+
+  /** spLimePick with the W gate exposed — the bench's
+    * `artifact_scale_splime` row passes 0 to time the retained
+    * distributed greedy rounds.
+    */
+  private[graft] def spLimePickGated(s: SparkSession, dir: String,
+      wGate: Int): DataFrame = {
     val expl = spLimeExplanations(s, dir)
-    val picked = SpLime.pick(expl, b = 3)
+    val picked = SpLime.pick(expl, b = 3, wGate = wGate)
     val session = s
     import session.implicits._
     picked.toDF("round", "instance_id", "gain")

@@ -573,44 +573,28 @@ object LlmData {
       exactGate: Long = TextExactGate): DataFrame = {
     val sh = shIn.filter(col("sz") > 0).cache()
     if (nDocs <= exactGate) {
-      // Vocabulary-adaptive like jaccardPairs/qDedupContain, same
-      // reason: in a dense vocabulary the shared-shingle join's
-      // exploded string stream shuffles O(Σ df·df_new) rows, while the
-      // packed-bitset popcount block-NL verifies the same pairs with
-      // zero pair-row shuffles. The new-batch restriction survives:
-      // popcountPairs' minBId starts each row's scan past max(a, T),
-      // so old×old pairs never materialize and pair work stays
-      // O(new × corpus). Emits are exact (|A∩B| popcount == the join's
-      // per-pair match count: shingle sets are distinct per doc), and
-      // jac is the identical round(inter/(a+b−inter), 6) double.
-      val tokens = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
-        .cache() // gate aggregate + (dense) bitset build / (sparse) both join sides
-      val gate = tokens.agg(
-        countDistinct(col("sh")).as("v"),
-        countDistinct(col("doc_id")).as("nd")).head()
-      val (v, nd) = (gate.getLong(0).toInt, gate.getLong(1))
-      if (v <= DenseVocabMax &&
-          nd * ((v + 63) / 64).toLong <= DenseBitsetBudgetLongs) {
-        val vocab = tokens.select("sh").distinct()
-        popcountPairs(packedBitsets(sh, tokens, vocab, v), tau - 1e-6,
-            PopcountJaccard, s, minBId = t)
-          .withColumn("jac",
-            round(col("inter") / (col("a_sz") + col("b_sz") - col("inter")), 6))
-          .filter(col("jac") >= tau)
-          .select("a_id", "b_id", "jac")
-      } else {
-        val exNew = tokens.filter(col("doc_id") > t)
-          .select(col("doc_id").as("b_id"), col("sz").as("b_sz"), col("sh"))
-        tokens.join(exNew, Seq("sh"))
-          .filter(col("doc_id") < col("b_id"))
-          .groupBy(col("doc_id").as("a_id"), col("b_id"))
-          .agg(count(lit(1)).as("inter"),
-            first(col("sz")).as("a_sz"), first(col("b_sz")).as("bsz"))
-          .withColumn("jac",
-            round(col("inter") / (col("a_sz") + col("bsz") - col("inter")), 6))
-          .filter(col("jac") >= tau)
-          .select("a_id", "b_id", "jac")
-      }
+      // A/B'd (r14): routing this dense-vocab case through the
+      // packed-bitset popcount block-NL (the qDedupContain machinery,
+      // with a minBId bound keeping pair work O(new × corpus)) measured
+      // 2.0 s → 4.0 s at sf0.1 — the bitset build's gate aggregate +
+      // id window + two groupBys exceed the join it replaces, because
+      // the b-side here is only the top decile (the join's exploded
+      // stream is ~10% of the all-pairs case that makes popcount win
+      // for qDedupContain). Kept: the exact shared-shingle join, per
+      // the r13 verdict's "keep the exact path if the extra exchange
+      // loses".
+      val ex = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
+      val exNew = ex.filter(col("doc_id") > t)
+        .select(col("doc_id").as("b_id"), col("sz").as("b_sz"), col("sh"))
+      ex.join(exNew, Seq("sh"))
+        .filter(col("doc_id") < col("b_id"))
+        .groupBy(col("doc_id").as("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("inter"),
+          first(col("sz")).as("a_sz"), first(col("b_sz")).as("bsz"))
+        .withColumn("jac",
+          round(col("inter") / (col("a_sz") + col("bsz") - col("inter")), 6))
+        .filter(col("jac") >= tau)
+        .select("a_id", "b_id", "jac")
     } else {
       val bands = mhBandsFor(tau, MhBandRows, MhRecallTarget)
       require(bands <= MhMaxBands,
@@ -686,18 +670,21 @@ object LlmData {
       .filter(col("sz") > 0)
       .cache() // read by the token explode and both sides of the verify join
     val tokens = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
-      .cache() // read by the gate aggregate, dfreq, prefix and candidate join
-    val vocab = tokens.select("sh").distinct()
-    val gate = tokens.agg(
-      countDistinct(col("sh")).as("v"),
-      countDistinct(col("doc_id")).as("nd")).head()
-    val (v, nDocs) = (gate.getLong(0).toInt, gate.getLong(1))
+      .cache() // read by the vocabulary distinct, dfreq, prefix and candidate join
+    // Gate sizing fused as in jaccardPairs (r14): the cached vocabulary
+    // distinct IS the gate's v, and nDocs is the cached sz>0 shingle
+    // table's count (≡ countDistinct(doc_id) here — every doc has ≥ 1
+    // shingle) — one distinct pass instead of two.
+    val vocab = tokens.select("sh").distinct().cache()
+    val v = vocab.count().toInt
+    val nDocs = sh.count()
     val verified =
       if (v <= DenseVocabMax &&
           nDocs * ((v + 63) / 64).toLong <= DenseBitsetBudgetLongs) {
         popcountPairs(packedBitsets(sh, tokens, vocab, v), tauC - 1e-6,
           PopcountContainment, s)
       } else {
+        vocab.unpersist() // the sparse path never reads the vocabulary
         val dfreq = tokens.groupBy("sh").agg(count(lit(1)).as("df"))
         val ranked = tokens.join(dfreq, "sh")
           .withColumn("rk", row_number().over(
@@ -754,7 +741,10 @@ object LlmData {
     * genuine contract.
     */
   def qEmbLabelAgreement(s: SparkSession, dir: String): DataFrame = {
-    val nn = qEmbKnn(s, dir).filter(col("rnk") === 1)
+    // rank 1 only — run the exact-kNN kernel at k = 1 (same top-1 as
+    // filtering the 5-NN graph: the kernel's key order is the rank
+    // order) instead of building and discarding ranks 2..5
+    val nn = knnExact(s, dir, k = 1)
       .select(col("vec_id"), col("neighbor_id"))
     val labels = embeddings(s, dir).select(col("vec_id"), col("label"))
     nn.join(labels, "vec_id")
@@ -1082,32 +1072,27 @@ object LlmData {
     * branch predicts perfectly and the loop stays tight).
     */
   private def popcountPairs(packed: DataFrame, tauSlack: Double,
-                            emitMode: Int, s: SparkSession,
-                            minBId: Long = Long.MinValue): DataFrame = {
+                            emitMode: Int, s: SparkSession): DataFrame = {
     val session = s
     import session.implicits._
     val bLocal = packed.select(col("doc_id"), col("bits"), col("sz"))
       .as[(Long, Array[Long], Int)].collect().sortBy(_._1)
     val bBc = s.sparkContext.broadcast(bLocal)
     val p = s.sparkContext.defaultParallelism
-    // primitives local so the task closure captures a boolean + long,
-    // not the enclosing module
+    // primitive local so the task closure captures a boolean, not the
+    // enclosing module
     val jaccardMode = emitMode == PopcountJaccard
-    val bFloor = minBId
     packed.select(col("doc_id"), col("bits"), col("sz"))
       .repartition(p, col("doc_id"))
       .as[(Long, Array[Long], Int)]
       .mapPartitions { it =>
         val bs = bBc.value
         it.flatMap { case (aId, aBits, aSz) =>
-          // bs is sorted by doc_id: start past max(aId, bFloor) — the
-          // a<b half, restricted to b > bFloor when the caller scopes
-          // the b side (incremental dedup's new-batch bound)
-          val aMin = math.max(aId, bFloor)
+          // bs is sorted by doc_id: start past aId for the a<b half
           var lo = 0; var hi = bs.length
           while (lo < hi) {
             val mid = (lo + hi) >>> 1
-            if (bs(mid)._1 <= aMin) lo = mid + 1 else hi = mid
+            if (bs(mid)._1 <= aId) lo = mid + 1 else hi = mid
           }
           val out = Iterator.range(lo, bs.length).flatMap { j =>
             val (bId, bBits, bSz) = bs(j)
@@ -1138,25 +1123,30 @@ object LlmData {
     // re-executes the subtree).
     val sh = shIn.cache()
     val tokens = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
-      .cache() // read 3×: vocabulary sizing, id assignment, bitset build
-    val vocab = tokens.select("sh").distinct()
+      .cache() // read 2×: vocabulary distinct, bitset build
     // The dense path collects + broadcasts the full docs × ⌈V/64⌉ long
     // bitset table, so it must be gated on BOTH dimensions: a small
     // vocabulary over a huge corpus would still materialize N × V/64
     // longs on the driver twice. Budget default: 8M longs (64 MB).
-    // Both gate cardinalities come from ONE aggregate over the cached
-    // token table (populating the cache as a side effect) — not a job
-    // per count.
-    val gate = tokens.agg(
-      countDistinct(col("sh")).as("v"),
-      countDistinct(col("doc_id")).as("nd")).head()
-    val (v, nDocs) = (gate.getLong(0).toInt, gate.getLong(1))
+    // Gate sizing (r14, measured): the previous ONE-aggregate probe ran
+    // countDistinct twice over the token stream (0.48 s) and the dense
+    // path then re-ran the same distinct as `vocab` (0.64 s). The
+    // vocabulary distinct is now cached and IS the gate's v (one
+    // distinct instead of two), and the doc dimension is the cached
+    // shingle table's row count (includes empty-shingle docs — an
+    // upper bound on countDistinct(doc_id), so the budget check only
+    // gets more conservative; both paths emit identical pairs, so the
+    // gate choice is a plan decision, not a semantic one).
+    val vocab = tokens.select("sh").distinct().cache()
+    val v = vocab.count().toInt
+    val nDocs = sh.count()
     val verified =
       if (v <= denseVocabMax &&
           nDocs * ((v + 63) / 64).toLong <= denseBitsetBudgetLongs) {
         popcountPairs(packedBitsets(sh, tokens, vocab, v), tau - 1e-6,
           PopcountJaccard, s)
       } else {
+        vocab.unpersist() // the sparse path never reads the vocabulary
         val dfreq = tokens.groupBy("sh").agg(count(lit(1)).as("dfreq"))
         val w = Window.partitionBy("doc_id").orderBy("dfreq", "sh")
         val prefix = tokens.join(dfreq, "sh")
@@ -1662,11 +1652,18 @@ object LlmData {
   def qSimMmr(s: SparkSession, dir: String): DataFrame =
     mmrPick(embWithNorms(s, dir), s, k = 5)
 
+  /** qSimMmr with the driver-loop gate forced off — the bench's
+    * `artifact_scale_mmr` row times the retained distributed rounds.
+    */
+  private[graft] def qSimMmrScale(s: SparkSession, dir: String): DataFrame =
+    mmrPick(embWithNorms(s, dir), s, k = 5, mmrGate = 0)
+
   /** The MMR greedy core with the probe set and k exposed (the
     * knnGraphAnn pattern) so the spec can run planted-diversity
     * fixtures through the exact production path.
     */
-  private[graft] def mmrPick(embIn: DataFrame, s: SparkSession, k: Int): DataFrame = {
+  private[graft] def mmrPick(embIn: DataFrame, s: SparkSession, k: Int,
+      mmrGate: Int = 65536): DataFrame = {
     // At or below the gate the whole candidate geometry is bounded
     // driver state (O(n·d) doubles — 34 MB at the 65,536 cap): collect
     // it once and run the k greedy rounds locally instead of k argmax
@@ -1676,7 +1673,6 @@ object LlmData {
     // λ-blend in exact decimals, argmax (score DESC, vec_id). Above
     // the gate (where candidates arrive from the ANN family) the
     // distributed loop runs unchanged.
-    val mmrGate = 65536
     val localRows = embIn.select(col("vec_id"), col("v"), col("nrm"))
       .limit(mmrGate + 1).collect()
     if (localRows.length <= mmrGate) {
@@ -1917,8 +1913,16 @@ object LlmData {
     * sort. Ranking on the ROUNDED cosine (tie → smaller id) keeps the
     * k-boundary deterministic cross-engine.
     */
-  def qEmbKnn(s: SparkSession, dir: String): DataFrame = {
-    val k = 5
+  def qEmbKnn(s: SparkSession, dir: String): DataFrame =
+    knnExact(s, dir, k = 5)
+
+  /** The qEmbKnn body with k exposed: qEmbLabelAgreement consumes rank
+    * 1 only, so it runs the same kernel at k = 1 instead of computing
+    * the 5-NN graph and filtering — identical top-1 by construction
+    * (the kernel's key order IS (rounded cosine DESC, id ASC), so its
+    * first entry is rank 1 of any larger k).
+    */
+  private[graft] def knnExact(s: SparkSession, dir: String, k: Int): DataFrame = {
     val gate = 8192L
     val n = parquetRowCount(s, s"$dir/embeddings.parquet")
     require(n <= gate,
@@ -3975,18 +3979,15 @@ object LlmData {
     // pins), and the rewrite is the same left-to-right non-overlapping
     // carry/emit pass as bpeApply. Above the gate the previous
     // distributed per-round loop runs unchanged.
-    // Gate probe rides ONE cached materialization of the vocab table:
-    // the count ships a long, so an above-gate corpus never pays a
-    // discarded 256k-row driver collect, and the distributed rounds
-    // reuse the same cache as their round-0 table (the r13 ADVICE
-    // probe-cost item).
+    // Probe-cost note (r14 A/B): the cache-then-count probe variant
+    // (skipping the discarded above-gate collect) regressed the
+    // below-gate rows (the pagerank/sp_lime_pick measurements; same
+    // shape here) — kept as the single limit-collect probe; above the
+    // gate the one truncated collect amortizes over the merge rounds.
     val vocabGate = 262144
-    val words0C = words0.cache()
-    val nVocab = words0C.limit(vocabGate + 1).count()
+    val vocabRows = words0.limit(vocabGate + 1).collect()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    if (nVocab <= vocabGate) {
-      val vocabRows = words0C.collect()
-      words0C.unpersist() // all rounds run on the collected rows
+    if (vocabRows.length <= vocabGate) {
       var vocab: Array[(Array[String], Long)] = vocabRows
         .map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
       def cmpU8(a: String, b: String): Int = {
@@ -4045,7 +4046,7 @@ object LlmData {
         }
       }
     } else {
-      var words = words0C
+      var words = words0.cache()
       var rk = 1
       var done = false
       // the parent of the current vocab table stays cached until the
