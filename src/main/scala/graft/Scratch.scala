@@ -156,6 +156,28 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("wordagg")) {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(spark, sfDir)
+        .withColumn("norm_text", lower(trim(col("text"))))
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .select("doc_id", "source", "norm_text")
+      val wordsExpr = "filter(split(norm_text, ' '), x -> x != '')"
+      def noop(df: org.apache.spark.sql.DataFrame) =
+        df.write.format("noop").mode("overwrite").save()
+      // warm
+      noop(docs.select(col("doc_id"), col("source"), explode(expr(wordsExpr)).as("w"))
+        .groupBy("doc_id", "source", "w").count())
+      for (i <- 1 to 2) {
+        t(s"tokenize_only_$i")(noop(docs.select(size(expr(wordsExpr)).as("n"))))
+        t(s"explode_agg_docword_$i")(noop(
+          docs.select(col("doc_id"), col("source"), explode(expr(wordsExpr)).as("w"))
+            .groupBy("doc_id", "source", "w").count()))
+        t(s"explode_agg_word_$i")(noop(
+          docs.select(explode(expr(wordsExpr)).as("w")).groupBy("w").count()))
+      }
+      spark.stop(); return
+    }
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count() catch { case _: Throwable => () }
