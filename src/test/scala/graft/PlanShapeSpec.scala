@@ -301,4 +301,28 @@ class PlanShapeSpec extends SparkSpec {
     // cell-keyed join) + the id-join rollup and output sort
     pin("q_emb_ann_recall", 6, 2)
   }
+
+  test("round-14 shapes: joins folded into aggregates stay folded") {
+    // q21: the culprit supplier comes out of the per-order census
+    // aggregate (max(when(has_late, suppkey))) — pre-r14 this was a
+    // cached pair table read twice through 4 shuffles + a sort-merge
+    // semi join. Now: (order,supp) agg + order agg + TakeOrdered
+    // (suppkey agg rides AQE off the order exchange at runtime);
+    // broadcasts = the F-orders dim + supplier
+    pin("q_tpch_q21", 3, 2)
+    // cooccur: pairs expand IN-ROW from each session's sorted type
+    // list — pre-r14 the self-join on (user, session) added two more
+    // exchange reads; the remaining shuffles are the session window's
+    // user exchange, the distinct, the per-session collect, the pair
+    // agg, the per-type/total rollups and the output sort
+    pin("q_ev_cooccur", 7, 3)
+    // label agreement: the k=1 kernel graph (corpus collect + broadcast
+    // — the q_emb_knn shape) + label join broadcasts + agg + sort;
+    // pre-r14 it built the full 5-NN graph and filtered rank 1
+    pin("q_emb_label_agreement", 3, 3)
+    // pmi: docsNorm rebalance + ONE unigram agg + ONE bigram agg +
+    // output sort; ttot/btot ride the aggregated tables as broadcasts
+    // (pre-r14 ttot re-exploded the corpus for a count(1))
+    pin("q_text_pmi", 4, 4)
+  }
 }
